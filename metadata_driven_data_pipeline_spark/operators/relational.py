@@ -1,0 +1,245 @@
+"""Generalized relational transform types (SURVEY §2.3/2.4/2.5/2.6/2.7
+extension rows).
+
+The reference implements only two transform types (``add_fields``,
+``validate_fields``, dispatch at ``pipeline/runner.py:334-343``). The rebuilt
+engine generalizes the same metadata pattern to the full relational surface —
+each type is a thin declarative wrapper over a built-in DataFrame operation,
+so Catalyst sees a plain plan and applies pushdown / pruning / join
+selection / AQE untouched.
+
+Handler contract: ``fn(catalog, params, ctx) -> dict[output_name -> DataFrame]``
+where ``catalog`` maps relation names to DataFrames. Handlers never execute
+actions — compilation stays lazy; the sink (or caller) triggers execution.
+
+Scale notes per type:
+- ``join``: Catalyst/AQE picks broadcast vs sort-merge; a ``broadcast`` param
+  forces the hint for dimensions the optimizer can't size (e.g. freshly
+  derived small relations). Semi/anti joins express EXISTS/NOT EXISTS without
+  materializing the right side.
+- ``aggregate``: hash aggregation with map-side partial combine is Spark's
+  default; expressions stay in whole-stage codegen.
+- ``window``: one hash shuffle on partitionBy keys.
+- ``sort``+``limit``: compiles to TakeOrderedAndProject (no full sort at
+  scale).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators.add_fields import apply_add_fields
+from metadata_driven_data_pipeline_spark.operators.consolidate import dedup_keep_latest
+from metadata_driven_data_pipeline_spark.operators.validate import split_ok_ko
+
+Catalog = dict[str, DataFrame]
+TransformHandler = Callable[[Catalog, dict[str, Any], dict[str, Any]], dict[str, DataFrame]]
+
+
+def _get(catalog: Catalog, name: str) -> DataFrame:
+    if name not in catalog:
+        raise ValueError(f"Input view '{name}' does not exist")
+    return catalog[name]
+
+
+def _order_cols(order_by: list[Any]) -> list[Column]:
+    """Order spec: "col", "col DESC", or {"column": ..., "direction": ...}."""
+    cols: list[Column] = []
+    for ob in order_by:
+        if isinstance(ob, dict):
+            c = F.col(ob["column"])
+            cols.append(c.desc() if str(ob.get("direction", "ASC")).upper() == "DESC" else c.asc())
+        else:
+            parts = str(ob).rsplit(None, 1)
+            if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+                c = F.col(parts[0])
+                cols.append(c.desc() if parts[1].upper() == "DESC" else c.asc())
+            else:
+                cols.append(F.col(str(ob)).asc())
+    return cols
+
+
+# --- handlers ---------------------------------------------------------------
+
+def _t_add_fields(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    out = apply_add_fields(
+        df, params["addFields"], batch_id=ctx.get("batch_id"), run_id=ctx.get("run_id")
+    )
+    return {ctx["name"]: out}
+
+
+def _t_validate_fields(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    result = split_ok_ko(df, params["validations"], cache=ctx.get("cache", True))
+    name = ctx["name"]
+    # Output naming parity: runner.py:351-357 derives {name}_ok / {name}_ko.
+    return {f"{name}_ok": result.ok, f"{name}_ko": result.ko}
+
+
+def _t_filter(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    return {ctx["name"]: df.filter(F.expr(params["condition"]))}
+
+
+def _t_select(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Projection; entries are column names or {"expr": ..., "alias": ...}."""
+    df = _get(catalog, params["input"])
+    cols: list[Column] = []
+    for c in params["columns"]:
+        if isinstance(c, dict):
+            col = F.expr(c["expr"])
+            if c.get("alias"):
+                col = col.alias(c["alias"])
+            cols.append(col)
+        else:
+            cols.append(F.col(c))
+    return {ctx["name"]: df.select(*cols)}
+
+
+def _t_join(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    left = _get(catalog, params["left"] if "left" in params else params["input"])
+    right = _get(catalog, params["right"])
+    how = params.get("how", "inner")
+    if params.get("broadcast"):
+        right = F.broadcast(right)
+    on = params.get("on")
+    if on is None:
+        condition = params.get("condition")
+        if condition is None:
+            raise ValueError("join requires 'on' (column names) or 'condition' (expr)")
+        return {ctx["name"]: left.join(right, F.expr(condition), how)}
+    if isinstance(on, str):
+        on = [on]
+    return {ctx["name"]: left.join(right, on, how)}
+
+
+def _agg_exprs(aggregations: list[Any]) -> list[Column]:
+    cols = []
+    for a in aggregations:
+        if isinstance(a, dict):
+            col = F.expr(a["expr"])
+            if a.get("alias"):
+                col = col.alias(a["alias"])
+            cols.append(col)
+        else:
+            cols.append(F.expr(str(a)))
+    return cols
+
+
+def _t_aggregate(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    group_by = params.get("groupBy", [])
+    mode = params.get("mode", "groupBy")  # groupBy | cube | rollup
+    aggs = _agg_exprs(params["aggregations"])
+    if not group_by:
+        return {ctx["name"]: df.agg(*aggs)}
+    grouped = {
+        "groupBy": df.groupBy,
+        "cube": df.cube,
+        "rollup": df.rollup,
+    }[mode](*group_by)
+    return {ctx["name"]: grouped.agg(*aggs)}
+
+
+def _t_window(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    w = Window.partitionBy(*params.get("partitionBy", []))
+    if params.get("orderBy"):
+        w = w.orderBy(*_order_cols(params["orderBy"]))
+    frame = params.get("frame")
+    if frame:
+        lo = frame.get("start", Window.unboundedPreceding)
+        hi = frame.get("end", Window.currentRow)
+        if frame.get("type", "rows") == "range":
+            w = w.rangeBetween(lo, hi)
+        else:
+            w = w.rowsBetween(lo, hi)
+    out = df
+    for fn in params["functions"]:
+        out = out.withColumn(fn["alias"], F.expr(fn["expr"]).over(w))
+    return {ctx["name"]: out}
+
+
+def _t_sort(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    out = df.orderBy(*_order_cols(params["orderBy"]))
+    if params.get("limit") is not None:
+        out = out.limit(int(params["limit"]))
+    return {ctx["name"]: out}
+
+
+def _t_limit(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    return {ctx["name"]: _get(catalog, params["input"]).limit(int(params["limit"]))}
+
+
+def _t_distinct(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    subset = params.get("columns")
+    out = df.dropDuplicates(subset) if subset else df.distinct()
+    return {ctx["name"]: out}
+
+
+def _t_set_op(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """union | unionAll | intersect | except (SURVEY §2.7, U1/U2)."""
+    inputs = params["inputs"]
+    op = params.get("op", "unionAll")
+    dfs = [_get(catalog, n) for n in inputs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        if op in ("union", "unionAll", "unionByName"):
+            out = out.unionByName(d, allowMissingColumns=bool(params.get("allowMissingColumns", False)))
+        elif op == "intersect":
+            out = out.intersect(d)
+        elif op == "except":
+            out = out.exceptAll(d)
+        else:
+            raise ValueError(f"Unsupported set op: {op}")
+    if op == "union":  # UNION DISTINCT semantics
+        out = out.distinct()
+    return {ctx["name"]: out}
+
+
+def _t_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    df = _get(catalog, params["input"])
+    out = dedup_keep_latest(
+        df,
+        params["keyColumns"] if "keyColumns" in params else params["key_column"],
+        params.get("orderBy", params.get("order_by", [])),
+        params.get("orderDirection", params.get("order_direction", "DESC")),
+        deterministic=bool(params.get("deterministic", False)),
+    )
+    return {ctx["name"]: out}
+
+
+def _t_sql(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Full SQL escape hatch: registers the catalog as temp views, runs a
+    statement. Catalyst compiles it identically to the Column API."""
+    spark = ctx["spark"]
+    for name, df in catalog.items():
+        df.createOrReplaceTempView(name)
+    return {ctx["name"]: spark.sql(params["statement"])}
+
+
+TRANSFORM_TYPES: dict[str, TransformHandler] = {
+    "add_fields": _t_add_fields,
+    "validate_fields": _t_validate_fields,
+    "filter": _t_filter,
+    "select": _t_select,
+    "join": _t_join,
+    "aggregate": _t_aggregate,
+    "window": _t_window,
+    "sort": _t_sort,
+    "limit": _t_limit,
+    "distinct": _t_distinct,
+    "set_op": _t_set_op,
+    "dedup": _t_dedup,
+    "sql": _t_sql,
+}
+
+
+def register_transform_type(name: str, fn: TransformHandler) -> None:
+    TRANSFORM_TYPES[name] = fn

@@ -1,0 +1,62 @@
+"""File sink layer.
+
+Reference semantics (``pipeline/sink.py:8-12`` + ``pipeline/runner.py:406-459``):
+``df.write.format(fmt).mode(mode).save(path)`` with metadata-driven format/
+saveMode and ``{date}`` path templating; a sink whose input relation is
+missing, or whose write fails, fails the pipeline.
+
+Rebuild differences:
+- record counts come from an ``observe()`` metric attached to the written
+  DataFrame — the write action itself materializes the count, instead of the
+  reference's extra ``count()`` job that re-executes the lineage
+  (runner.py:421 then 423-428);
+- optional ``partitionBy`` for partitioned layouts (the 100 TB path: date-
+  partitioned parquet, so downstream reads partition-prune).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.sources.reader import substitute_date
+
+
+def write_df(
+    df: DataFrame,
+    path: str,
+    fmt: str = "json",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Minimal writer (parity: sink.py:8-12)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_sink(
+    df: DataFrame,
+    sink: dict[str, Any],
+    batch_date: str | None = None,
+) -> dict[str, Any]:
+    """Write one metadata-declared sink; returns a log record including the
+    observed row count (single job: observe piggybacks on the write)."""
+    path_template = sink["path"] if "path" in sink else sink["paths"][0]
+    path = substitute_date(path_template, batch_date)
+    fmt = sink.get("format", "json")
+    mode = sink.get("saveMode", "overwrite")
+    partition_by = sink.get("partitionBy")
+
+    obs = Observation(f"sink_{uuid.uuid4().hex[:8]}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
+    write_df(observed, path, fmt, mode, partition_by)
+    return {
+        "records_written": int(obs.get["records_written"]),
+        "sink_path": path,
+        "format": fmt,
+    }
