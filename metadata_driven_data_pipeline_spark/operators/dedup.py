@@ -1,0 +1,347 @@
+"""Deduplication operators: exact + fuzzy, designed for 100 TB corpora.
+
+Not in the reference (its only dedup is the keep-latest window W1,
+``pipeline/consolidator.py:30-43``); this module is the LLM-data-pipeline
+extension surface. Five strategies, each with a different scale/recall
+trade-off:
+
+- **exact**: hash-groupBy on normalized content. One shuffle on the
+  fingerprint; at 100 TB shuffle only (fingerprint, id) pairs — never the
+  text — then semi-join survivors back.
+- **MinHash + LSH**: shingle → k independent min-hashes → band into b
+  buckets → candidate pairs are rows sharing a (band, band-hash) bucket →
+  verify with true Jaccard. Avoids the O(n²) cross join: the only shuffles
+  are the explode-by-band groupBys. Hashes are md5-derived 60-bit ints so
+  a SQL oracle (duckdb) reproduces them exactly.
+- **SimHash**: 64-bit sign-sum sketch of token hashes; near-dups differ in
+  few bits. Bucketed by the 16-bit prefix for candidate generation.
+- **n-gram Jaccard**: exact Jaccard over word shingles via explode +
+  self-join on shingle — quadratic in bucket size, use for verification or
+  small corpora.
+- **embedding cosine**: near-dup = cosine(embedding_a, embedding_b) ≥ τ;
+  brute-force for verification, LSH/IVF bucketing (similarity.py) at scale.
+
+All built from built-in functions (JVM codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators.text import normalize_text, tokens
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the lowest-id row per distinct (normalized) content.
+
+    Plan: fingerprint projection → window min over fingerprint → filter.
+    At 100 TB prefer the fingerprint+min_by aggregation then semi-join to
+    avoid carrying text through the shuffle; for parity/simplicity the
+    window form is equivalent on Catalyst (single hash shuffle).
+    """
+    key = F.md5(normalize_text(F.col(text_col))) if normalize else F.md5(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# --- shingles + minhash ------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (shorter docs yield the
+    whole doc as one shingle so they still participate)."""
+    toks = tokens(normalize_text(text))
+    cnt = F.size(toks)
+    raw = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(raw)
+
+
+def _hash60(s: Column) -> Column:
+    """Deterministic 60-bit integer hash from md5 (first 15 hex chars).
+    Chosen because duckdb reproduces it exactly:
+    ('0x'||substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
+    """k independent min-hashes: hash_i(shingle) = hash60(i || ':' || shingle).
+
+    Returns array<bigint> of length ``num_hashes``. Seeding by prefix keeps
+    every hash family reproducible in ANSI SQL.
+    """
+    shingles = word_shingles(text)
+
+    # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
+    # lambda as (element, index)
+    def seeded_hash(i: int):
+        def fn(s: Column) -> Column:
+            return _hash60(F.concat(F.lit(f"{i}:"), s))
+
+        return fn
+
+    mins = [
+        F.array_min(F.transform(shingles, seeded_hash(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    rows per band-bucket are joined (within-bucket pairs only) — the
+    anti-quadratic step. Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale: signatures are tiny (k longs); the explode produces b rows per
+    doc; the groupBy/self-join shuffles only (bucket_key, id). Skewed
+    buckets (boilerplate docs) can be capped with a count filter before the
+    pair expansion.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("__sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle → count
+    common per pair → Jaccard = common / (|A| + |B| - common). The explode
+    join is the scalable exact method when shingle frequency is bounded;
+    pair with LSH candidates at 100 TB (join candidates first, then verify).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("__n_shingles"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__shingle"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n_shingles").alias("na"),
+            F.col("b.__n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full fuzzy-dedup: LSH candidates → exact Jaccard verify → drop the
+    higher id of every confirmed pair (union-find-free greedy survivor rule:
+    a doc survives unless it pairs with a lower id)."""
+    candidates = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    verified = ngram_jaccard_pairs(
+        df.join(
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select("id_b"))
+            .distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        threshold=jaccard_threshold,
+    ).join(
+        candidates,
+        ["id_a", "id_b"],
+        "left_semi",
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token set.
+
+    Each distinct token hashes to a 60-bit int (md5-derived, oracle-
+    reproducible); bit j of the sketch is 1 iff more token-hashes have bit j
+    set than not. Computed as a single aggregate expression over the token
+    array — no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    hashes = F.transform(toks, _hash60)
+    n = F.size(hashes)
+
+    def bit_set(j: int):
+        def fn(h: Column) -> Column:
+            return h.bitwiseAND(F.lit(1 << j)) != 0
+
+        return fn
+
+    bits = []
+    for j in range(60):
+        ones = F.size(F.filter(hashes, bit_set(j)))
+        bit_j = F.when(ones * 2 >= n, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bits.append(bit_j * F.lit(1 << j).cast("bigint"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return F.when(n > 0, out).otherwise(F.lit(0).cast("bigint"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: bucket by the high ``prefix_bits`` of the
+    simhash, pair within buckets, keep pairs within ``max_hamming`` bits.
+    (Prefix bucketing misses pairs differing inside the prefix — standard
+    multi-probe trades recall for the O(n²) avoidance; run with rotated
+    sketches for full recall.)"""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
+    )
+    bucketed = sh.withColumn(
+        "__bucket", F.shiftright("__sh", 60 - prefix_bits)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force O(n²) — verification scale).
+    At corpus scale, generate candidates with similarity.lsh_bucket_topk
+    and verify with this predicate on the candidate set only."""
+    withn = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).alias("__v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(emb_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("__norm"),
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(dot / (F.col("a.__norm") * F.col("b.__norm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

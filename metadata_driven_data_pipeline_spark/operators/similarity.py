@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+LLM-pipeline extension surface (not in the reference). Two paths:
+
+- **brute-force cosine top-k** — exact; the right answer whenever the query
+  set is small (broadcast queries × corpus scan, one window per query for
+  top-k). Baseline and verification oracle.
+- **LSH-bucketed top-k** — the 100 TB path: random-hyperplane signatures
+  (deterministic, md5-seeded) bucket the corpus; queries only scan their
+  bucket (+ multiprobe neighbors). Recall < 1 by construction; verified
+  against brute force in tests.
+
+Vector math is done with built-in higher-order functions
+(``zip_with``/``aggregate``) — JVM codegen, no Python crossing. For very
+wide vectors a Pandas UDF with numpy may win; at 64-dim testdata the
+built-ins are faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine per query vector.
+
+    Output: (query_id, vec_id, cosine, rank) — rank 1..k, ties broken by
+    corpus id ascending (deterministic). Queries are broadcast (small side);
+    the corpus is scanned once; per-query top-k is a window over the
+    (query × corpus) product partitioned by query.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(emb_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(emb_col).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a hash counter —
+    reproducible across runs/engines without RNG state."""
+    vals = []
+    for d in range(dim):
+        # xorshift-ish integer scramble; stable and dependency-free
+        x = (bit * 1_000_003 + d * 10_007 + seed) & 0xFFFFFFFF
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        vals.append(((x / 0xFFFFFFFF) * 2.0 - 1.0))
+    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / norm for v in vals]
+
+
+def rh_signature(emb: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(emb · h_i)."""
+    acc = F.lit(0).cast("int")
+    for i in range(bits):
+        plane = _hyperplane(dim, i, seed)
+        d = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: match on LSH bucket (plus ``multiprobe``
+    single-bit-flip neighbor buckets), then exact cosine within candidates.
+
+    At 100 TB the corpus signature projection is computed once and
+    bucket-partitioned on write; a query then touches 1+multiprobe·bits
+    buckets instead of the full corpus.
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("__cv"),
+        rh_signature(F.col(emb_col), dim, bits).alias("__sig"),
+    )
+    q_base = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(emb_col).alias("__qv"),
+        rh_signature(F.col(emb_col), dim, bits).alias("__qsig"),
+    )
+    # multiprobe: also probe buckets at Hamming distance 1 (flip each bit)
+    probes = [F.col("__qsig")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("__qsig").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+        ]
+    q = q_base.withColumn("__probe", F.explode(F.array(*probes)))
+
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("__sig") == F.col("__probe")) & (F.col("query_id") != F.col(id_col)),
+    ).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -1,0 +1,135 @@
+"""Structured Streaming surface (SURVEY §2.9 — extension; the reference is
+batch-only, its micro-batch-by-convention loop = discovery + watermark +
+per-batch commit).
+
+The idiomatic Spark generalization of the reference's incremental batch
+semantics is a file-source stream with ``Trigger.AvailableNow`` + a
+checkpoint: ordered, at-least-once, no-reprocessing — the checkpoint
+replaces the JSON manifest. On top of that, the standard streaming
+operators: watermarked tumbling/sliding windows, session windows, and
+watermark-bounded streaming dedup.
+
+All helpers return the transformed streaming DataFrame (callers attach the
+sink) or run a memory-sink smoke query for tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def incremental_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """File-source stream over a directory tree (e.g. ``root/batch-*/``).
+    New files are discovered exactly once per checkpoint — the streaming
+    equivalent of the reference's watermark manifest."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    fmt: str = "json",
+    output_mode: str = "append",
+) -> None:
+    """Process everything currently available, then stop (the batch-like
+    trigger; repeated invocations skip already-processed files)."""
+    q = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", output_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation."""
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: state for each key is kept only
+    within the watermark horizon (``dropDuplicatesWithinWatermark``), so
+    state size is bounded — the 100 TB-stream answer to the reference's
+    whole-history consolidation dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Test helper: drive a streaming DF to completion into a memory sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

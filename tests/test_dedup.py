@@ -1,0 +1,116 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+near-dup (LLM-pipeline extension surface)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variant = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    unrelated = "completely different content about database engines and query planners"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # exact dup
+            Row(doc_id=3, text=variant),  # near dup of 1/2
+            Row(doc_id=4, text=unrelated),
+            Row(doc_id=5, text="THE   QUICK brown fox jumps over the lazy dog near the river bank today"),  # normalized dup of 1
+        ]
+    )
+
+
+class TestExact:
+    def test_exact_dedup_keeps_lowest_id(self, spark, near_dup_docs):
+        out = D.exact_dedup(near_dup_docs)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 3, 4]  # 2 and 5 are (normalized) dups of 1
+
+    def test_exact_dedup_no_normalize(self, spark, near_dup_docs):
+        out = D.exact_dedup(near_dup_docs, normalize=False)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 3, 4, 5]
+
+
+class TestJaccard:
+    def test_pairs_above_threshold(self, spark, near_dup_docs):
+        pairs = D.ngram_jaccard_pairs(near_dup_docs, threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+        assert (1, 3) in got  # one-word change, high shingle overlap
+        assert not any(4 in p for p in got)
+
+    def test_exact_dup_jaccard_is_one(self, spark, near_dup_docs):
+        pairs = D.ngram_jaccard_pairs(near_dup_docs, threshold=0.99)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0
+
+
+class TestMinHashLSH:
+    def test_candidates_include_true_pairs(self, spark, near_dup_docs):
+        cands = D.minhash_lsh_candidates(near_dup_docs)
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        assert (1, 2) in got and (1, 5) in got
+
+    def test_minhash_dedup_removes_near_dups(self, spark, near_dup_docs):
+        out = D.minhash_dedup(near_dup_docs, jaccard_threshold=0.5)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert 1 in ids and 4 in ids
+        assert 2 not in ids and 5 not in ids
+
+    def test_signature_deterministic(self, spark, near_dup_docs):
+        sig1 = near_dup_docs.select(
+            D.minhash_signature(F.col("text")).alias("s")
+        ).collect()
+        sig2 = near_dup_docs.select(
+            D.minhash_signature(F.col("text")).alias("s")
+        ).collect()
+        assert [r["s"] for r in sig1] == [r["s"] for r in sig2]
+
+
+class TestSimHash:
+    def test_identical_docs_same_simhash(self, spark, near_dup_docs):
+        sh = near_dup_docs.select(
+            "doc_id", D.simhash64(F.col("text")).alias("sh")
+        ).collect()
+        by_id = {r["doc_id"]: r["sh"] for r in sh}
+        assert by_id[1] == by_id[2] == by_id[5]
+        assert by_id[1] != by_id[4]
+
+    def test_near_dup_small_hamming(self, spark, near_dup_docs):
+        sh = near_dup_docs.select(
+            "doc_id", D.simhash64(F.col("text")).alias("sh")
+        ).collect()
+        by_id = {r["doc_id"]: r["sh"] for r in sh}
+        ham_near = bin(by_id[1] ^ by_id[3]).count("1")
+        ham_far = bin(by_id[1] ^ by_id[4]).count("1")
+        assert ham_near < ham_far
+
+    def test_candidates(self, spark, near_dup_docs):
+        cands = D.simhash_candidates(near_dup_docs, max_hamming=10)
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        assert (1, 2) in got
+
+
+class TestEmbeddingNearDup:
+    def test_pairs(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+                Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),
+                Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+            ]
+        )
+        pairs = D.embedding_neardup_pairs(df, threshold=0.99)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == {(1, 2)}
+
+
+def test_exact_dedup_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.exact_dedup(docs)
+    assert 0 < out.count() <= docs.count()

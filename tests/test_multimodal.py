@@ -1,0 +1,48 @@
+"""Multimodal binary-column plumbing (decode stubbed per task spec)."""
+
+import pytest
+from pyspark.sql import Row
+
+from metadata_driven_data_pipeline_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=1, payload=b"\x89PNG fake bytes 1",
+            meta=Row(mime_type="image/png", width=64, height=64, duration_ms=None)),
+        Row(media_id=2, payload=b"RIFF fake wav",
+            meta=Row(mime_type="audio/wav", width=None, height=None, duration_ms=3500)),
+        Row(media_id=3, payload=None,
+            meta=Row(mime_type="image/png", width=8, height=8, duration_ms=None)),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_feature_extract_fake_path(spark, media):
+    out = M.extract_features(media, dim=16, fake=True).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["feature"]) == 16
+    assert by_id[1]["decode_status"] == "ok"
+    assert by_id[3]["feature"] is None and by_id[3]["decode_status"] == "null_payload"
+    # deterministic
+    again = {r["media_id"]: r for r in M.extract_features(media, dim=16, fake=True).collect()}
+    assert again[1]["feature"] == by_id[1]["feature"]
+
+
+def test_feature_extract_real_path_is_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_row_expansion(spark, media):
+    out = M.frame_sample(media, every_ms=1000, fake=True).collect()
+    # only media 2 has duration (3500ms) -> 3 frames
+    assert len(out) == 3
+    assert {r["frame_idx"] for r in out} == {0, 1, 2}
+    assert all(r["media_id"] == 2 for r in out)
+
+
+def test_resize_is_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.resize_images(media, 32, 32).collect()

@@ -1,0 +1,54 @@
+"""Similarity search: brute-force cosine top-k + LSH-bucketed variant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter("vec_id < 3")
+
+
+def test_brute_force_shape(spark, embeddings, queries):
+    out = S.brute_force_topk(embeddings, queries, k=5).collect()
+    assert len(out) == 3 * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)  # self excluded
+
+
+def test_cosine_self_is_one(spark, embeddings):
+    row = embeddings.select(
+        F.round(S.cosine(F.col("embedding"), F.col("embedding")), 4).alias("c")
+    ).first()
+    assert row["c"] == pytest.approx(1.0)
+
+
+def test_lsh_recall_against_brute_force(spark, embeddings, queries):
+    """LSH with multiprobe should recover a decent fraction of true top-5."""
+    exact = S.brute_force_topk(embeddings, queries, k=5).collect()
+    approx = S.lsh_bucket_topk(embeddings, queries, dim=64, k=5, bits=6).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(spark, embeddings, queries):
+    a = S.lsh_bucket_topk(embeddings, queries, dim=64, k=3, bits=6).collect()
+    b = S.lsh_bucket_topk(embeddings, queries, dim=64, k=3, bits=6).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(a, key=key) == sorted(b, key=key)

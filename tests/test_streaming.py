@@ -1,0 +1,119 @@
+"""Structured Streaming surface: AvailableNow incremental files, watermarked
+windows, session windows, streaming dedup (SURVEY §2.9 extension)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.streaming import incremental as S
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def write_batch(path, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_available_now_incremental_no_reprocessing(spark, tmp_path):
+    """Two invocations with the same checkpoint must not reprocess batch 1 —
+    the streaming equivalent of the manifest watermark."""
+    root = str(tmp_path)
+    inp, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    write_batch(f"{inp}/batch-2026-01-01", [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00Z", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T00:01:00Z", "user_id": 2, "value": 2.0},
+    ])
+    stream = S.incremental_file_stream(spark, f"{inp}/batch-*", EVENT_SCHEMA)
+    S.run_available_now(stream, ckpt, out)
+    first = spark.read.schema(EVENT_SCHEMA).json(out).count()
+    assert first == 2
+
+    write_batch(f"{inp}/batch-2026-01-02", [
+        {"event_id": 3, "ts": "2026-01-02T00:00:00Z", "user_id": 1, "value": 3.0},
+    ])
+    stream2 = S.incremental_file_stream(spark, f"{inp}/batch-*", EVENT_SCHEMA)
+    S.run_available_now(stream2, ckpt, out)
+    df = spark.read.schema(EVENT_SCHEMA).json(out)
+    assert df.count() == 3  # batch 1 not duplicated
+    assert df.select(F.countDistinct("event_id")).first()[0] == 3
+
+
+def test_windowed_counts_on_stream(spark, sf_dir, tmp_path):
+    from metadata_driven_data_pipeline_spark.tables import load_table
+
+    import shutil
+
+    # streaming file source needs a directory, testdata is a single file
+    stream_dir = f"{tmp_path}/events_stream"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = S.windowed_counts(events, window_duration="1 hour", watermark="1 hour")
+    name = f"win_{abs(hash(str(tmp_path))) % 10**6}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.sql(f"SELECT * FROM {name}")
+    # append mode emits only watermark-closed windows; just check shape+sanity
+    assert set(out.columns) == {"window_start", "window_end", "event_type", "n", "total_value"}
+    assert out.count() > 0
+    assert out.filter("n <= 0").count() == 0
+
+
+def test_streaming_dedup_drops_within_watermark(spark, tmp_path):
+    root = str(tmp_path)
+    inp, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    write_batch(f"{inp}/batch-1", [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00Z", "user_id": 1, "value": 1.0},
+        {"event_id": 1, "ts": "2026-01-01T00:05:00Z", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2026-01-01T00:06:00Z", "user_id": 2, "value": 2.0},
+    ])
+    stream = S.incremental_file_stream(spark, f"{inp}/batch-*", EVENT_SCHEMA)
+    deduped = S.streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    S.run_available_now(deduped, ckpt, out)
+    df = spark.read.schema(EVENT_SCHEMA).json(out)
+    assert df.count() == 2
+    assert df.select(F.countDistinct("event_id")).first()[0] == 2
+
+
+def test_sessionized_batch_semantics(spark):
+    """session_window works in batch mode too — verify gap merging."""
+    df = spark.createDataFrame(
+        [
+            (1, "2026-01-01T00:00:00Z", 1.0),
+            (1, "2026-01-01T00:10:00Z", 1.0),   # same session (10m < 30m gap)
+            (1, "2026-01-01T02:00:00Z", 1.0),   # new session
+            (2, "2026-01-01T00:00:00Z", 1.0),
+        ],
+        "user_id long, ts_str string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert per_user == {1: 2, 2: 1}
