@@ -1,38 +1,932 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary query at sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (scans, filter/project, joins incl. semi/anti, aggregation,
+rollup, window functions, sort/limit, set ops, validation OK/KO split,
+add_fields, keep-latest dedup (W1), plus the LLM-pipeline extension ops:
+exact/MinHash-LSH/SimHash/Jaccard/embedding dedup, ANN similarity search,
+text analysis, multimodal feature plumbing); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Determinism strategy (so Spark and DuckDB hash identically):
+
+- money arithmetic runs in DECIMAL (exact) and only the final aggregate is
+  cast to DOUBLE — both engines produce the identical double;
+- integer quantities (counts, micros, ids) stay integral end-to-end;
+- hashes are md5-derived (identical hex in both engines); 60-bit int hashes
+  use the first 15 hex chars (`conv(...,16,10)` ≡ `('0x'||h)::BIGINT`);
+- every ranking has a total order (explicit tiebreak columns);
+- ratios round to 6 decimals *at the same point* in both pipelines;
+- session timezone is pinned to UTC before any timestamp-bearing query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.tables import load_table
+from metadata_driven_data_pipeline_spark.operators import dedup as dd
+from metadata_driven_data_pipeline_spark.operators import similarity as sim
+from metadata_driven_data_pipeline_spark.operators import text as tx
+from metadata_driven_data_pipeline_spark.operators.add_fields import apply_add_fields
+from metadata_driven_data_pipeline_spark.operators.consolidate import dedup_keep_latest
+from metadata_driven_data_pipeline_spark.operators.multimodal import extract_features
+from metadata_driven_data_pipeline_spark.operators.validate import split_ok_ko
+
+EMB_DIM = 64
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(_utc(spark), sf_dir, name)
+
+
+def _dec(col: str) -> F.Column:
+    """Exact money arithmetic: DECIMAL(18,2) both here and in DuckDB."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _revenue() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Relational queries (SURVEY §2.2-2.7 generalized surface)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg (map-side partial combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10 (sort+limit)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims (region, nation)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_customers_no_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in status 'P'."""
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pend, cust.c_custkey == pend.o_custkey, "left_anti")
+        .select("c_custkey")
+    )
+
+
+def q_segment_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + grouped count."""
+    cust = _t(spark, sf_dir, "customer")
+    done = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(done, cust.c_custkey == done.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+def q_custkeys_not_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT: customer keys that never appear as event users."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    users = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return cust.subtract(users)
+
+
+def q_union_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op UNION DISTINCT across unrelated domains."""
+    pri = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("tag"))
+    ety = _t(spark, sf_dir, "events").select(F.col("event_type").alias("tag"))
+    return pri.union(ety).distinct()
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 customers by balance within each nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-series queries (window lag, sessionization, tumbling aggregation)
+# --------------------------------------------------------------------------
+
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: inter-event gaps per user, exact integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+    ).filter(F.col("n_gaps") >= 1)
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregation (batch analog of the streaming window)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 1_800_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "first_evt",
+        F.when(F.lag("event_id").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + F.sum("first_evt")).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keep-latest dedup (parity: reference consolidator.py:30-43),
+    generalized to composite keys + deterministic multi-column tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_latest(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], "DESC"
+    ).select("user_id", "event_type", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Metadata-engine operators: validation OK/KO split, add_fields
+# --------------------------------------------------------------------------
+
+_DOC_VALIDATIONS = [
+    {"field": "text", "rules": ["notNull", "notEmpty"]},
+    {"field": "n_chars", "rules": [{"name": "minValue", "params": 100}]},
+    {"field": "lang", "rules": [{"name": "regex", "params": "^(en|es|de|fr)$"}]},
+]
+
+
+def q_validate_ko_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_fields KO routing with structured error provenance
+    (parity: reference validator.py:145-196), exploded to rows."""
+    docs = _t(spark, sf_dir, "documents")
+    res = split_ok_ko(docs, _DOC_VALIDATIONS, cache=False)
+    return (
+        res.ko.select("doc_id", F.explode("validation_errors").alias("field", "errs"))
+        .select("doc_id", "field", F.explode("errs").alias("error"))
+    )
+
+
+def q_validate_ok_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_fields OK routing: rows passing every rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return split_ok_ko(docs, _DOC_VALIDATIONS, cache=False).ok.select("doc_id")
+
+
+def q_add_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_fields transform: batch metadata + free-form expr generator."""
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_add_fields(
+        docs,
+        [
+            {"name": "source_batch", "function": "batch_id"},
+            {"name": "batch_date", "function": "batch_date"},
+            {"name": "n_chars_bucket", "function": "expr", "params": "CAST(n_chars div 100 AS INT)"},
+        ],
+        batch_id="2026-08-01",
+        run_id="entry-run",
+    )
+    return out.select("doc_id", "source_batch", "batch_date", "n_chars_bucket")
+
+
+# --------------------------------------------------------------------------
+# Dedup family (documents). Near-dup queries run over an augmented corpus:
+# docs ∪ perturbed copies of doc_id<50 (deterministic in both engines).
+# --------------------------------------------------------------------------
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return docs.unionByName(pert)
+
+
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
+    FROM documents WHERE doc_id < 50
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content fingerprint."""
+    return dd.exact_dedup(_aug_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (first 4 of 16 hashes) — sketch reproducibility."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", dd.word_shingles(F.col("text")).alias("sh")
+    ).select("doc_id", dd.minhash_from_shingles(F.col("sh"), 16).alias("sig"))
+    return sig.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"mh_{i}") for i in range(4)],
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)."""
+    return dd.minhash_lsh_candidates(_aug_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ 0.7."""
+    return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), n=3, threshold=0.7)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch values (60-bit sign-sum of token hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.token_hashes(F.col("text")).alias("th")
+    ).select("doc_id", dd.simhash_from_hashes(F.col("th")).alias("simhash"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: prefix-bucketed, Hamming ≤ 6."""
+    return dd.simhash_candidates(
+        _aug_docs(spark, sf_dir), max_hamming=6, prefix_bits=16
+    )
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(-F.col("embedding")[0]),
+            F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+_AUG_EMB_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           [-embedding[1]] || embedding[2:] AS embedding
+    FROM embeddings WHERE vec_id < 50
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.8 (exact verification path)."""
+    return dd.embedding_neardup_pairs(
+        _aug_embeddings(spark, sf_dir), threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (ANN over array<float> embeddings)
+# --------------------------------------------------------------------------
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random-hyperplane signatures,
+    1-bit multiprobe) — the 100 TB scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=EMB_DIM, k=5, bits=8, multiprobe=1
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, quality score, language ID, fingerprint per document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.text_profile(docs).drop("text")
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-min rolling-hash document sketch (1-hash MinHash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint(F.col("text"), 5).alias("rfp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; rows-only check — not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode is a
+    deterministic fake — no codec libs in-container; plumbing is real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id",
+        "decode_status",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect) — generated fragments
+# --------------------------------------------------------------------------
+
+_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+_NORM = "regexp_replace(trim(lower({t})), '\\s+', ' ', 'g')"
+
+
+def _sql_h60(s: str) -> str:
+    return _H60.format(s=s)
+
+
+def _sql_norm(t: str) -> str:
+    return _NORM.format(t=t)
+
+
+def _sql_toks(t: str) -> str:
+    return f"regexp_split_to_array(trim({t}), '\\s+')"
+
+
+def _sql_shingles(toks: str, n: int) -> str:
+    """DuckDB equivalent of operators.dedup.word_shingles (distinct n-grams,
+    whole-doc fallback for short docs)."""
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(0, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def _sql_minhash(sh: str, i: int) -> str:
+    salted = repr(str(i)) + " || ':' || s"
+    return f"list_min(list_transform({sh}, s -> {_sql_h60(salted)}))"
+
+
+def _sql_dot64(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {EMB_DIM}), "
+        f"i -> {a}[i + 1]::DOUBLE * {b}[i + 1]::DOUBLE))"
+    )
+
+
+def _sql_cosine64(a: str, b: str) -> str:
+    norm = "sqrt(list_sum(list_transform(range(0, 64), i -> {v}[i + 1]::DOUBLE * {v}[i + 1]::DOUBLE)))"
+    return (
+        f"round({_sql_dot64(a, b)} / ({norm.format(v=a)} * {norm.format(v=b)}), 6)"
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+_DOC_FAIL_MINVALUE = "(n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) < 100)"
+_DOC_FAIL_REGEX = "(lang IS NOT NULL AND NOT regexp_matches(lang, '^(en|es|de|fr)$'))"
+_DOC_FAIL_NOTNULL = "(text IS NULL)"
+_DOC_FAIL_NOTEMPTY = "(text IS NOT NULL AND trim(CAST(text AS VARCHAR)) = '')"
+
+
+def _sql_lang_scores() -> tuple[str, dict[str, str]]:
+    """(CTE column defs, per-lang score expr) over lowered tokens ltoks."""
+    exprs = {}
+    for lang, words in tx.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        exprs[lang] = f"len(list_filter(ltoks, t -> t IN ({inlist})))"
+    return "", exprs
+
+
+def _sql_simhash(toks_expr: str) -> str:
+    """DuckDB equivalent of operators.dedup.simhash64 over normalized text."""
+    hashes = f"list_transform(list_distinct({toks_expr}), s -> {_sql_h60('s')})"
+    return (
+        f"(CASE WHEN len({hashes}) > 0 THEN "
+        f"list_sum(list_transform(range(0, 60), j -> "
+        f"CASE WHEN 2 * len(list_filter({hashes}, h -> (h & (1::BIGINT << j)) != 0)) "
+        f">= len({hashes}) THEN (1::BIGINT << j) ELSE 0::BIGINT END)) "
+        f"ELSE 0::BIGINT END)"
+    )
+
+
+def _sql_rh_sig(v: str) -> str:
+    """Random-hyperplane signature with the same deterministic planes as
+    operators.similarity.rh_signature (constants embedded as literals)."""
+    terms = []
+    for i in range(8):
+        plane = sim._hyperplane(EMB_DIM, i, seed=7)
+        lits = ", ".join(repr(x) for x in plane)
+        dot = (
+            f"list_sum(list_transform(range(0, {EMB_DIM}), "
+            f"d -> {v}[d + 1]::DOUBLE * ([{lits}]::DOUBLE[])[d + 1]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "top_orders": q_top_orders,
+        "customers_no_pending": q_customers_no_pending,
+        "segment_fulfilled": q_segment_fulfilled,
+        "order_rollup": q_order_rollup,
+        "custkeys_not_users": q_custkeys_not_users,
+        "union_tags": q_union_tags,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_gap_stats": q_events_gap_stats,
+        "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "validate_ko_errors": q_validate_ko_errors,
+        "validate_ok_ids": q_validate_ok_ids,
+        "add_fields": q_add_fields,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_profile": q_text_profile,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    _, lang_scores = _sql_lang_scores()
+    gmax = f"greatest({lang_scores['de']}, {lang_scores['en']}, {lang_scores['es']}, {lang_scores['fr']})"
+    toks_norm = _sql_toks(_sql_norm("text"))
+    sh3 = _sql_shingles("toks", 3)
+
+    sql: dict[str, str] = {}
+
+    sql["pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["shipping_priority"] = f"""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["region_revenue"] = f"""
+        SELECT r_name, n_name,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY r_name, n_name
+    """
+
+    sql["top_orders"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """
+
+    sql["customers_no_pending"] = """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """
+
+    sql["segment_fulfilled"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY c_mktsegment
+    """
+
+    sql["order_rollup"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    sql["custkeys_not_users"] = """
+        SELECT c_custkey AS id FROM customer
+        EXCEPT
+        SELECT user_id AS id FROM events
+    """
+
+    sql["union_tags"] = """
+        SELECT o_orderpriority AS tag FROM orders
+        UNION
+        SELECT event_type AS tag FROM events
+    """
+
+    sql["top_customers_per_nation"] = """
+        SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+            SELECT n_name, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rnk <= 3
+    """
+
+    sql["events_gap_stats"] = """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+        SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us
+        FROM g GROUP BY user_id HAVING COUNT(gap_us) >= 1
+    """
+
+    sql["events_daily"] = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["events_sessionize"] = """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+        SELECT user_id,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+
+    sql["dedup_keep_latest"] = """
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+
+    sql["validate_ko_errors"] = f"""
+        SELECT doc_id, 'n_chars' AS field, 'minValue: 100' AS error
+        FROM documents WHERE {_DOC_FAIL_MINVALUE}
+        UNION ALL
+        SELECT doc_id, 'lang' AS field, 'regex: ^(en|es|de|fr)$' AS error
+        FROM documents WHERE {_DOC_FAIL_REGEX}
+        UNION ALL
+        SELECT doc_id, 'text' AS field, 'notNull' AS error
+        FROM documents WHERE {_DOC_FAIL_NOTNULL}
+        UNION ALL
+        SELECT doc_id, 'text' AS field, 'notEmpty' AS error
+        FROM documents WHERE {_DOC_FAIL_NOTEMPTY}
+    """
+
+    sql["validate_ok_ids"] = f"""
+        SELECT doc_id FROM documents
+        WHERE NOT ({_DOC_FAIL_MINVALUE} OR {_DOC_FAIL_REGEX}
+                   OR {_DOC_FAIL_NOTNULL} OR {_DOC_FAIL_NOTEMPTY})
+    """
+
+    sql["add_fields"] = """
+        SELECT doc_id, '2026-08-01' AS source_batch, DATE '2026-08-01' AS batch_date,
+               CAST(n_chars // 100 AS INT) AS n_chars_bucket
+        FROM documents
+    """
+
+    sql["dedup_exact"] = f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT MIN(doc_id) AS doc_id FROM aug
+        GROUP BY md5({_sql_norm('text')})
+    """
+
+    mh_cols = ",\n               ".join(
+        f"{_sql_minhash('sh', i)} AS mh_{i}" for i in range(4)
+    )
+    sql["minhash_signature"] = f"""
+        WITH s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM documents),
+             sh AS (SELECT doc_id, {sh3} AS sh FROM s)
+        SELECT doc_id,
+               {mh_cols}
+        FROM sh
+    """
+
+    band_rows = []
+    for b in range(4):
+        parts = ", ".join(f"sig[{b * 4 + r + 1}]::VARCHAR" for r in range(4))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {parts}) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    mh16 = ", ".join(_sql_minhash("sh", i) for i in range(16))
+    sql["minhash_lsh_pairs"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             shs AS (SELECT doc_id, {sh3} AS sh FROM s),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM shs),
+             bands AS ({bands_sql})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+    sql["ngram_jaccard_pairs"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             shs AS (SELECT doc_id, {sh3} AS sh FROM s),
+             ex AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM shs),
+             common AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                        COUNT(*) AS c
+                 FROM ex a JOIN ex b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b, round(c / (na + nb - c), 6) AS jaccard FROM common
+        ) WHERE jaccard >= 0.7
+    """
+
+    sql["simhash"] = f"""
+        WITH s AS (SELECT doc_id, {toks_norm} AS toks FROM documents)
+        SELECT doc_id, {_sql_simhash('toks')} AS simhash FROM s
+    """
+
+    sql["simhash_pairs"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             sh AS (SELECT doc_id, {_sql_simhash('toks')} AS sh FROM s),
+             b AS (SELECT doc_id, sh, sh >> 44 AS bucket FROM sh)
+        SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+               bit_count(xor(a.sh, bb.sh)) AS hamming
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+        WHERE bit_count(xor(a.sh, bb.sh)) <= 6
+    """
+
+    sql["embedding_neardup"] = f"""
+        WITH aug AS ({_AUG_EMB_SQL})
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_sql_cosine64('a.embedding', 'b.embedding')} AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.8
+    """
+
+    sql["ann_topk_brute"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qemb
+                   FROM embeddings WHERE vec_id < 5),
+             scored AS (
+                 SELECT q.query_id, e.vec_id,
+                        {_sql_cosine64('q.qemb', 'e.embedding')} AS cosine
+                 FROM embeddings e JOIN q ON q.query_id != e.vec_id),
+             ranked AS (
+                 SELECT query_id, vec_id, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                 FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    probe_list = ", ".join(
+        ["qsig"] + [f"xor(qsig, {1 << i})" for i in range(8)]
+    )
+    sql["ann_topk_lsh"] = f"""
+        WITH c AS (SELECT vec_id, embedding, {_sql_rh_sig('embedding')} AS sig
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qemb, sig AS qsig
+                   FROM c WHERE vec_id < 5),
+             probes AS (SELECT query_id, qemb, unnest([{probe_list}]) AS probe FROM q),
+             cand AS (
+                 SELECT DISTINCT p.query_id, c.vec_id, p.qemb, c.embedding AS cemb
+                 FROM c JOIN probes p
+                   ON c.sig = p.probe AND p.query_id != c.vec_id),
+             scored AS (
+                 SELECT query_id, vec_id,
+                        {_sql_cosine64('qemb', 'cemb')} AS cosine
+                 FROM cand),
+             ranked AS (
+                 SELECT query_id, vec_id, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                 FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    punct = r"len(regexp_extract_all(text, '[^\w\s]'))"
+    upper = r"len(regexp_extract_all(text, '[A-Z]'))"
+    bpe = r"len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))"
+    s_en = lang_scores["en"]
+    sql["text_profile"] = f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   length(text) AS n,
+                   {_sql_toks('text')} AS toks,
+                   {_sql_toks('lower(text)')} AS ltoks
+            FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               {bpe} AS n_bpe_tokens,
+               length(text) AS n_chars_computed,
+               CASE WHEN n > 0 THEN round({punct} / n, 6) ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(ltoks) > 0 THEN round({s_en} / len(ltoks), 6) ELSE 0.0 END AS stopword_ratio_en,
+               CAST(
+                   CAST(least(len(toks) / 20.0, 1.0) AS DECIMAL(9,6)) * 0.3
+                   + CAST(least((CASE WHEN len(ltoks) > 0 THEN round({s_en} / len(ltoks), 6) ELSE 0.0 END) * 5.0, 1.0) AS DECIMAL(9,6)) * 0.3
+                   + CAST(greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round({punct} / n, 6) ELSE 0.0 END) * 4.0) AS DECIMAL(9,6)) * 0.2
+                   + CAST(greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round({upper} / n, 6) ELSE 0.0 END) * 2.0) AS DECIMAL(9,6)) * 0.2
+               AS DOUBLE) AS quality_score,
+               CASE WHEN {gmax} = 0 THEN 'und'
+                    WHEN {lang_scores['de']} = {gmax} THEN 'de'
+                    WHEN {lang_scores['en']} = {gmax} THEN 'en'
+                    WHEN {lang_scores['es']} = {gmax} THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               md5({_sql_norm('text')}) AS fingerprint
+        FROM t
+    """
+
+    sh5_raw = (
+        "CASE WHEN len(toks) >= 5 THEN "
+        "list_transform(range(0, len(toks) - 4), "
+        "i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    sql["rolling_fingerprint"] = f"""
+        WITH s AS (SELECT doc_id, {toks_norm} AS toks FROM documents)
+        SELECT doc_id,
+               list_min(list_transform({sh5_raw}, s -> {_sql_h60('s')})) AS rfp
+        FROM s
+    """
+
+    # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
+    # (driver records rows-only check).
+    return sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")

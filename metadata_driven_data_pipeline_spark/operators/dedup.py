@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_driven_data_pipeline_spark.operators.partitioning import widen
 from metadata_driven_data_pipeline_spark.operators.text import normalize_text, tokens
 
 
@@ -81,14 +82,18 @@ def _hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
-    """k independent min-hashes: hash_i(shingle) = hash60(i || ':' || shingle).
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """k independent min-hashes over a *materialized* shingle-array column:
+    hash_i(shingle) = hash60(i || ':' || shingle).
 
     Returns array<bigint> of length ``num_hashes``. Seeding by prefix keeps
     every hash family reproducible in ANSI SQL.
-    """
-    shingles = word_shingles(text)
 
+    Pass a column reference, not the ``word_shingles`` expression — the k
+    ``array_min`` terms each embed their input, and Catalyst does not
+    common-subexpression-eliminate inside higher-order functions, so an
+    inlined shingle expression would tokenize+hash the document k times.
+    """
     # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
     # lambda as (element, index)
     def seeded_hash(i: int):
@@ -101,6 +106,13 @@ def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
         F.array_min(F.transform(shingles, seeded_hash(i))) for i in range(num_hashes)
     ]
     return F.array(*mins)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
+    """Single-expression form (shingling inlined per hash — convenient for
+    ad-hoc use; hot paths should project ``word_shingles`` into its own
+    column and call :func:`minhash_from_shingles`)."""
+    return minhash_from_shingles(word_shingles(text), num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -121,9 +133,14 @@ def minhash_lsh_candidates(
     pair expansion.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    base = widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
+    # two projections so the shingle array materializes once per row (multi-use
+    # non-cheap alias → Catalyst keeps the projection boundary)
+    sig = base.select(
+        "__id", word_shingles(F.col("__text")).alias("__shingles")
+    ).select(
+        "__id",
+        minhash_from_shingles(F.col("__shingles"), num_hashes).alias("__sig"),
     )
     banded = sig.select(
         "__id",
@@ -175,10 +192,14 @@ def ngram_jaccard_pairs(
     join is the scalable exact method when shingle frequency is bounded;
     pair with LSH candidates at 100 TB (join candidates first, then verify).
     """
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("__n_shingles"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__shingle"),
+    ex = (
+        widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
+        .select("__id", word_shingles(F.col("__text"), n).alias("__sh"))
+        .select(
+            "__id",
+            F.size("__sh").alias("__n_shingles"),
+            F.explode("__sh").alias("__shingle"),
+        )
     )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
@@ -239,16 +260,19 @@ def minhash_dedup(
 
 # --- simhash -----------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token set.
+def token_hashes(text: Column) -> Column:
+    """60-bit hash per distinct normalized token (SimHash input)."""
+    return F.transform(F.array_distinct(tokens(normalize_text(text))), _hash60)
 
-    Each distinct token hashes to a 60-bit int (md5-derived, oracle-
-    reproducible); bit j of the sketch is 1 iff more token-hashes have bit j
-    set than not. Computed as a single aggregate expression over the token
-    array — no shuffle, no UDF.
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a *materialized* token-hash array column: bit j
+    of the sketch is 1 iff more token-hashes have bit j set than not.
+
+    The 60 per-bit counts each reference the hash array, so (as with
+    :func:`minhash_from_shingles`) pass a column reference — inlining the
+    hashing expression would tokenize+md5 the document 60 times.
     """
-    toks = F.array_distinct(tokens(normalize_text(text)))
-    hashes = F.transform(toks, _hash60)
     n = F.size(hashes)
 
     def bit_set(j: int):
@@ -270,6 +294,13 @@ def simhash64(text: Column) -> Column:
     return F.when(n > 0, out).otherwise(F.lit(0).cast("bigint"))
 
 
+def simhash64(text: Column) -> Column:
+    """Single-expression SimHash (hashing inlined per bit — convenient for
+    ad-hoc use; hot paths should project :func:`token_hashes` into a column
+    and call :func:`simhash_from_hashes`)."""
+    return simhash_from_hashes(token_hashes(text))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -286,8 +317,10 @@ def simhash_candidates(
     (Prefix bucketing misses pairs differing inside the prefix — standard
     multi-probe trades recall for the O(n²) avoidance; run with rotated
     sketches for full recall.)"""
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
+    sh = (
+        widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
+        .select("__id", token_hashes(F.col("__text")).alias("__hashes"))
+        .select("__id", simhash_from_hashes(F.col("__hashes")).alias("__sh"))
     )
     bucketed = sh.withColumn(
         "__bucket", F.shiftright("__sh", 60 - prefix_bits)
@@ -319,7 +352,7 @@ def embedding_neardup_pairs(
     """Exact cosine near-dup pairs (brute force O(n²) — verification scale).
     At corpus scale, generate candidates with similarity.lsh_bucket_topk
     and verify with this predicate on the candidate set only."""
-    withn = df.select(
+    withn = widen(df).select(
         F.col(id_col).alias("__id"),
         F.col(emb_col).alias("__v"),
         F.sqrt(

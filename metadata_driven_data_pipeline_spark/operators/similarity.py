@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_driven_data_pipeline_spark.operators.partitioning import widen
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,14 +60,25 @@ def brute_force_topk(
     (query × corpus) product partitioned by query.
     """
     qid = query_id_col or id_col
+    # norms precomputed per side: the pair projection then does one dot per
+    # pair instead of dot + 2 norm passes (same float-op order → identical
+    # doubles as the inline form: dot / (q_norm * c_norm))
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(emb_col).alias("__qv")
+        F.col(qid).alias("query_id"),
+        F.col(emb_col).alias("__qv"),
+        l2_norm(F.col(emb_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col), F.col(emb_col).alias("__cv"))
+    c = widen(corpus).select(
+        F.col(id_col),
+        F.col(emb_col).alias("__cv"),
+        l2_norm(F.col(emb_col)).alias("__cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -129,7 +142,7 @@ def lsh_bucket_topk(
     buckets instead of the full corpus.
     """
     qid = query_id_col or id_col
-    c = corpus.select(
+    c = widen(corpus).select(
         F.col(id_col),
         F.col(emb_col).alias("__cv"),
         rh_signature(F.col(emb_col), dim, bits).alias("__sig"),

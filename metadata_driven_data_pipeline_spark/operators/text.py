@@ -80,16 +80,27 @@ def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards reasonable length and
     stopword presence, penalizes punctuation/uppercase excess. Deterministic
     arithmetic; thresholds follow common heuristic filters (C4/Gopher-style
-    length + symbol-ratio rules, re-derived — no external code)."""
+    length + symbol-ratio rules, re-derived — no external code).
+
+    The weighted combination runs in exact DECIMAL arithmetic (sub-scores
+    snapped to 6 decimals, weights as decimal literals) so independent
+    engines produce the bit-identical double — a pure-double sum can land
+    on a half-boundary at the 6th decimal and round differently."""
     n_tok = token_count(text)
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
     sw = stopword_ratio(text, "en")
     sw_score = F.least(sw * 5.0, F.lit(1.0))  # saturates at 20% stopwords
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
     upper_pen = F.greatest(F.lit(0.0), F.lit(1.0) - uppercase_ratio(text) * 2.0)
-    return F.round(
-        (len_score * 0.3 + sw_score * 0.3 + punct_pen * 0.2 + upper_pen * 0.2), 6
-    )
+    w3 = F.lit("0.3").cast("decimal(2,1)")
+    w2 = F.lit("0.2").cast("decimal(2,1)")
+    dec = "decimal(9,6)"
+    return (
+        len_score.cast(dec) * w3
+        + sw_score.cast(dec) * w3
+        + punct_pen.cast(dec) * w2
+        + upper_pen.cast(dec) * w2
+    ).cast("double")
 
 
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
