@@ -40,8 +40,10 @@ from metadata_driven_data_pipeline_spark.operators.add_fields import apply_add_f
 from metadata_driven_data_pipeline_spark.operators.consolidate import dedup_keep_latest
 from metadata_driven_data_pipeline_spark.operators.multimodal import extract_features
 from metadata_driven_data_pipeline_spark.operators.validate import split_ok_ko
+from metadata_driven_data_pipeline_spark.operators import relational as rel
 
 EMB_DIM = 64
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def _utc(spark: SparkSession) -> SparkSession:
@@ -257,6 +259,122 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         (F.sum("new_session") + F.sum("first_evt")).alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.relational.asof_join): latest prior 'view'
+    event per 'purchase', per user — union+window, no nested-loop join."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    res = rel.asof_join(purchases, views, ["user_id"], ["ts", "event_id"], "m")
+    return res.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("m.event_id").alias("view_id"),
+    )
+
+
+def q_range_clicks_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.relational.point_interval_join): clicks landing
+    in the hour after an error, same user — bucketed equi-join, no BNLJ."""
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + hour_us).alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    res = rel.point_interval_join(
+        clicks, errors, ["user_id"], "click_us", "start_us", "end_us", hour_us
+    )
+    return res.select("error_id", "click_id")
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+def q_intersect_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: ids that are both customers and event users."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    users = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return cust.intersect(users)
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/lateral + top-k: 20 most frequent normalized tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(tx.tokens(tx.normalize_text(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+def q_percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + distinct count per group (approx_percentile /
+    approx_count_distinct are the drop-in 100 TB variants)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + analytics: running spend (rowsBetween), lag/lead,
+    dense_rank per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rnk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        F.dense_rank().over(rnk).alias("spend_rank"),
     )
 
 
@@ -582,6 +700,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_stats": q_events_gap_stats,
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
+        "asof_view_before_purchase": q_asof_view_before_purchase,
+        "range_clicks_in_error_window": q_range_clicks_in_error_window,
+        "cube_lineitem": q_cube_lineitem,
+        "intersect_ids": q_intersect_ids,
+        "pivot_event_counts": q_pivot_event_counts,
+        "word_topk": q_word_topk,
+        "percentile_by_priority": q_percentile_by_priority,
+        "running_total": q_running_total,
         "dedup_keep_latest": q_dedup_keep_latest,
         "validate_ko_errors": q_validate_ko_errors,
         "validate_ok_ids": q_validate_ok_ids,
@@ -723,6 +849,76 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    sql["asof_view_before_purchase"] = """
+        SELECT p.event_id AS purchase_id,
+               (SELECT v.event_id FROM events v
+                 WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                   AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+        FROM events p WHERE p.event_type = 'purchase'
+    """
+
+    sql["range_clicks_in_error_window"] = """
+        SELECT e.event_id AS error_id, c.event_id AS click_id
+        FROM events e JOIN events c ON c.user_id = e.user_id
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) < epoch_us(e.ts) + 3600000000
+    """
+
+    sql["cube_lineitem"] = """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["intersect_ids"] = """
+        SELECT c_custkey AS id FROM customer
+        INTERSECT
+        SELECT user_id AS id FROM events
+    """
+
+    sql["pivot_event_counts"] = """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """
+
+    sql["word_topk"] = f"""
+        WITH w AS (SELECT unnest({toks_norm}) AS word FROM documents)
+        SELECT word, COUNT(*) AS n FROM w WHERE word != ''
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """
+
+    sql["percentile_by_priority"] = """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    sql["running_total"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend,
+               LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               LEAD(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+               DENSE_RANK() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank
+        FROM orders
     """
 
     sql["dedup_keep_latest"] = """

@@ -30,6 +30,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from metadata_driven_data_pipeline_spark.operators.add_fields import apply_add_fields
 from metadata_driven_data_pipeline_spark.operators.consolidate import dedup_keep_latest
@@ -60,6 +61,106 @@ def _order_cols(order_by: list[Any]) -> list[Column]:
             else:
                 cols.append(F.col(str(ob)).asc())
     return cols
+
+
+# --- custom join operators (SURVEY §2.3 extension rows) ----------------------
+#
+# Spark has no built-in as-of or range join; both are implemented as
+# compositions of built-in operators chosen for their shuffle profile at
+# scale (no nested-loop, no range explosion).
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    matched_col: str = "__matched",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the *latest* right row
+    whose ``order_cols`` tuple sorts strictly before the left row's, within
+    the same ``keys`` group (no match → NULL struct).
+
+    Implementation: tag both sides, union, and take a running
+    ``last(right_struct, ignorenulls)`` over a (keys)-partitioned window
+    ordered by ``order_cols`` — one hash shuffle on the keys, state bounded
+    by one struct per row. This beats the naive inequality join (which
+    Catalyst can only run as a nested loop) and never explodes ranges.
+    ``order_cols`` must be a total order (include a unique tiebreak column)
+    for deterministic results.
+
+    Output: all left columns plus ``matched_col`` (struct of right columns).
+    """
+    l_struct_t = T.StructType(left.schema.fields)
+    r_struct_t = T.StructType(right.schema.fields)
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        *[F.col(o) for o in order_cols],
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        *[F.col(o) for o in order_cols],
+        F.lit(None).cast(l_struct_t).alias("__l"),
+        F.struct(*right.columns).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(o).asc() for o in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l2.unionByName(r2).withColumn(
+        matched_col, F.last("__r", ignorenulls=True).over(w)
+    )
+    # A right row never shares the full order_cols tuple with a left row when
+    # the order is total, so "up to current row" == "strictly before".
+    return merged.filter(F.col("__l").isNotNull()).select(
+        "__l.*", F.col(matched_col)
+    )
+
+
+def point_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join of points into half-open intervals ``[start, end)`` sharing
+    ``keys``, as an equi-join: intervals explode into fixed-width buckets,
+    points hash to their bucket, join on (keys, bucket), then the exact
+    containment filter. ``point/start/end`` are integral (e.g. epoch
+    micros via ``unix_micros``).
+
+    Scale: the only shuffle is a hash join on (keys, bucket) — no
+    BroadcastNestedLoopJoin. Interval duplication factor is
+    ``len/bucket_width + 1``, so pick ``bucket_width`` near the typical
+    interval length. Output: all interval columns + all point columns.
+    """
+    w = int(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / w).cast("long"),
+                ((F.col(end_col) - 1) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", (F.col(point_col) / w).cast("long"))
+    cond = [iv[k] == pt[k] for k in keys] + [iv["__bucket"] == pt["__bucket"]]
+    joined = iv.join(pt, cond, how).filter(
+        (pt[point_col] >= iv[start_col]) & (pt[point_col] < iv[end_col])
+    )
+    # keys survive once (interval side); other columns must not collide
+    out = joined.drop(iv["__bucket"]).drop(pt["__bucket"])
+    for k in keys:
+        out = out.drop(pt[k])
+    return out
 
 
 # --- handlers ---------------------------------------------------------------
@@ -224,6 +325,27 @@ def _t_sql(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     return {ctx["name"]: spark.sql(params["statement"])}
 
 
+def _t_asof_join(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    left = _get(catalog, params["left"] if "left" in params else params["input"])
+    right = _get(catalog, params["right"])
+    out = asof_join(
+        left, right, params["keys"], params["orderCols"],
+        params.get("matchedCol", "matched"),
+    )
+    return {ctx["name"]: out}
+
+
+def _t_range_join(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    points = _get(catalog, params["points"])
+    intervals = _get(catalog, params["intervals"])
+    out = point_interval_join(
+        points, intervals, params["keys"], params["pointCol"],
+        params["startCol"], params["endCol"], int(params["bucketWidth"]),
+        params.get("how", "inner"),
+    )
+    return {ctx["name"]: out}
+
+
 TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "add_fields": _t_add_fields,
     "validate_fields": _t_validate_fields,
@@ -238,6 +360,8 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "set_op": _t_set_op,
     "dedup": _t_dedup,
     "sql": _t_sql,
+    "asof_join": _t_asof_join,
+    "range_join": _t_range_join,
 }
 
 
