@@ -163,7 +163,10 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("l")
+    # hint("merge"): a broadcast self-join would build the (expensive)
+    # signature plan twice — once per side; SMJ makes both sides identical
+    # shuffles on (band, bucket) so ReuseExchange computes signatures ONCE.
+    left = banded.alias("l").hint("merge")
     right = banded.alias("r")
     pairs = (
         left.join(
@@ -201,7 +204,8 @@ def ngram_jaccard_pairs(
             F.explode("__sh").alias("__shingle"),
         )
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    # SMJ self-join: one shared shuffle on __shingle (see minhash hint note)
+    a, b = ex.alias("a").hint("merge"), ex.alias("b")
     common = (
         a.join(
             b,
@@ -325,7 +329,8 @@ def simhash_candidates(
     bucketed = sh.withColumn(
         "__bucket", F.shiftright("__sh", 60 - prefix_bits)
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # SMJ self-join: one shared shuffle on __bucket (see minhash hint note)
+    a, b = bucketed.alias("a").hint("merge"), bucketed.alias("b")
     return (
         a.join(
             b,
