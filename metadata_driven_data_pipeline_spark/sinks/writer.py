@@ -31,9 +31,13 @@ def write_df(
     fmt: str = "json",
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    options: dict[str, Any] | None = None,
 ) -> None:
-    """Minimal writer (parity: sink.py:8-12)."""
+    """Minimal writer (parity: sink.py:8-12; per-sink options mirror the
+    per-source options dict, e.g. csv header/delimiter)."""
     writer = df.write.format(fmt).mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
@@ -54,7 +58,7 @@ def write_sink(
 
     obs = Observation(f"sink_{uuid.uuid4().hex[:8]}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
-    write_df(observed, path, fmt, mode, partition_by)
+    write_df(observed, path, fmt, mode, partition_by, sink.get("options"))
     return {
         "records_written": int(obs.get["records_written"]),
         "sink_path": path,

@@ -117,3 +117,39 @@ def test_sessionized_batch_semantics(spark):
     for r in out:
         per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
     assert per_user == {1: 2, 2: 1}
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from metadata_driven_data_pipeline_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    write_batch(f"{src}/b1", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 5.0},
+    ])
+    write_batch(f"{src}/b2", [
+        {"event_id": 3, "ts": "2024-01-01T01:00:00", "user_id": 1, "value": 7.0},
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*/part.jsonl")
+    )
+    out = running_totals(stream, key_col="user_id", value_col="value")
+    q = (
+        out.writeStream.format("memory").queryName("rt")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM rt").collect()
+    # last emission per user carries the accumulated totals
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[1] == (2, 17.0)
+    assert latest[2] == (1, 5.0)
