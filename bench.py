@@ -33,6 +33,9 @@ HEADLINE = [
     "region_revenue",
     "top_customers_per_nation",
     "events_sessionize",
+    "asof_view_before_purchase",
+    "range_clicks_in_error_window",
+    "word_topk",
     "dedup_keep_latest",
     "validate_ko_errors",
     "dedup_exact",
