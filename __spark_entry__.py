@@ -262,6 +262,62 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: every customer, zero-order customers kept."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over an inequality between columns
+    (semi join on a derived predicate), grouped count by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    flagged = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_tax") > F.col("l_discount")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: year/month extraction + grouped revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.groupBy(
+            F.year(d).alias("yr"), F.month(d).alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin aggregation: min_by with a composite (price, key) tiebreak —
+    deterministic without a window."""
+    orders = _t(spark, sf_dir, "orders")
+    pick = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", pick).alias("cheapest_orderkey"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
 def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.relational.asof_join): latest prior 'view'
     event per 'purchase', per user — union+window, no nested-loop join."""
@@ -700,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_stats": q_events_gap_stats,
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
+        "customer_order_counts": q_customer_order_counts,
+        "late_orders": q_late_orders,
+        "orders_by_month": q_orders_by_month,
+        "cheapest_order_per_customer": q_cheapest_order_per_customer,
         "asof_view_before_purchase": q_asof_view_before_purchase,
         "range_clicks_in_error_window": q_range_clicks_in_error_window,
         "cube_lineitem": q_cube_lineitem,
@@ -849,6 +909,40 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    sql["customer_order_counts"] = """
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+                   AS total_spend
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """
+
+    sql["late_orders"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_tax > l.l_discount)
+        GROUP BY o_orderpriority
+    """
+
+    sql["orders_by_month"] = """
+        SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS yr,
+               EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS mo,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2
+    """
+
+    sql["cheapest_order_per_customer"] = """
+        WITH m AS (SELECT o_custkey AS ck, MIN(o_totalprice) AS min_price
+                   FROM orders GROUP BY 1)
+        SELECT o.o_custkey, MIN(o.o_orderkey) AS cheapest_orderkey, m.min_price
+        FROM orders o JOIN m ON o.o_custkey = m.ck AND o.o_totalprice = m.min_price
+        GROUP BY o.o_custkey, m.min_price
     """
 
     sql["asof_view_before_purchase"] = """
