@@ -598,6 +598,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (coarse quantizer cells, 2-probe) — the
+    bucketed-corpus scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=EMB_DIM, k=5,
+        n_cells=8, n_probe=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -781,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_profile": q_text_profile,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1164,6 +1175,38 @@ def oracle_sql() -> dict[str, str]:
                         ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, vec_id ASC) AS rank
                  FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    ivf_dots = "[" + ", ".join(
+        "list_sum(list_transform(range(0, {d}), j -> embedding[j + 1]::DOUBLE * ([{lits}]::DOUBLE[])[j + 1]))".format(
+            d=EMB_DIM, lits=", ".join(repr(x) for x in c)
+        )
+        for c in sim.ivf_centroids(EMB_DIM, 8)
+    ) + "]"
+    sql["ann_topk_ivf"] = f"""
+        WITH c AS (SELECT vec_id, embedding, {ivf_dots} AS dl FROM embeddings),
+             cc AS (SELECT vec_id, embedding, dl,
+                           list_position(dl, list_max(dl)) - 1 AS cell FROM c),
+             q0 AS (SELECT vec_id AS query_id, embedding AS qemb, dl
+                    FROM cc WHERE vec_id < 5),
+             qp AS (SELECT query_id, qemb,
+                           unnest(list_transform(
+                               list_sort(list_transform(range(0, 8),
+                                   i -> {{'nd': -dl[i + 1], 'i': i}}))[1:2],
+                               s -> s.i)) AS probe
+                    FROM q0),
+             cand AS (SELECT DISTINCT p.query_id, cc.vec_id, p.qemb,
+                             cc.embedding AS cemb
+                      FROM cc JOIN qp p
+                        ON cc.cell = p.probe AND p.query_id != cc.vec_id),
+             scored AS (SELECT query_id, vec_id,
+                               {_sql_cosine64('qemb', 'cemb')} AS cosine
+                        FROM cand),
+             ranked AS (SELECT query_id, vec_id, cosine,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+                        FROM scored)
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
     """
 

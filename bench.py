@@ -44,6 +44,7 @@ HEADLINE = [
     "text_profile",
     "embedding_neardup",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

@@ -123,6 +123,106 @@ def rh_signature(emb: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
     return acc
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (see ``_hyperplane``).
+    At corpus scale, replace with trained k-means centroids
+    (``pyspark.ml.clustering.KMeans``) — the operator takes any list."""
+    return [_hyperplane(dim, i, seed) for i in range(n_cells)]
+
+
+def _centroid_dots(emb: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(emb, centroid_i) — the coarse quantizer scores."""
+    return F.array(
+        *[dot(emb, F.array(*[F.lit(v) for v in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    Voronoi cells around coarse centroids (cell = argmax dot, first-index
+    tiebreak); each query scans only its ``n_probe`` best cells.
+
+    At 100 TB the corpus is written bucketed by ``__cell`` so a query reads
+    ~``n_probe/n_cells`` of the data with no shuffle; centroids come from a
+    sampled k-means fit. Here centroids are deterministic pseudo-random unit
+    vectors so results are exactly reproducible (and SQL-oracle-checkable).
+    """
+    cents = centroids or ivf_centroids(dim, n_cells)
+    ncells = len(cents)
+    qid = query_id_col or id_col
+
+    c = (
+        widen(corpus)
+        .select(
+            F.col(id_col),
+            F.col(emb_col).alias("__cv"),
+            l2_norm(F.col(emb_col)).alias("__cn"),
+            _centroid_dots(F.col(emb_col), cents).alias("__d"),
+        )
+        .select(
+            id_col,
+            "__cv",
+            "__cn",
+            (F.array_position("__d", F.array_max("__d")) - 1).cast("int").alias("__cell"),
+        )
+    )
+    # probe cells: indices of the n_probe largest dots (ties → lower index),
+    # via sort of (-dot, index) structs
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(ncells - 1)),
+        lambda i: F.struct(
+            (-F.get(F.col("__d"), i)).alias("nd"), i.alias("i")
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(emb_col).alias("__qv"),
+            l2_norm(F.col(emb_col)).alias("__qn"),
+            _centroid_dots(F.col(emb_col), cents).alias("__d"),
+        )
+        .withColumn("__probe_s", F.explode(F.slice(F.array_sort(entries), 1, n_probe)))
+        .select(
+            "query_id", "__qv", "__qn", F.col("__probe_s.i").alias("__probe")
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__cell") == F.col("__probe"))
+            & (F.col("query_id") != F.col(id_col)),
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -37,7 +37,7 @@ def transform_inputs(transform: dict[str, Any]) -> list[str]:
     if "inputs" in params:
         return list(params["inputs"])
     names = []
-    for key in ("input", "left", "right"):
+    for key in ("input", "left", "right", "points", "intervals"):
         if key in params:
             names.append(params[key])
     return names
