@@ -15,6 +15,13 @@ def plan_of(df):
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    # a fresh derby metastore forgets tables whose files persist in the
+    # warehouse dir from earlier sessions — clear both
+    import shutil
+    for t in ("ta", "tb"):
+        spark.sql(f"DROP TABLE IF EXISTS bktest.{t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/bktest.db/{t}", ignore_errors=True)
     a = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
