@@ -434,6 +434,26 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (gap-merged sessions) in batch mode — the same
+    operator the streaming surface uses (streaming/incremental.sessionized)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 keep-latest dedup (parity: reference consolidator.py:30-43),
     generalized to composite keys + deterministic multi-column tiebreak."""
@@ -529,6 +549,14 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)."""
     return dd.minhash_lsh_candidates(_aug_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline: LSH candidates → exact Jaccard verify →
+    greedy survivor rule (doc survives unless it pairs with a lower id)."""
+    return dd.minhash_dedup(
+        _aug_docs(spark, sf_dir), num_hashes=16, bands=4, jaccard_threshold=0.7
+    ).select("doc_id")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_stats": q_events_gap_stats,
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
+        "session_windows": q_session_windows,
         "customer_order_counts": q_customer_order_counts,
         "late_orders": q_late_orders,
         "orders_by_month": q_orders_by_month,
@@ -785,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -920,6 +950,27 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    sql["session_windows"] = """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             sid AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM sid GROUP BY user_id, sid
     """
 
     sql["customer_order_counts"] = """
@@ -1095,6 +1146,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+    sql["minhash_dedup"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             shs AS (SELECT doc_id, {sh3} AS sh FROM s),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM shs),
+             bands AS ({bands_sql}),
+             cand AS (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+             ex AS (
+                 SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM shs
+                 WHERE doc_id IN (SELECT id_a FROM cand
+                                  UNION SELECT id_b FROM cand)),
+             common AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na,
+                        b.ns AS nb, COUNT(*) AS c
+                 FROM ex a JOIN ex b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4),
+             verified AS (
+                 SELECT j.id_a, j.id_b
+                 FROM (SELECT id_a, id_b,
+                              round(c / (na + nb - c), 6) AS jac FROM common) j
+                 JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+                 WHERE j.jac >= 0.7),
+             losers AS (SELECT DISTINCT id_b FROM verified)
+        SELECT doc_id FROM aug
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
     """
 
     sql["ngram_jaccard_pairs"] = f"""
