@@ -682,6 +682,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (1 row in → N rows out via
+    mapInPandas); deterministic fake frames so DuckDB can reproduce the
+    expansion + fingerprints exactly."""
+    from metadata_driven_data_pipeline_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 4) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=1000, fake=True)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — generated fragments
 # --------------------------------------------------------------------------
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1336,6 +1357,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                list_min(list_transform({sh5_raw}, s -> {_sql_h60('s')})) AS rfp
         FROM s
+    """
+
+    sql["multimodal_frames"] = """
+        SELECT media_id, CAST(i AS INT) AS frame_idx,
+               md5(md5(text) || ':' || i::VARCHAR) AS frame_fingerprint
+        FROM (SELECT doc_id AS media_id, text,
+                     unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS i
+              FROM documents)
     """
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle

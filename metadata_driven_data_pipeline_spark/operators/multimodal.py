@@ -141,11 +141,15 @@ def frame_sample(
             for _, row in pdf.iterrows():
                 duration = (row["meta"] or {}).get("duration_ms") or 0
                 payload = row["payload"] or b""
+                payload_md5 = hashlib.md5(bytes(payload)).hexdigest()
                 for i in range(max(0, duration // every_ms)):
                     rows["media_id"].append(row["media_id"])
                     rows["frame_idx"].append(i)
+                    # md5(md5(payload) || ':' || i): deterministic AND
+                    # reproducible from ANSI SQL (string concat, no
+                    # byte-order dependence) for the oracle harness
                     rows["frame_fingerprint"].append(
-                        hashlib.md5(bytes(payload) + i.to_bytes(4, "little")).hexdigest()
+                        hashlib.md5(f"{payload_md5}:{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(rows)
 
