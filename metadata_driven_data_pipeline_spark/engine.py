@@ -179,6 +179,37 @@ class Engine:
 
     # -- full pipeline -------------------------------------------------------
 
+    def _run_batch_dataflows(self, batch_date: str | None, stage: dict[str, Any]) -> None:
+        """Run every dataflow for one batch. Independent dataflows share no
+        relations (each builds its own catalog), so with
+        ``metadata["concurrent_dataflows"] = true`` they are submitted from
+        worker threads — Spark schedules jobs from multiple threads fairly
+        within one session, which overlaps the I/O and planning gaps of one
+        dataflow with the compute of another. Batches stay strictly ordered
+        (the at-least-once watermark contract); only dataflows within a
+        batch parallelize. Sub-stage log records append under a lock via
+        per-thread local lists merged in declaration order."""
+        n = len(self.compiled)
+        if n <= 1 or not self.metadata.get("concurrent_dataflows"):
+            for i in range(n):
+                self.run_dataflow(i, batch_date, stage)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        local_stages: list[dict[str, Any]] = [
+            {"sub_stages": []} for _ in range(n)
+        ]
+        with ThreadPoolExecutor(max_workers=min(n, 8)) as pool:
+            futures = [
+                pool.submit(self.run_dataflow, i, batch_date, local_stages[i])
+                for i in range(n)
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure
+        for ls in local_stages:
+            stage["sub_stages"].extend(ls["sub_stages"])
+
     def run(self) -> dict[str, Any]:
         """Full lifecycle: discovery → watermark filter → batch loop →
         per-batch manifest commit → consolidation."""
@@ -218,8 +249,7 @@ class Engine:
                 new_batches = [None]
 
             for batch_date in new_batches:
-                for i in range(len(self.compiled)):
-                    self.run_dataflow(i, batch_date, stage)
+                self._run_batch_dataflows(batch_date, stage)
                 if batch_date is not None:
                     manifest = update_manifest(manifest, batch_date, self.run_id)
                     if self.manifest_path:
