@@ -417,6 +417,19 @@ def q_percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB drop-ins for exact countDistinct/
+    percentile (HLL++ / KLL-sketch based; single pass, mergeable partial
+    states, no sort). Deliberately no SQL oracle: the approximation
+    algorithms are engine-specific, so the driver records a rows-only check;
+    exact counterparts are oracle-verified in percentile_by_priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9))").alias("approx_p"),
+    )
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames + analytics: running spend (rowsBetween), lag/lead,
     dense_rank per customer."""
@@ -826,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "word_topk": q_word_topk,
         "percentile_by_priority": q_percentile_by_priority,
+        "approx_stats": q_approx_stats,
         "running_total": q_running_total,
         "dedup_keep_latest": q_dedup_keep_latest,
         "validate_ko_errors": q_validate_ko_errors,
