@@ -447,6 +447,20 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: extract a typed field from a JSON string column and
+    aggregate (at scale prefer from_json with an explicit schema once —
+    single parse — over repeated path extraction)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window (gap-merged sessions) in batch mode — the same
     operator the streaming surface uses (streaming/incremental.sessionized)."""
@@ -828,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
         "session_windows": q_session_windows,
+        "json_props": q_json_props,
         "customer_order_counts": q_customer_order_counts,
         "late_orders": q_late_orders,
         "orders_by_month": q_orders_by_month,
@@ -1006,6 +1021,15 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM sid GROUP BY user_id, sid
+    """
+
+    sql["json_props"] = """
+        SELECT event_type,
+               COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
     """
 
     sql["customer_order_counts"] = """
