@@ -673,6 +673,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_profile(docs).drop("text")
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep: quality-score + language filter, then
+    exact dedup (keep lowest id) — the canonical C4-style cleaning pass,
+    all JVM-side projections + one fingerprint shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    profiled = tx.text_profile(docs)
+    kept = profiled.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "text")
+    return dd.exact_dedup(kept).select("doc_id")
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-min rolling-hash document sketch (1-hash MinHash)."""
     docs = _t(spark, sf_dir, "documents")
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_profile": q_text_profile,
+        "corpus_clean": q_corpus_clean,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1382,6 +1397,34 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred,
                md5({_sql_norm('text')}) AS fingerprint
         FROM t
+    """
+
+    quality_sql = f"""CAST(
+        CAST(least(len(toks) / 20.0, 1.0) AS DECIMAL(9,6)) * 0.3
+        + CAST(least((CASE WHEN len(ltoks) > 0 THEN round({s_en} / len(ltoks), 6) ELSE 0.0 END) * 5.0, 1.0) AS DECIMAL(9,6)) * 0.3
+        + CAST(greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round({punct} / n, 6) ELSE 0.0 END) * 4.0) AS DECIMAL(9,6)) * 0.2
+        + CAST(greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round({upper} / n, 6) ELSE 0.0 END) * 2.0) AS DECIMAL(9,6)) * 0.2
+    AS DOUBLE)"""
+    lang_sql = f"""CASE WHEN {gmax} = 0 THEN 'und'
+                        WHEN {lang_scores['de']} = {gmax} THEN 'de'
+                        WHEN {lang_scores['en']} = {gmax} THEN 'en'
+                        WHEN {lang_scores['es']} = {gmax} THEN 'es'
+                        ELSE 'fr' END"""
+    sql["corpus_clean"] = f"""
+        WITH t AS (
+            SELECT doc_id, text, length(text) AS n,
+                   {_sql_toks('text')} AS toks,
+                   {_sql_toks('lower(text)')} AS ltoks
+            FROM documents),
+             p AS (
+            SELECT doc_id, text, len(toks) AS n_tokens,
+                   {quality_sql} AS q, {lang_sql} AS lang
+            FROM t),
+             kept AS (
+            SELECT doc_id, text FROM p
+            WHERE lang = 'en' AND q >= 0.5 AND n_tokens >= 10)
+        SELECT MIN(doc_id) AS doc_id FROM kept
+        GROUP BY md5({_sql_norm('text')})
     """
 
     sh5_raw = (
