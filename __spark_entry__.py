@@ -744,6 +744,194 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Additional relational shapes: filtered aggregates, HAVING, scalar
+# subqueries, ntile/range frames, full outer joins, grouping sets,
+# first-value funnels, string-distance joins
+# --------------------------------------------------------------------------
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (SQL FILTER clause shape): one scan,
+    several predicated partial aggregates — no self-joins, map-side combine."""
+    orders = _t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(is_f, 1)).alias("n_fulfilled"),
+        F.sum(F.when(is_f, _dec("o_totalprice"))).cast("double").alias("fulfilled_rev"),
+        F.count(F.when(is_urgent & is_f, 1)).alias("n_urgent_fulfilled"),
+    )
+
+
+def q_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg → HAVING on the aggregate → join back to the
+    fact's parent. The HAVING filter runs on the agg output before the join,
+    so only qualifying keys shuffle into the second join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (broadcast single-row
+    crossJoin — no collect) + NOT EXISTS anti join against recent orders.
+    The threshold is computed in exact DECIMAL then divided once, so both
+    engines land on the same double."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date")
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile buckets over a deterministic total order, then per-bucket
+    stats. At scale ntile needs a global sort — the two-pass alternative
+    (approx_percentile cutpoints + bucket join) is the 100 TB path; exact
+    ntile is the oracle-checkable semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN value frame: for each order, how many of the same
+    customer's orders fall within ±1000 of its price. Value-range frames are
+    tie-insensitive, so the result is deterministic without a tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_near_price"),
+    )
+
+
+def q_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated daily series (orders vs events).
+    Aggregating before the join keeps the outer join small: day-cardinality
+    inputs instead of fact-cardinality."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        orders.join(events, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — the general form
+    behind rollup/cube (SQL surface via the engine's `sql` transform path)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_first_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution funnel: each user's first event type
+    (row_number over the event order), and how many of those users ever
+    purchase — window + semi join, both on the user_id shuffle key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    converted = first.join(buyers, "user_id", "left_semi").groupBy("first_type").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    totals = first.groupBy("first_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        totals.join(converted, "first_type", "left_outer")
+        .select(
+            "first_type",
+            "n_users",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        )
+    )
+
+
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance join, block→verify shape: distinct part names,
+    equi-blocked on the noun token, verified with Levenshtein ≤ 4. The
+    100 TB pattern: dedupe to distinct keys first, join on a cheap blocking
+    key, and only run the quadratic verifier inside small blocks — never an
+    unblocked O(n²) compare."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    blk = F.split(F.col("p_name"), " ")[1]
+    a = names.select(F.col("p_name").alias("name_a"), blk.alias("blk"))
+    b = names.select(F.col("p_name").alias("name_b"), blk.alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — generated fragments
 # --------------------------------------------------------------------------
 
@@ -890,6 +1078,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "conditional_agg": q_conditional_agg,
+        "big_orders_having": q_big_orders_having,
+        "rich_idle_customers": q_rich_idle_customers,
+        "order_deciles": q_order_deciles,
+        "price_range_frame": q_price_range_frame,
+        "daily_activity": q_daily_activity,
+        "grouping_sets": q_grouping_sets,
+        "first_event_funnel": q_first_event_funnel,
+        "similar_part_names": q_similar_part_names,
     }
 
 
@@ -1446,6 +1643,106 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id AS media_id, text,
                      unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS i
               FROM documents)
+    """
+
+    sql["conditional_agg"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS n_fulfilled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'F') AS DOUBLE) AS fulfilled_rev,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT'
+                                AND o_orderstatus = 'F') AS n_urgent_fulfilled
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    sql["big_orders_having"] = """
+        WITH big AS (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(qty AS DOUBLE) AS total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+    """
+
+    sql["rich_idle_customers"] = """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    """
+
+    sql["order_deciles"] = """
+        WITH d AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders)
+        SELECT decile, COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM d GROUP BY decile
+    """
+
+    sql["price_range_frame"] = """
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                   AS n_near_price
+        FROM orders
+    """
+
+    sql["daily_activity"] = """
+        WITH od AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1),
+             ed AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1)
+        SELECT COALESCE(od.day, ed.day) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events
+        FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """
+
+    sql["grouping_sets"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+
+    sql["first_event_funnel"] = """
+        WITH first AS (
+            SELECT user_id, event_type AS first_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1),
+             buyers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT first_type,
+               COUNT(*) AS n_users,
+               COUNT(*) FILTER (user_id IN (SELECT user_id FROM buyers))
+                   AS n_converted
+        FROM first GROUP BY first_type
+    """
+
+    sql["similar_part_names"] = """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM names a JOIN names b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
     """
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
