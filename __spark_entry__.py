@@ -744,6 +744,62 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.9): the same windowed aggregation the
+# streaming surface exposes, driven to completion with Trigger.AvailableNow
+# over the static events table — so the streaming engine itself is under the
+# DuckDB oracle (windows are watermark-aligned; AvailableNow over a bounded
+# source must equal the batch answer).
+# --------------------------------------------------------------------------
+
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling-window counts per event_type, executed by
+    the *streaming* engine (file source → withWatermark → window agg →
+    memory sink, availableNow). Complete output mode so closed and open
+    windows are all emitted; at scale the same plan runs continuously with
+    append mode + checkpoint."""
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+    )
+
+    import tempfile
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file streaming source wants a directory (its discovery unit is
+    # "new files under a root") — expose the single-file table through a
+    # temp dir symlink, read-only on the testdata itself.
+    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) — read as bigint (nanosAsLong,
+    # same treatment as tables.load_table) and convert in-stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # Additional relational shapes: filtered aggregates, HAVING, scalar
 # subqueries, ntile/range frames, full outer joins, grouping sets,
 # first-value funnels, string-distance joins
@@ -1087,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "first_event_funnel": q_first_event_funnel,
         "similar_part_names": q_similar_part_names,
+        "streaming_hourly_counts": q_streaming_hourly_counts,
     }
 
 
@@ -1743,6 +1800,14 @@ def oracle_sql() -> dict[str, str]:
           ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
          AND a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """
+
+    sql["streaming_hourly_counts"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
     """
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
