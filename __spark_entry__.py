@@ -988,6 +988,48 @@ def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew machinery under the oracle: salted join / two-phase salted dedup
+# produce byte-identical results to their unsalted forms, so the plain-SQL
+# oracle certifies the rewrite is semantics-preserving.
+# --------------------------------------------------------------------------
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.skew.salted_join: left side salted (content-derived, 8
+    salts), right side replicated per salt — a hot orderkey spreads over 8
+    tasks. Aggregated revenue per priority must equal the plain join."""
+    from metadata_driven_data_pipeline_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), _revenue().alias("rev")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, ["okey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("rev")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_salted_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.skew.two_phase_dedup_keep_latest: W1 keep-latest in two
+    phases (within-salt winner, then across salts) — per-key group size is
+    bounded by 1/n_salts. Must equal single-phase dedup_keep_latest."""
+    from metadata_driven_data_pipeline_spark.operators.skew import (
+        two_phase_dedup_keep_latest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return two_phase_dedup_keep_latest(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], "DESC", n_salts=8
+    ).select("user_id", "event_type", "event_id")
+
+
+# --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — generated fragments
 # --------------------------------------------------------------------------
 
@@ -1144,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_funnel": q_first_event_funnel,
         "similar_part_names": q_similar_part_names,
         "streaming_hourly_counts": q_streaming_hourly_counts,
+        "salted_join_revenue": q_salted_join_revenue,
+        "salted_dedup_latest": q_salted_dedup_latest,
     }
 
 
@@ -1800,6 +1844,22 @@ def oracle_sql() -> dict[str, str]:
           ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
          AND a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """
+
+    sql["salted_join_revenue"] = f"""
+        SELECT o_orderpriority,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """
+
+    sql["salted_dedup_latest"] = """
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
     """
 
     sql["streaming_hourly_counts"] = """
