@@ -1,6 +1,6 @@
 """Source/sink format parity (SURVEY §2.1 S9): format is metadata-driven;
-json, parquet, and csv must all round-trip through the reader/writer layer
-with schema enforcement."""
+json, parquet, csv, and orc must all round-trip through the reader/writer
+layer with schema enforcement."""
 
 import pytest
 
@@ -23,6 +23,7 @@ ROWS = [(1, "a", 1.5), (2, "b", None), (3, None, -2.0)]
     ("json", {}),
     ("parquet", {}),
     ("csv", {"header": "true"}),
+    ("orc", {}),
 ])
 def test_roundtrip(spark, tmp_path, fmt, extra):
     df = spark.createDataFrame(ROWS, "id long, name string, score double")
