@@ -32,6 +32,7 @@ HEADLINE = [
     "shipping_priority",
     "region_revenue",
     "top_customers_per_nation",
+    "big_orders_having",
     "events_sessionize",
     "asof_view_before_purchase",
     "range_clicks_in_error_window",
@@ -40,11 +41,14 @@ HEADLINE = [
     "validate_ko_errors",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_dedup",
     "simhash_pairs",
     "text_profile",
+    "corpus_clean",
     "embedding_neardup",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "streaming_hourly_counts",
 ]
 
 

@@ -230,6 +230,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard for a *given* candidate-pair set: join each side's
+    shingle array onto the pair and intersect the two arrays directly.
+
+    Linear in |pairs| (vs the explode self-join of
+    :func:`ngram_jaccard_pairs`, which is quadratic in shingle document
+    frequency — a boilerplate 3-gram shared by f docs costs f² join rows
+    there, but nothing here). This is the verification half of the
+    LSH-then-verify pattern at 100 TB: |pairs| ≪ n², and each pair carries
+    only two shingle arrays through one shuffle."""
+    # Shingle only docs that occur in a pair (semi-join first): the
+    # candidate set is tiny relative to the corpus, and this projection is
+    # built twice (a/b sides), so shrinking its input dominates the cost.
+    in_pairs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(in_pairs, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                common
+                / (F.size("__sh_a") + F.size("__sh_b") - common),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -238,25 +284,24 @@ def minhash_dedup(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
-    """Full fuzzy-dedup: LSH candidates → exact Jaccard verify → drop the
-    higher id of every confirmed pair (union-find-free greedy survivor rule:
-    a doc survives unless it pairs with a lower id)."""
-    candidates = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    verified = ngram_jaccard_pairs(
-        df.join(
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select("id_b"))
-            .distinct(),
-            id_col,
-            "left_semi",
-        ),
-        text_col,
-        id_col,
-        threshold=jaccard_threshold,
-    ).join(
-        candidates,
-        ["id_a", "id_b"],
-        "left_semi",
+    """Full fuzzy-dedup: LSH candidates → exact Jaccard verify
+    (:func:`jaccard_verify_pairs` — per-pair array intersection, linear in
+    the candidate count) → drop the higher id of every confirmed pair
+    (union-find-free greedy survivor rule: a doc survives unless it pairs
+    with a lower id).
+
+    The candidate-pair set is persisted: it feeds both the verify join and
+    (via the losers) the final anti join, and each occurrence would
+    otherwise re-run the whole shingle→minhash→band→join pipeline — the
+    dominant cost. Pairs are two longs per row (vs the corpus's text), so
+    MEMORY_AND_DISK is cheap at any scale."""
+    from pyspark import StorageLevel
+
+    candidates = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = jaccard_verify_pairs(
+        df, candidates, text_col, id_col, threshold=jaccard_threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
