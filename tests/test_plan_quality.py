@@ -1,0 +1,98 @@
+"""Physical-plan quality regression guard (scale contract).
+
+Locks in the plan properties audited in PLANS.md: headline queries must
+keep compiling to the plans we'd want on a 1000-executor cluster —
+no cartesian products anywhere, broadcast-nested-loop joins only in the
+two whitelisted places (a 1-row scalar-subquery broadcast and the explicit
+brute-force verifier), pruned parquet scans, and pushed-down filters.
+Static (AQE-off) plans are asserted: AQE only improves on them at runtime.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audit_plans import audit, formatted_plan
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ whitelist: rich_idle_customers broadcasts a single-row aggregate
+# (scalar subquery); embedding_neardup IS the documented brute-force verifier.
+BNLJ_OK = {"rich_idle_customers", "embedding_neardup"}
+
+AUDITED = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "top_customers_per_nation",
+    "big_orders_having",
+    "rich_idle_customers",
+    "word_topk",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "ann_topk_lsh",
+    "corpus_clean",
+]
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = entrymod.queries()
+    out = {name: audit(formatted_plan(qs[name](spark, SF_DIR))) for name in AUDITED}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, a in plans.items() if a["cart"] > 0]
+    assert not bad, f"cartesian product appeared in: {bad}"
+
+
+def test_bnlj_only_whitelisted(plans):
+    bad = [n for n, a in plans.items() if a["bnlj"] > 0 and n not in BNLJ_OK]
+    assert not bad, f"broadcast-nested-loop join appeared in: {bad}"
+
+
+def test_star_joins_broadcast(plans):
+    # dim joins must be broadcast, not shuffled
+    assert plans["region_revenue"]["bhj"] >= 2
+    assert plans["top_customers_per_nation"]["bhj"] == 1
+    assert plans["shipping_priority"]["bhj"] >= 1
+
+
+def test_sketch_self_joins_share_shuffle(plans):
+    # the SMJ hint makes both sides identical shuffles → ReusedExchange
+    assert plans["minhash_lsh_pairs"]["smj"] >= 1
+    assert plans["minhash_lsh_pairs"]["reused"] >= 1
+    assert plans["simhash_pairs"]["smj"] >= 1
+    assert plans["simhash_pairs"]["reused"] >= 1
+
+
+def test_column_pruning_reaches_scans(plans):
+    # lineitem is 16 cols; Q1 must read only what it uses
+    scan = next(s for s in plans["pricing_summary"]["scans"] if s["table"] == "lineitem")
+    assert scan["n_cols"] <= 6
+    # Q3's customer scan: segment + key only
+    cscan = next(s for s in plans["shipping_priority"]["scans"] if s["table"] == "customer")
+    assert cscan["n_cols"] <= 2
+
+
+def test_filters_pushed_to_scans(plans):
+    scan = next(s for s in plans["pricing_summary"]["scans"] if s["table"] == "lineitem")
+    assert "l_shipdate" in scan["pushed"]
+    cscan = next(s for s in plans["shipping_priority"]["scans"] if s["table"] == "customer")
+    assert "c_mktsegment" in cscan["pushed"]
+
+
+def test_codegen_covers_plans(plans):
+    uncovered = [n for n, a in plans.items() if a["wsc"] == 0]
+    assert not uncovered, f"no WholeStageCodegen span in: {uncovered}"
