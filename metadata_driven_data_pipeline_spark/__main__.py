@@ -18,6 +18,7 @@ import argparse
 import json
 import sys
 
+from metadata_driven_data_pipeline_spark.config import load_metadata
 from metadata_driven_data_pipeline_spark.engine import Engine
 from metadata_driven_data_pipeline_spark.session import get_spark
 
@@ -31,8 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--log-out", default=None, help="write the structured run log here")
     args = p.parse_args(argv)
 
-    with open(args.metadata) as f:
-        metadata = json.load(f)
+    # load_metadata applies ${VAR} environment substitution (parity:
+    # config_loader.py's expandvars), so paths can be parameterized.
+    metadata = load_metadata(args.metadata)
 
     spark = get_spark(app_name=args.pipeline_name)
     try:
