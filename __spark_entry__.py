@@ -799,6 +799,27 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) windows: 2-hour windows every 1 hour — each
+    event contributes to two windows (F.window with a slide). The oracle
+    reproduces the window assignment by unnesting each event's two
+    hour-aligned window starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Additional relational shapes: filtered aggregates, HAVING, scalar
 # subqueries, ntile/range frames, full outer joins, grouping sets,
@@ -1188,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "salted_join_revenue": q_salted_join_revenue,
         "salted_dedup_latest": q_salted_dedup_latest,
+        "sliding_window_counts": q_sliding_window_counts,
     }
 
 
@@ -1860,6 +1882,18 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
+    """
+
+    sql["sliding_window_counts"] = """
+        WITH e AS (
+            SELECT event_type, value,
+                   unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                           date_trunc('hour', ts)]) AS win_start
+            FROM events)
+        SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM e GROUP BY 1, 2
     """
 
     sql["streaming_hourly_counts"] = """
