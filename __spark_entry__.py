@@ -799,6 +799,22 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_order_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per order, the sorted list of line numbers
+    (collect_list → array_sort, emitted as a CSV string so the comparison
+    is order-exact). One hash-agg shuffle on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("l_linenumber").cast("string")))
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) windows: 2-hour windows every 1 hour — each
     event contributes to two windows (F.window with a slide). The oracle
@@ -1210,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "salted_dedup_latest": q_salted_dedup_latest,
         "sliding_window_counts": q_sliding_window_counts,
+        "order_line_numbers": q_order_line_numbers,
     }
 
 
@@ -1882,6 +1899,14 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
+    """
+
+    sql["order_line_numbers"] = """
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+                   AS linenumbers,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
     """
 
     sql["sliding_window_counts"] = """
