@@ -49,6 +49,32 @@ class TestJaccard:
         got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
         assert got[(1, 2)] == 1.0
 
+    def test_pair_verify_equals_explode_join(self, spark, near_dup_docs):
+        """jaccard_verify_pairs (per-pair array intersection, the linear
+        verifier minhash_dedup uses) must agree exactly with the explode
+        self-join on every pair."""
+        ids = [r["doc_id"] for r in near_dup_docs.select("doc_id").collect()]
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+        )
+        via_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_verify_pairs(
+                near_dup_docs, all_pairs, threshold=0.0
+            ).collect()
+        }
+        via_explode = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(near_dup_docs, threshold=0.0).collect()
+        }
+        # explode join only emits pairs sharing ≥1 shingle; pair-verify
+        # emits all given pairs — restrict to the common domain, and check
+        # pair-verify scored the disjoint pairs 0.
+        for k, v in via_explode.items():
+            assert via_pairs[k] == v
+        for k in set(via_pairs) - set(via_explode):
+            assert via_pairs[k] == 0.0
+
 
 class TestMinHashLSH:
     def test_candidates_include_true_pairs(self, spark, near_dup_docs):
