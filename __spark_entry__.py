@@ -799,6 +799,41 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup under the oracle:
+    dropDuplicatesWithinWatermark keeps one event per (user_id, event_type)
+    within the watermark horizon. Which row survives depends on processing
+    order, so only the key columns are emitted — that projection is
+    deterministic and equals batch SELECT DISTINCT (the events table spans
+    less than the horizon)."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # 100-year watermark: the whole static table is one horizon, so the
+    # keys match batch DISTINCT exactly; production uses hours/days.
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], watermark="876000 hours"
+    ).select("user_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
+
+
 def q_order_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per order, the sorted list of line numbers
     (collect_list → array_sort, emitted as a CSV string so the comparison
@@ -1227,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_dedup_latest": q_salted_dedup_latest,
         "sliding_window_counts": q_sliding_window_counts,
         "order_line_numbers": q_order_line_numbers,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
     }
 
 
@@ -1899,6 +1935,10 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
+    """
+
+    sql["streaming_dedup_keys"] = """
+        SELECT DISTINCT user_id, event_type FROM events
     """
 
     sql["order_line_numbers"] = """

@@ -123,12 +123,14 @@ def streaming_dedup(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> None:
-    """Test helper: drive a streaming DF to completion into a memory sink."""
+def run_to_memory(df: DataFrame, name: str, output_mode: str | None = None) -> None:
+    """Test helper: drive a streaming DF to completion into a memory sink.
+    Default mode is ``complete`` (right for aggregations — all windows
+    emitted); stateless/dedup streams must pass ``append``."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if df.isStreaming else "append")
+        .outputMode(output_mode or ("complete" if df.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )
