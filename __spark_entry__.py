@@ -564,9 +564,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature (first 4 of 16 hashes) — sketch reproducibility."""
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", dd.word_shingles(F.col("text")).alias("sh")
-    ).select("doc_id", dd.minhash_from_shingles(F.col("sh"), 16).alias("sig"))
+    sig = (
+        docs.select("doc_id", dd.word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", dd.shingle_hashes(F.col("sh")).alias("hs"))
+        .select("doc_id", dd.minhash_from_hashes(F.col("hs"), 16).alias("sig"))
+    )
     return sig.select(
         "doc_id",
         *[F.col("sig")[i].alias(f"mh_{i}") for i in range(4)],
@@ -1132,9 +1134,16 @@ def _sql_shingles(toks: str, n: int) -> str:
     )
 
 
-def _sql_minhash(sh: str, i: int) -> str:
-    salted = repr(str(i)) + " || ':' || s"
-    return f"list_min(list_transform({sh}, s -> {_sql_h60(salted)}))"
+def _sql_shingle_hashes(sh: str) -> str:
+    """31-bit base hash per shingle (operators.dedup.shingle_hashes)."""
+    return f"list_transform({sh}, s -> ({_sql_h60('s')} % 2147483647))"
+
+
+def _sql_minhash(hs: str, i: int) -> str:
+    """i-th linear-permutation min-hash over the base-hash list
+    (operators.dedup.minhash_from_hashes)."""
+    a, b = dd._perm_consts(i)
+    return f"list_min(list_transform({hs}, h -> ({a}::BIGINT * h + {b}) % 2147483647))"
 
 
 def _sql_dot64(a: str, b: str) -> str:
@@ -1566,14 +1575,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     mh_cols = ",\n               ".join(
-        f"{_sql_minhash('sh', i)} AS mh_{i}" for i in range(4)
+        f"{_sql_minhash('hs', i)} AS mh_{i}" for i in range(4)
     )
     sql["minhash_signature"] = f"""
         WITH s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM documents),
-             sh AS (SELECT doc_id, {sh3} AS sh FROM s)
+             sh AS (SELECT doc_id, {sh3} AS sh FROM s),
+             hsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM sh)
         SELECT doc_id,
                {mh_cols}
-        FROM sh
+        FROM hsh
     """
 
     band_rows = []
@@ -1583,12 +1593,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {b} AS band, concat_ws(',', {parts}) AS bucket FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
-    mh16 = ", ".join(_sql_minhash("sh", i) for i in range(16))
+    mh16 = ", ".join(_sql_minhash("hs", i) for i in range(16))
     sql["minhash_lsh_pairs"] = f"""
         WITH aug AS ({_AUG_SQL}),
              s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
              shs AS (SELECT doc_id, {sh3} AS sh FROM s),
-             sig AS (SELECT doc_id, [{mh16}] AS sig FROM shs),
+             hsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM shs),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM hsh),
              bands AS ({bands_sql})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -1599,7 +1610,8 @@ def oracle_sql() -> dict[str, str]:
         WITH aug AS ({_AUG_SQL}),
              s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
              shs AS (SELECT doc_id, {sh3} AS sh FROM s),
-             sig AS (SELECT doc_id, [{mh16}] AS sig FROM shs),
+             hsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM shs),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM hsh),
              bands AS ({bands_sql}),
              cand AS (
                  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

