@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from metadata_driven_data_pipeline_spark.tables import load_table
 from metadata_driven_data_pipeline_spark.operators import dedup as dd
 from metadata_driven_data_pipeline_spark.operators import similarity as sim
+from metadata_driven_data_pipeline_spark.operators import sampling as smp
 from metadata_driven_data_pipeline_spark.operators import text as tx
 from metadata_driven_data_pipeline_spark.operators.add_fields import apply_add_fields
 from metadata_driven_data_pipeline_spark.operators.consolidate import dedup_keep_latest
@@ -1104,6 +1105,118 @@ def q_salted_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sampling / splitting / packing (training-data curation; operators/sampling.py
+# and operators/text.py pack_sequences — deterministic, shuffle-free)
+# --------------------------------------------------------------------------
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus subsample by key hash (no RNG; pure
+    map-side filter — membership is stable across runs and engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.hash_sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (sampleBy without the RNG):
+    50% of en, 20% of de, 5% of everything else."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/validation/test assignment by key hash (10%/10%/80%);
+    a document's split never changes as the corpus grows."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.train_test_split(
+        docs, "doc_id", test_fraction=0.10, validation_fraction=0.10
+    ).select("doc_id", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: docs walk in doc_id order within each
+    language shard; pack = floor(exclusive-prefix-sum(tokens)/2000). Output
+    is the per-pack manifest (doc count + token total)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = tx.pack_sequences(
+        docs, token_col="n_tokens", order_col="doc_id", budget=2000, shard_col="lang"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Additional relational shapes: unpivot, percent_rank/cume_dist, exact
+# moment-based correlation statistics
+# --------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-flag aggregate metrics."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base_price"], "metric", "value"
+    )
+
+
+def q_order_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order value within each priority class."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / covariance / stddev of quantity vs price per
+    return flag, derived from EXACT decimal moment sums (count, Σx, Σy,
+    Σx², Σy², Σxy) so the result is order-independent — the distributed-
+    safe way to compute second moments (a naive double Σ changes with
+    partitioning; decimal sums are associative and exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar_pop = (n * sxy - sx * sy) / (n * n)
+    stddev_pop_x = F.sqrt(n * sxx - sx * sx) / n
+    return m.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar_pop, 4).alias("covar_pop"),
+        F.round(stddev_pop_x, 6).alias("stddev_pop_qty"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — generated fragments
 # --------------------------------------------------------------------------
 
@@ -1272,6 +1385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "order_line_numbers": q_order_line_numbers,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
+        "pack_sequences": q_pack_sequences,
+        "unpivot_metrics": q_unpivot_metrics,
+        "order_percent_rank": q_order_percent_rank,
+        "corr_stats": q_corr_stats,
     }
 
 
@@ -1979,6 +2099,94 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    def draw(salt: str, key: str) -> str:
+        """operators.sampling.hash_draw: md5-60bit(salt:key) % 1e6."""
+        salted = f"'{salt}:' || CAST({key} AS VARCHAR)"
+        return f"({_sql_h60(salted)} % 1000000)"
+
+    sql["hash_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {draw('sample', 'doc_id')} < 100000
+    """
+
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {draw('stratified', 'doc_id')} <
+              CASE CAST(lang AS VARCHAR)
+                   WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+                   ELSE 50000 END
+    """
+
+    sql["train_test_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {draw('split', 'doc_id')} < 100000 THEN 'test'
+                    WHEN {draw('split', 'doc_id')} < 200000 THEN 'validation'
+                    ELSE 'train' END AS split
+        FROM documents
+    """
+
+    sql["pack_sequences"] = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents),
+        packed AS (
+            SELECT lang, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 2000) AS BIGINT) AS pack_id
+            FROM toks)
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS pack_tokens
+        FROM packed GROUP BY lang, pack_id
+    """
+
+    sql["unpivot_metrics"] = """
+        WITH a AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price' AS metric, sum_base_price AS value FROM a
+    """
+
+    sql["order_percent_rank"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice), 6) AS pct_rank,
+               round(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice), 6) AS cume
+        FROM orders
+    """
+
+    sql["corr_stats"] = """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS corr_qty_price,
+               round((n * sxy - sx * sy) / (n * n), 4) AS covar_pop,
+               round(sqrt(n * sxx - sx * sx) / n, 6) AS stddev_pop_qty,
+               CAST(n AS BIGINT) AS n_rows
+        FROM m
     """
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle

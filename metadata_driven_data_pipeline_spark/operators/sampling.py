@@ -1,0 +1,96 @@
+"""Deterministic sampling / splitting operators for training-data curation.
+
+Not in the reference (no sampling of any kind); extension surface for the
+100 TB training-data pipeline: corpus subsampling, per-class (stratified)
+rebalancing, and train/validation/test splitting.
+
+Everything is **hash-based and deterministic** — membership depends only on
+the row's key, never on an RNG or on partitioning — so:
+- results are reproducible run-to-run and engine-to-engine (an ANSI-SQL
+  oracle computes the identical sample from the same md5 formula);
+- the sample is stable under repartitioning, retries, and incremental
+  reprocessing (a document keeps its split assignment forever — the property
+  that prevents train/test contamination when a corpus is re-ingested);
+- no shuffle is needed: each op is a pure projection/filter, executed
+  map-side at any scale.
+
+The hash is the engine-wide ``_hash60`` (md5-derived 60-bit int, see
+operators/dedup.py) taken mod 1,000,000 for a uniform [0, 1e6) draw per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators.dedup import _hash60
+
+_BUCKETS = 1_000_000
+
+
+def hash_draw(key: Column, salt: str = "") -> Column:
+    """Uniform deterministic draw in [0, 1e6) from a key column.
+
+    ``salt`` decorrelates independent sampling decisions over the same key
+    (e.g. a 10% subsample and a train/test split must not interact).
+    """
+    return _hash60(F.concat(F.lit(salt + ":"), key.cast("string"))) % F.lit(_BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (pure filter, no
+    shuffle, no RNG). Unlike ``df.sample``, membership is a function of the
+    key alone — stable across runs, partitionings, and engines."""
+    threshold = int(round(fraction * _BUCKETS))
+    return df.filter(hash_draw(F.col(key_col), salt) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the RNG):
+    keep ~``fractions[stratum]`` of each stratum's rows, keyed by row hash.
+
+    The scale path for class rebalancing at 100 TB: a single map-side
+    filter — no shuffle, no collect of strata, no seed coordination across
+    executors."""
+    threshold = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum_col).cast("string") == value,
+            F.lit(int(round(frac * _BUCKETS))),
+        ).otherwise(threshold)
+    return df.filter(hash_draw(F.col(key_col), salt) < threshold)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    validation_fraction: float = 0.0,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a stable 'train' / 'validation' / 'test' label by key
+    hash. A key's assignment never changes as the corpus grows — new batches
+    land in the same split, so incremental ingestion cannot leak test
+    documents into training."""
+    draw = hash_draw(F.col(key_col), salt)
+    test_hi = int(round(test_fraction * _BUCKETS))
+    val_hi = test_hi + int(round(validation_fraction * _BUCKETS))
+    label = (
+        F.when(draw < F.lit(test_hi), F.lit("test"))
+        .when(draw < F.lit(val_hi), F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, label)

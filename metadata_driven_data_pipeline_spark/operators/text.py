@@ -19,7 +19,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword lists for the n-gram/stopword language-ID
@@ -160,6 +160,36 @@ def rolling_fingerprint(text: Column, n: int = 5) -> Column:
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
     )
     return F.array_min(hashes)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    budget: int = 2048,
+    shard_col: str | None = None,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    training sequences: walk docs in ``order_col`` order, a doc joins the
+    current pack if the tokens consumed *before* it stay under ``budget``
+    (so a pack may overflow by at most one document — the standard greedy
+    rule, expressible as a prefix-sum window and thus SQL-oracle-checkable).
+
+    ``pack_id = floor(exclusive_prefix_sum(tokens) / budget)``.
+
+    Scale: an unpartitioned ORDER BY window is a single-task bottleneck —
+    at 100 TB always pass ``shard_col`` (date, language, hash bucket …) so
+    packing parallelizes per shard; packs are then (shard, pack_id) pairs.
+    """
+    w = (
+        Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
+    ).orderBy(order_col)
+    prev = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return df.withColumn(pack_col, F.floor(prev / F.lit(budget)))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

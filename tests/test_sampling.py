@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting / packing operators
+(operators/sampling.py, operators/text.py::pack_sequences).
+
+Not in the reference (no sampling of any kind); extension surface for
+training-data curation. The load-bearing properties tested here:
+determinism (no RNG), stability under corpus growth (hash membership is a
+pure function of the key), per-stratum rate control, and the greedy
+prefix-sum packing rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators import sampling as smp
+from metadata_driven_data_pipeline_spark.operators.text import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], f"doc number {i} body") for i in range(3000)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+class TestHashSample:
+    def test_deterministic_and_approximate_rate(self, docs):
+        a = sorted(r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.2).collect())
+        b = sorted(r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.2).collect())
+        assert a == b
+        assert 0.15 < len(a) / 3000 < 0.25
+
+    def test_membership_stable_under_growth(self, spark, docs):
+        """A key's sample membership must not change when the corpus grows —
+        the property that makes incremental re-ingestion reproducible."""
+        small = docs.filter(F.col("doc_id") < 1000)
+        s_small = {r.doc_id for r in smp.hash_sample(small, "doc_id", 0.2).collect()}
+        s_full = {
+            r.doc_id
+            for r in smp.hash_sample(docs, "doc_id", 0.2).collect()
+            if r.doc_id < 1000
+        }
+        assert s_small == s_full
+
+    def test_salt_decorrelates(self, docs):
+        a = {r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.5, salt="a").collect()}
+        b = {r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.5, salt="b").collect()}
+        assert a != b
+        overlap = len(a & b) / min(len(a), len(b))
+        assert 0.3 < overlap < 0.7  # ~independent 50% draws overlap ~50%
+
+    def test_no_shuffle(self, docs):
+        plan = smp.hash_sample(docs, "doc_id", 0.2)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, docs):
+        out = smp.stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_fraction=0.0
+        )
+        counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert 0.4 < counts["en"] / 1000 < 0.6
+        assert 0.05 < counts["de"] / 1000 < 0.16
+        assert "fr" not in counts  # default 0 drops unlisted strata
+
+
+class TestTrainTestSplit:
+    def test_partition_and_rates(self, docs):
+        out = smp.train_test_split(docs, "doc_id", 0.1, 0.1)
+        counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 3000
+        assert 0.05 < counts["test"] / 3000 < 0.15
+        assert 0.05 < counts["validation"] / 3000 < 0.15
+
+    def test_assignment_stable_under_growth(self, docs):
+        small = docs.filter(F.col("doc_id") < 1000)
+        a = {r.doc_id: r.split for r in smp.train_test_split(small, "doc_id", 0.1, 0.1).collect()}
+        b = {
+            r.doc_id: r.split
+            for r in smp.train_test_split(docs, "doc_id", 0.1, 0.1).collect()
+            if r.doc_id < 1000
+        }
+        assert a == b
+
+
+class TestPackSequences:
+    def test_greedy_prefix_rule(self, spark):
+        rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = pack_sequences(df, "n_tokens", "doc_id", budget=100).collect()
+        # recompute the rule driver-side
+        cum = 0
+        for r in sorted(out, key=lambda r: r.doc_id):
+            assert r.pack_id == cum // 100, r
+            cum += r.n_tokens
+        # packs are dense 0..max
+        packs = sorted({r.pack_id for r in out})
+        assert packs == list(range(len(packs)))
+
+    def test_sharded_packing_parallel_and_independent(self, spark):
+        rows = [(i, ["a", "b"][i % 2], 60) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+        out = pack_sequences(df, "n_tokens", "doc_id", budget=120, shard_col="shard")
+        per = (
+            out.groupBy("shard", "pack_id").agg(F.count("*").alias("n")).collect()
+        )
+        # 50 docs x 60 tokens per shard, budget 120 -> 2 docs per pack, 25 packs
+        assert all(r.n == 2 for r in per)
+        assert len(per) == 50
