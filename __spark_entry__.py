@@ -647,6 +647,14 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as ann_topk_brute, computed on the Arrow/Pandas-UDF
+    path (numpy matmul per batch + local top-k) — checked against the same
+    SQL oracle, demonstrating JVM and vectorized-Python parity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (random-hyperplane signatures,
     1-bit multiprobe) — the 100 TB scale path."""
@@ -1363,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_pandas": q_ann_topk_pandas,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_profile": q_text_profile,
@@ -1814,6 +1823,9 @@ def oracle_sql() -> dict[str, str]:
                  FROM scored)
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
     """
+
+    # identical semantics to the JVM brute-force path — one oracle for both
+    sql["ann_topk_pandas"] = sql["ann_topk_brute"]
 
     probe_list = ", ".join(
         ["qsig"] + [f"xor(qsig, {1 << i})" for i in range(8)]

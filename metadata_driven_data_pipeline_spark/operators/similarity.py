@@ -11,9 +11,11 @@ LLM-pipeline extension surface (not in the reference). Two paths:
   against brute force in tests.
 
 Vector math is done with built-in higher-order functions
-(``zip_with``/``aggregate``) — JVM codegen, no Python crossing. For very
-wide vectors a Pandas UDF with numpy may win; at 64-dim testdata the
-built-ins are faster than the Arrow round-trip.
+(``zip_with``/``aggregate``) — JVM codegen, no Python crossing — plus an
+Arrow-vectorized alternative (:func:`brute_force_topk_pandas`): one numpy
+matmul per ``mapInPandas`` batch, emitting only per-batch local top-k.
+The JVM path wins on narrow vectors / tiny corpora (no Arrow round-trip);
+the Pandas path wins as dim × batch grows.
 """
 
 from __future__ import annotations
@@ -85,6 +87,77 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k via the Arrow/Pandas-UDF path: the (small) query
+    set is collected to a numpy matrix and closed over a ``mapInPandas``
+    scorer; each corpus batch computes all pair scores with one float64
+    matmul and emits only its per-query local top-k, so the shuffle into
+    the final ranking window carries ≤ k·m rows per batch instead of the
+    full b×m product.
+
+    Same output contract as :func:`brute_force_topk` (rank 1..k, ties by
+    corpus id, cosine rounded HALF_UP to 6 — numpy's half-even ``round`` is
+    deliberately not used). This is the wide-vector hot path: the JVM
+    higher-order-function dot is O(dim) expression evaluations per pair,
+    while the Arrow transfer amortizes across the whole batch and the
+    matmul runs vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    q_rows = queries.select(F.col(qid), F.col(emb_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = (C @ Q.T) / np.outer(cn, qn)
+            # HALF_UP to 6 decimals, matching Spark/duckdb round()
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            outs = []
+            for j, qv in enumerate(q_ids):
+                mask = ids != qv  # exclude self-match
+                cand_ids, cand_s = ids[mask], S[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qv,
+                            id_col: cand_ids[order],
+                            "cosine": cand_s[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    local = widen(corpus).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )

@@ -30,6 +30,20 @@ def test_brute_force_shape(spark, embeddings, queries):
         assert all(r["vec_id"] != q for r in rows)  # self excluded
 
 
+def test_pandas_path_matches_jvm_path(spark, embeddings, queries):
+    """The Arrow/mapInPandas scorer must agree row-for-row with the
+    higher-order-function path (same rounding, same tie-breaks)."""
+    jvm = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.brute_force_topk_pandas(embeddings, queries, k=5).collect()
+    }
+    assert jvm == arrow
+
+
 def test_cosine_self_is_one(spark, embeddings):
     row = embeddings.select(
         F.round(S.cosine(F.col("embedding"), F.col("embedding")), 4).alias("c")
