@@ -845,6 +845,58 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join run by the streaming engine:
+    error and click events arrive as two file streams; a click joins an
+    error from the same user within [error_ts, error_ts + 1h). Inner join
+    with a bounded interval, so results equal the batch interval join
+    (oracle: the same SQL as range_clicks_in_error_window) while join state
+    stays watermark-bounded at scale."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_ssj_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+
+    def side(name: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.filter(F.col("event_type") == name).select(
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+            "user_id",
+        )
+
+    errors = side("error", "error_id", "error_ts")
+    clicks = side("click", "click_id", "click_ts")
+    # 100-year watermark: the static table is one horizon (see
+    # q_streaming_dedup_keys); production uses hours.
+    joined = stream_interval_join(
+        errors,
+        clicks,
+        keys=["user_id"],
+        left_ts="error_ts",
+        right_ts="click_ts",
+        upper="1 hour",
+        watermark="876000 hours",
+        upper_inclusive=False,
+    ).select("error_id", "click_id")
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
 def q_order_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per order, the sorted list of line numbers
     (collect_list → array_sort, emitted as a CSV string so the comparison
@@ -1394,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "order_line_numbers": q_order_line_numbers,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_interval_join": q_streaming_interval_join,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
@@ -2083,6 +2136,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql["streaming_dedup_keys"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    # stream-stream interval join == the batch interval join on a bounded
+    # horizon — same oracle as range_clicks_in_error_window
+    sql["streaming_interval_join"] = """
+        SELECT e.event_id AS error_id, c.event_id AS click_id
+        FROM events e JOIN events c ON c.user_id = e.user_id
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) < epoch_us(e.ts) + 3600000000
     """
 
     sql["order_line_numbers"] = """

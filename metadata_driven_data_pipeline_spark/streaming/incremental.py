@@ -123,6 +123,49 @@ def streaming_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+    upper_inclusive: bool = True,
+) -> DataFrame:
+    """Watermarked stream-stream join: equi-keys plus the time-interval
+    condition ``left_ts <= right_ts <= left_ts + upper`` (strict ``<`` on
+    the upper bound when ``upper_inclusive=False``).
+
+    Both sides carry a watermark so the join state is bounded: a buffered
+    left row can be dropped once the right watermark passes
+    ``left_ts + upper`` (and vice versa) — without the interval bound the
+    state would grow forever. Outer variants emit their null-padded rows
+    only when the watermark closes the match window, exactly like late-data
+    semantics for windowed aggregation.
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename before
+    calling) — the joined schema keeps both.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    bound = l[left_ts] + F.expr(f"INTERVAL {upper}")
+    time_cond = (r[right_ts] >= l[left_ts]) & (
+        r[right_ts] <= bound if upper_inclusive else r[right_ts] < bound
+    )
+    cond = time_cond if cond is None else cond & time_cond
+    joined = l.join(r, cond, how)
+    # drop the duplicated key columns from the right side
+    for k in keys:
+        joined = joined.drop(r[k])
+    return joined
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str | None = None) -> None:
     """Test helper: drive a streaming DF to completion into a memory sink.
     Default mode is ``complete`` (right for aggregations — all windows

@@ -153,3 +153,37 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["total_value"])
     assert latest[1] == (2, 17.0)
     assert latest[2] == (1, 5.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks match errors on user_id within
+    [click_ts, click_ts + 5 minutes]; state is watermark-bounded."""
+    src_c, src_e = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    write_batch(f"{src_c}/b1", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 2, "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1, "value": 1.0},
+    ])
+    write_batch(f"{src_e}/b1", [
+        # 3 min after click 1 -> matches; 20 min after click 2 -> no match
+        {"event_id": 101, "ts": "2024-01-01T00:03:00", "user_id": 1, "value": -1.0},
+        {"event_id": 102, "ts": "2024-01-01T00:30:00", "user_id": 2, "value": -1.0},
+    ])
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA).json(f"{src_c}/b*")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), "user_id")
+    )
+    errors = (
+        spark.readStream.schema(EVENT_SCHEMA).json(f"{src_e}/b*")
+        .select(F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts"), "user_id")
+    )
+    joined = S.stream_interval_join(
+        clicks, errors, keys=["user_id"],
+        left_ts="click_ts", right_ts="error_ts",
+        upper="5 minutes", watermark="10 minutes",
+    )
+    assert joined.isStreaming
+    S.run_to_memory(joined, "ssj", output_mode="append")
+    rows = spark.sql("SELECT click_id, error_id FROM ssj").collect()
+    pairs = sorted((r.click_id, r.error_id) for r in rows)
+    assert pairs == [(1, 101)]  # click 2's error is outside the interval
