@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 from metadata_driven_data_pipeline_spark.operators.partitioning import widen
 
 
+def dvec(a: Column) -> Column:
+    """Pre-cast a float vector to array<double> ONCE per row. Downstream
+    ``dot``/``l2_norm`` casts become double→double no-ops that Catalyst's
+    SimplifyCasts removes — so per-pair scoring does O(dim) multiplies
+    instead of O(dim) casts+multiplies (bit-exact: cast-then-multiply equals
+    multiply-of-cast)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -66,15 +75,11 @@ def brute_force_topk(
     # pair instead of dot + 2 norm passes (same float-op order → identical
     # doubles as the inline form: dot / (q_norm * c_norm))
     q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(emb_col).alias("__qv"),
-        l2_norm(F.col(emb_col)).alias("__qn"),
-    )
+        F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = widen(corpus).select(
-        F.col(id_col),
-        F.col(emb_col).alias("__cv"),
-        l2_norm(F.col(emb_col)).alias("__cn"),
-    )
+        F.col(id_col), dvec(F.col(emb_col)).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
         "query_id",
         id_col,
@@ -237,11 +242,12 @@ def ivf_topk(
 
     c = (
         widen(corpus)
+        .select(F.col(id_col), dvec(F.col(emb_col)).alias("__cv"))
         .select(
-            F.col(id_col),
-            F.col(emb_col).alias("__cv"),
-            l2_norm(F.col(emb_col)).alias("__cn"),
-            _centroid_dots(F.col(emb_col), cents).alias("__d"),
+            id_col,
+            "__cv",
+            l2_norm(F.col("__cv")).alias("__cn"),
+            _centroid_dots(F.col("__cv"), cents).alias("__d"),
         )
         .select(
             id_col,
@@ -259,11 +265,12 @@ def ivf_topk(
         ),
     )
     q = (
-        queries.select(
-            F.col(qid).alias("query_id"),
-            F.col(emb_col).alias("__qv"),
-            l2_norm(F.col(emb_col)).alias("__qn"),
-            _centroid_dots(F.col(emb_col), cents).alias("__d"),
+        queries.select(F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv"))
+        .select(
+            "query_id",
+            "__qv",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            _centroid_dots(F.col("__qv"), cents).alias("__d"),
         )
         .withColumn("__probe_s", F.explode(F.slice(F.array_sort(entries), 1, n_probe)))
         .select(
@@ -316,15 +323,11 @@ def lsh_bucket_topk(
     """
     qid = query_id_col or id_col
     c = widen(corpus).select(
-        F.col(id_col),
-        F.col(emb_col).alias("__cv"),
-        rh_signature(F.col(emb_col), dim, bits).alias("__sig"),
-    )
+        F.col(id_col), dvec(F.col(emb_col)).alias("__cv")
+    ).withColumn("__sig", rh_signature(F.col("__cv"), dim, bits))
     q_base = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(emb_col).alias("__qv"),
-        rh_signature(F.col(emb_col), dim, bits).alias("__qsig"),
-    )
+        F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv")
+    ).withColumn("__qsig", rh_signature(F.col("__qv"), dim, bits))
     # multiprobe: also probe buckets at Hamming distance 1 (flip each bit)
     probes = [F.col("__qsig")]
     if multiprobe >= 1:
