@@ -706,6 +706,40 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone numbers → typed placeholders)
+    over text with synthetic per-row PII appended, verified via md5 of the
+    redacted output."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@mail.example.com"),
+        F.lit(" at +1 415 555 01"), did,
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id", F.md5(tx.redact_pii(with_pii)).alias("redacted_md5")
+    )
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: top-token and top-bigram fractions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.repetition_profile(docs)
+
+
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group clustering: MinHash-LSH pairs → exact Jaccard verify →
+    connected components (iterative min-label propagation + pointer
+    jumping); every clustered doc labeled with its component's min id."""
+    from metadata_driven_data_pipeline_spark.operators import clustering as cl
+
+    return cl.neardup_groups(
+        _aug_docs(spark, sf_dir), num_hashes=16, bands=4, jaccard_threshold=0.7
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas; rows-only check — not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -1429,6 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "corpus_clean": q_corpus_clean,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "pii_redact": q_pii_redact,
+        "repetition_profile": q_repetition_profile,
+        "neardup_groups": q_neardup_groups,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "conditional_agg": q_conditional_agg,
@@ -2008,6 +2045,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                list_min(list_transform({sh5_raw}, s -> {_sql_h60('s')})) AS rfp
         FROM s
+    """
+
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip_pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    phone_pat = "\\+\\d[\\d ()-]{6,}\\d"
+    pii_src = (
+        "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'"
+        " || ' at +1 415 555 01' || doc_id::VARCHAR"
+        " || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    )
+    sql["pii_redact"] = f"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace({pii_src},
+                   '{email_pat}', '<EMAIL>', 'g'),
+                   '{ip_pat}', '<IP>', 'g'),
+                   '{phone_pat}', '<PHONE>', 'g')) AS redacted_md5
+        FROM documents
+    """
+
+    bigrams_sql = (
+        "CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+        "ELSE [] END"
+    )
+    sql["repetition_profile"] = f"""
+        WITH s AS (SELECT doc_id, {toks_norm} AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS g FROM s),
+             tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             tf AS (SELECT doc_id, round(MAX(c) / SUM(c), 6) AS top_token_frac
+                    FROM tc GROUP BY doc_id),
+             bi AS (SELECT doc_id, unnest({bigrams_sql}) AS g FROM s),
+             bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+             bf AS (SELECT doc_id, round(MAX(c) / SUM(c), 6) AS top_bigram_frac
+                    FROM bc GROUP BY doc_id)
+        SELECT s.doc_id, len(s.toks) AS n_tokens,
+               tf.top_token_frac, bf.top_bigram_frac
+        FROM s LEFT JOIN tf ON s.doc_id = tf.doc_id
+               LEFT JOIN bf ON s.doc_id = bf.doc_id
+    """
+
+    sql["neardup_groups"] = f"""
+        WITH RECURSIVE aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             shs AS (SELECT doc_id, {sh3} AS sh FROM s),
+             hsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM shs),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM hsh),
+             bands AS ({bands_sql}),
+             cand AS (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+             ex AS (
+                 SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM shs
+                 WHERE doc_id IN (SELECT id_a FROM cand
+                                  UNION SELECT id_b FROM cand)),
+             common AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na,
+                        b.ns AS nb, COUNT(*) AS c
+                 FROM ex a JOIN ex b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4),
+             verified AS (
+                 SELECT j.id_a, j.id_b
+                 FROM (SELECT id_a, id_b,
+                              round(c / (na + nb - c), 6) AS jac FROM common) j
+                 JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+                 WHERE j.jac >= 0.7),
+             edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                       UNION SELECT id_b, id_a FROM verified),
+             reach(id, lab) AS (
+                 SELECT u, u FROM edges
+                 UNION
+                 SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id)
+        SELECT id AS doc_id, MIN(lab) AS group_id FROM reach GROUP BY id
     """
 
     sql["multimodal_frames"] = """

@@ -162,6 +162,81 @@ def rolling_fingerprint(text: Column, n: int = 5) -> Column:
     return F.array_min(hashes)
 
 
+# PII redaction patterns. Kept inside the shared Java-regex/RE2 subset
+# (no backrefs or lookaround) so a DuckDB oracle reproduces the output
+# bit-for-bit. Order matters: emails contain dots+digits, so they are
+# scrubbed before IPs/phones can partially match inside them.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d ()-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and international-format phone numbers,
+    replacing each with a typed placeholder. Pure projection (JVM regex,
+    whole-stage codegen) — linear scan, no shuffle, safe at any scale."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent word pairs from a token array (empty below 2 tokens)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: the fraction of
+    tokens taken by the most frequent token, and the fraction of bigrams
+    taken by the most frequent bigram. High values flag boilerplate /
+    degenerate documents for corpus filtering.
+
+    Shape: explode → per-(doc, gram) hash count → per-doc max/sum — two
+    hash-aggregate shuffles keyed by doc id, fully parallel and map-side
+    combinable; no window over the whole corpus and no Python in the loop.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("__toks")
+    )
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        per_gram = (
+            grams.select(F.col(id_col), F.explode("__g").alias("__gram"))
+            .groupBy(id_col, "__gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        return per_gram.groupBy(id_col).agg(
+            F.round(F.max("__c") / F.sum("__c"), 6).alias(out)
+        )
+
+    tok_frac = top_frac(
+        toks.select(F.col(id_col), F.col("__toks").alias("__g")), "top_token_frac"
+    )
+    bi_frac = top_frac(
+        toks.select(F.col(id_col), bigrams(F.col("__toks")).alias("__g")),
+        "top_bigram_frac",
+    )
+    counts = toks.select(
+        F.col(id_col), F.size("__toks").alias("n_tokens")
+    )
+    return (
+        counts.join(tok_frac, id_col, "left")
+        .join(bi_frac, id_col, "left")
+        .select(id_col, "n_tokens", "top_token_frac", "top_bigram_frac")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",

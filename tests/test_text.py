@@ -99,3 +99,53 @@ def test_text_profile_runs_on_real_docs(spark, docs):
     assert row["n_chars_computed"] == row["n_chars"]
     assert 0 <= row["quality_score"] <= 1
     assert len(row["fingerprint"]) == 32
+
+
+class TestRedactPII:
+    def test_email(self, spark):
+        assert (
+            one(spark, "mail me at jo.doe+x@sub.example.co today", X.redact_pii)
+            == "mail me at <EMAIL> today"
+        )
+
+    def test_ipv4(self, spark):
+        assert one(spark, "host 192.168.0.1 down", X.redact_pii) == "host <IP> down"
+
+    def test_phone(self, spark):
+        assert (
+            one(spark, "call +1 (415) 555-0134 now", X.redact_pii)
+            == "call <PHONE> now"
+        )
+
+    def test_email_before_ip_ordering(self, spark):
+        # digits+dots inside an email must not leak a partial <IP> match
+        assert one(spark, "a 1.2.3.4@x.example.com b", X.redact_pii) == "a <EMAIL> b"
+
+    def test_clean_text_untouched(self, spark):
+        s = "no pii here, just words and 42 numbers"
+        assert one(spark, s, X.redact_pii) == s
+
+
+class TestRepetition:
+    def test_bigrams(self, spark):
+        df = spark.createDataFrame([Row(t="a b c")])
+        out = df.select(X.bigrams(X.tokens(F.col("t"))).alias("g")).collect()[0]["g"]
+        assert out == ["a b", "b c"]
+
+    def test_bigrams_short(self, spark):
+        df = spark.createDataFrame([Row(t="solo")])
+        out = df.select(X.bigrams(X.tokens(F.col("t"))).alias("g")).collect()[0]["g"]
+        assert out == []
+
+    def test_repetition_profile_values(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="x y z w")]
+        )
+        rows = {r["doc_id"]: r for r in X.repetition_profile(df).collect()}
+        # doc 1: "a" is 3/4 tokens; bigrams [a a, a a, a b] -> top 2/3
+        assert rows[1]["n_tokens"] == 4
+        assert rows[1]["top_token_frac"] == 0.75
+        assert abs(rows[1]["top_bigram_frac"] - round(2 / 3, 6)) < 1e-9
+        # doc 2: all distinct -> 1/4 and 1/3
+        assert rows[2]["top_token_frac"] == 0.25
+        assert abs(rows[2]["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
