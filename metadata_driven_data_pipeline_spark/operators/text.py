@@ -205,9 +205,25 @@ def repetition_profile(
     Shape: explode → per-(doc, gram) hash count → per-doc max/sum — two
     hash-aggregate shuffles keyed by doc id, fully parallel and map-side
     combinable; no window over the whole corpus and no Python in the loop.
+
+    The token-array projection is persisted: it feeds three branches
+    (counts, token fractions, bigram fractions), and — critically — without
+    materialization Catalyst collapses it into :func:`bigrams`, whose
+    dynamic ``toks[i]`` lambda accesses then re-evaluate the underlying
+    ``split`` once per element → O(n²) work per document (measured 36 s vs
+    2.3 s at sf0.1). Catalyst does not CSE inside higher-order functions.
     """
-    toks = df.select(
-        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("__toks")
+    from pyspark import StorageLevel
+
+    from .partitioning import widen
+
+    toks = (
+        widen(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            tokens(normalize_text(F.col(text_col))).alias("__toks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def top_frac(grams: DataFrame, out: str) -> DataFrame:
