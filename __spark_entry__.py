@@ -729,6 +729,13 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_profile(docs)
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by TF-IDF (rational idf
+    (N+1)/(df+1) — IEEE-exact, so ranks hash-match the SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.tfidf_topterms(docs, k=3)
+
+
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-group clustering: MinHash-LSH pairs → exact Jaccard verify →
     connected components (iterative min-label propagation + pointer
@@ -1465,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "pii_redact": q_pii_redact,
         "repetition_profile": q_repetition_profile,
+        "tfidf_topterms": q_tfidf_topterms,
         "neardup_groups": q_neardup_groups,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2083,6 +2091,26 @@ def oracle_sql() -> dict[str, str]:
                tf.top_token_frac, bf.top_bigram_frac
         FROM s LEFT JOIN tf ON s.doc_id = tf.doc_id
                LEFT JOIN bf ON s.doc_id = bf.doc_id
+    """
+
+    sql["tfidf_topterms"] = f"""
+        WITH s AS (SELECT doc_id, {toks_norm} AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM s),
+             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             n AS (SELECT COUNT(*) AS nd FROM s),
+             scored AS (
+                 SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                        tf.tf * ((n.nd + 1)::DOUBLE / (dft.df + 1)::DOUBLE)
+                            AS score
+                 FROM tf JOIN dft USING (term) CROSS JOIN n),
+             ranked AS (
+                 SELECT doc_id, term, tf, df, round(score, 6) AS score,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC)
+                            AS rank
+                 FROM scored)
+        SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
     """
 
     sql["neardup_groups"] = f"""

@@ -253,6 +253,61 @@ def repetition_profile(
     )
 
 
+def tfidf_topterms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``log_idf=False`` (default) scores ``tf · (N+1)/(df+1)`` — a rarity
+    ratio using only IEEE +,*,/ (correctly rounded ⇒ bit-identical across
+    engines, so a SQL oracle can hash-match ranks). ``log_idf=True`` gives
+    the classic ``tf · ln((N+1)/(df+1))``; ``ln`` is only 1-ulp-accurate
+    per libm, so cross-engine rank parity is not guaranteed.
+
+    Shape: explode → (doc, term) counts → per-term doc-frequency aggregate
+    joined back on term → per-doc top-k window. The doc-frequency relation
+    is |vocabulary|-sized — small relative to the corpus, so at scale the
+    term join is a broadcast; N is a driver-side scalar (single aggregate).
+    Ties rank alphabetically (deterministic total order).
+    """
+    from .partitioning import widen
+
+    toks = widen(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("__toks")
+    )
+    n_docs = toks.count()
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ratio = (F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))
+    idf = F.log(ratio) if log_idf else ratio
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "score", F.col("tf") * idf
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",

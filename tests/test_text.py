@@ -149,3 +149,34 @@ class TestRepetition:
         # doc 2: all distinct -> 1/4 and 1/3
         assert rows[2]["top_token_frac"] == 0.25
         assert abs(rows[2]["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+class TestTfidf:
+    def test_rare_term_ranks_first(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="common rare rare"),
+                Row(doc_id=2, text="common common common"),
+                Row(doc_id=3, text="common unique"),
+            ]
+        )
+        out = X.tfidf_topterms(df, k=2).collect()
+        top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+        # "rare"/"unique" appear in 1 doc (df=1), "common" in 3 (df=4 ratio)
+        assert top[1] == "rare"
+        assert top[3] == "unique"
+        assert top[2] == "common"
+        r1 = [r for r in out if r["doc_id"] == 1 and r["rank"] == 1][0]
+        # tf=2, N=3, df=1 -> score = 2 * 4/2 = 4.0
+        assert r1["tf"] == 2 and r1["df"] == 1 and r1["score"] == 4.0
+
+    def test_k_bounds_and_tiebreak(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="b a b a")])
+        out = X.tfidf_topterms(df, k=5).collect()
+        # equal scores -> alphabetical order
+        assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] == ["a", "b"]
+
+    def test_log_idf_variant_runs(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="x y"), Row(doc_id=2, text="x")])
+        out = X.tfidf_topterms(df, k=1, log_idf=True).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
