@@ -1421,6 +1421,199 @@ def _sql_rh_sig(v: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# --------------------------------------------------------------------------
+# Multi-nation trade / market-share / profit shapes (TPC-H Q7/Q8/Q9/Q14/Q15
+# analogues over the testdata join graph; no partsupp table exists, so the
+# supplier↔part links go through lineitem and Q9's supplycost term uses
+# p_retailprice)
+# --------------------------------------------------------------------------
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations, both directions,
+    by year. Exercises the same dimension table joined twice under different
+    roles (supplier nation vs customer nation) plus a disjunctive cross-alias
+    predicate. Both nation sides are pre-filtered to the two names before the
+    join (semi-join pruning) and broadcast."""
+    n1, n2 = "NATION_1", "NATION_2"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of revenue among orders placed by
+    EUROPE customers, per order year — a nested-aggregate ratio (conditional
+    sum over total sum) after a 6-table join."""
+    target = "NATION_3"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    promo = F.when(F.col("supp_nation") == target, _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(promo).cast("double") / F.sum(_revenue()).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(_revenue()).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus retail cost of goods) on 'red'
+    parts by supplier nation and ship year. All money math stays in exact
+    DECIMAL until the final cast; part/supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_revenue() - cost).cast("double").alias("profit"))
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from PROMO-type parts per ship
+    month of 1997 — a join-then-global-ratio aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            F.round(
+                F.sum(promo).cast("double")
+                * F.lit(100.0)
+                / F.sum(_revenue()).cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum shipped revenue in
+    1997H1 — aggregate, then a scalar-max subquery joined back (broadcast of
+    a 1-row aggregate, not a single-partition window)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking + k-means (LLM-pipeline extension surface)
+# --------------------------------------------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks advancing by 48 tokens (16
+    overlap) per document — shuffle-free tokenize→explode→slice."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.chunk_documents(docs, chunk_size=64, stride=48)
+
+
+def _kmeans_inputs(spark: SparkSession, sf_dir: str):
+    from metadata_driven_data_pipeline_spark.operators import clustering as cl
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    return cl, emb, centroids
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, 8 seed centroids =
+    embeddings vec_id<8): broadcast the k-row centroid table, score k
+    candidates per vector map-side, argmin via one |vectors|-sized agg."""
+    cl, emb, centroids = _kmeans_inputs(spark, sf_dir)
+    out = cl.kmeans_assign(emb, centroids)
+    return out.select("vec_id", "cluster_id", F.round("dist2", 6).alias("dist2"))
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration's centroid update in long form (cluster, dim,
+    mean): posexplode members → hash agg with map-side combine, so the
+    shuffle carries k × dim groups, not |vectors| × dim rows. Means use
+    exact DECIMAL sums — partition-order independent."""
+    cl, emb, centroids = _kmeans_inputs(spark, sf_dir)
+    assignment = cl.kmeans_assign(emb, centroids)
+    means = cl.kmeans_update(emb, assignment)
+    return means.select(
+        "cluster_id",
+        "dim",
+        F.round("centroid_val", 6).alias("centroid_val"),
+        "n_members",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1499,6 +1692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "order_percent_rank": q_order_percent_rank,
         "corr_stats": q_corr_stats,
+        "nation_trade_flows": q_nation_trade_flows,
+        "market_share": q_market_share,
+        "profit_by_nation_year": q_profit_by_nation_year,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "doc_chunks": q_doc_chunks,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_step": q_kmeans_step,
     }
 
 
@@ -2403,6 +2604,149 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS BIGINT) AS n_rows
         FROM m
     """
+
+    sql["nation_trade_flows"] = f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(rev) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year, {_REVENUE_SQL} AS rev
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        GROUP BY supp_nation, cust_nation, l_year
+    """
+
+    sql["market_share"] = f"""
+        SELECT o_year,
+               round(CAST(SUM(promo) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+                   AS mkt_share,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM (
+            SELECT year(o_orderdate) AS o_year, {_REVENUE_SQL} AS rev,
+                   CASE WHEN n1.n_name = 'NATION_3' THEN {_REVENUE_SQL}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END AS promo
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01')
+        GROUP BY o_year
+    """
+
+    sql["profit_by_nation_year"] = f"""
+        SELECT nation, l_year, CAST(SUM(amount) AS DOUBLE) AS profit
+        FROM (
+            SELECT n_name AS nation, year(l_shipdate) AS l_year,
+                   {_REVENUE_SQL}
+                   - CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%')
+        GROUP BY nation, l_year
+    """
+
+    sql["promo_revenue_share"] = f"""
+        SELECT month(l_shipdate) AS l_month,
+               round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     * 100.0
+                     / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS promo_share,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY month(l_shipdate)
+    """
+
+    sql["top_supplier_revenue"] = f"""
+        WITH r AS (
+            SELECT l_suppkey, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-07-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM r JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+    """
+
+    doc_toks = _sql_toks("text")
+    sql["doc_chunks"] = f"""
+        WITH s AS (
+            SELECT doc_id, {doc_toks} AS toks FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 64 THEN 1
+                        ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+                   END AS n_chunks
+            FROM s),
+        e AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0, n_chunks)) AS chunk_idx
+            FROM c)
+        SELECT doc_id, chunk_idx,
+               len(list_slice(toks, chunk_idx * 48 + 1,
+                              least(chunk_idx * 48 + 64, n))) AS chunk_len,
+               md5(array_to_string(
+                   list_slice(toks, chunk_idx * 48 + 1,
+                              least(chunk_idx * 48 + 64, n)), ' ')) AS chunk_hash
+        FROM e
+    """
+
+    km_d2 = (
+        f"list_sum(list_transform(range(0, {EMB_DIM}), "
+        "i -> (e.embedding[i+1]::DOUBLE - c.cemb[i+1]::DOUBLE) "
+        "* (e.embedding[i+1]::DOUBLE - c.cemb[i+1]::DOUBLE)))"
+    )
+    km_assign = f"""
+        WITH c AS (SELECT vec_id AS cluster_id, embedding AS cemb
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT e.vec_id, c.cluster_id, {km_d2} AS d2
+              FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, cluster_id, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster_id) AS rn
+              FROM d)
+    """
+    sql["kmeans_assign"] = (
+        km_assign
+        + "SELECT vec_id, cluster_id, round(d2, 6) AS dist2 FROM a WHERE rn = 1"
+    )
+
+    sql["kmeans_step"] = (
+        km_assign
+        + f"""
+        , m AS (
+            SELECT a.cluster_id,
+                   unnest(list_transform(range(0, {EMB_DIM}),
+                       i -> {{'dim': i, 'val': e.embedding[i+1]::DOUBLE}})) AS u
+            FROM embeddings e
+            JOIN a ON a.vec_id = e.vec_id AND a.rn = 1
+        ), mm AS (SELECT cluster_id, u.dim AS dim, u.val AS val FROM m)
+        SELECT cluster_id, dim,
+               round(CAST(SUM(CAST(val AS DECIMAL(28,15))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid_val,
+               COUNT(*) AS n_members
+        FROM mm GROUP BY cluster_id, dim
+    """
+    )
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
     # (driver records rows-only check).

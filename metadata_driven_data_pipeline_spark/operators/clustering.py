@@ -30,7 +30,7 @@ for iterate-until-fixpoint (same structure GraphX/GraphFrames uses).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,3 +129,173 @@ def neardup_groups(
     return connected_components(
         verified, out_id=id_col, group_col="group_id"
     )
+
+
+# --------------------------------------------------------------------------
+# K-means over embedding columns (centroid assign / update / fit)
+# --------------------------------------------------------------------------
+#
+# Not in the reference (no vector ops of any kind); this is the clustering
+# primitive a training-data pipeline needs for corpus curation (topic
+# balancing, SemDeDup-style pruning, IVF coarse quantizers). Spark-first
+# shape: the centroid table is tiny (k rows) and is BROADCAST to every
+# executor; assignment is then a map-side-only broadcast nested-loop over
+# k candidates per row — no shuffle of the (huge) embedding table at all.
+# The update step shuffles only (k × dim) partial sums thanks to map-side
+# combine on the hash aggregate, and uses exact DECIMAL sums so centroid
+# means are independent of partition/merge order (bit-reproducible across
+# cluster sizes).
+
+
+def _sq_l2(a, b):
+    """Sequential-fold squared L2 distance between two array<double> cols —
+    same evaluation order as DuckDB's list_sum(list_transform(...)), so
+    results are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties broken
+    by lowest centroid id).
+
+    Returns ``(id_col, cluster_id, dist2)``. The centroid side is broadcast,
+    so the big side is never shuffled: the plan is scan → broadcast NL join
+    (k rows per vector) → hash agg on ``id_col`` with map-side combine. At
+    100 TB the only shuffle is the final per-vector argmin agg, sized
+    |vectors|, not |vectors| × k.
+    """
+    from .similarity import dvec
+
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        dvec(F.col(centroid_vec_col)).alias("__cvec"),
+    )
+    scored = (
+        emb.select(F.col(id_col), dvec(F.col(vec_col)).alias("__v"))
+        .join(F.broadcast(c))
+        .select(
+            id_col,
+            F.col("__cid"),
+            _sq_l2(F.col("__v"), F.col("__cvec")).alias("__d2"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.__cid").alias(centroid_id_col),
+        F.col("__best.__d2").alias("dist2"),
+    )
+
+
+def kmeans_update(
+    emb: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+) -> DataFrame:
+    """One Lloyd update: per-cluster per-dimension mean of member vectors.
+
+    Returns long-form ``(cluster_id, dim, centroid_val, n_members)`` — one
+    row per (cluster, dimension). Sums are exact DECIMAL(28,15), so the
+    result is independent of row/partition order (doubles would drift with
+    partitioning). The explode produces |vectors| × dim rows but they feed
+    straight into a partial (map-side) aggregate, so the shuffle carries
+    only k × dim groups.
+    """
+    from .similarity import dvec
+
+    member_vecs = (
+        emb.select(F.col(id_col), dvec(F.col(vec_col)).alias("__v"))
+        .join(assignment.select(id_col, centroid_id_col), id_col)
+        .select(centroid_id_col, F.posexplode("__v").alias("dim", "__val"))
+    )
+    return member_vecs.groupBy(centroid_id_col, "dim").agg(
+        (
+            F.sum(F.col("__val").cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Iterative Lloyd's k-means: deterministic seeding (the k lowest-id
+    vectors), assign → update until assignments stop changing or
+    ``max_iter``. Returns the final assignment ``(id_col, cluster_id,
+    dist2)``.
+
+    Each iteration is one broadcast-assign pass over the data plus one
+    k × dim-group aggregate; the centroid table is collected to the driver
+    (k × dim doubles — bytes, not data-scale) and re-broadcast, which is the
+    standard Spark iterative-ML shape (same as MLlib KMeans). Lineage is cut
+    per round with localCheckpoint to keep Catalyst plans bounded.
+    """
+    from .similarity import dvec
+
+    base = emb.select(F.col(id_col), dvec(F.col(vec_col)).alias("embedding"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "cluster_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    prev = None
+    for _ in range(max_iter):
+        assignment = kmeans_assign(
+            base, centroids, id_col=id_col, vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            changed = (
+                assignment.alias("n")
+                .join(prev.alias("o"), id_col)
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+        prev = assignment
+        means = kmeans_update(
+            base, assignment, id_col=id_col, vec_col="embedding"
+        )
+        rows = means.collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r[
+                "centroid_val"
+            ]
+        spark = emb.sparkSession
+        centroids = spark.createDataFrame(
+            [
+                (cid, [vals[d] for d in sorted(vals)])
+                for cid, vals in sorted(by_cluster.items())
+            ],
+            "cluster_id INT, centroid ARRAY<DOUBLE>",
+        )
+    base.unpersist()
+    return prev if prev is not None else assignment

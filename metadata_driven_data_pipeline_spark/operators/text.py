@@ -353,3 +353,57 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_md5(t),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size chunks with
+    overlap (``chunk_size`` tokens per chunk, window advancing by
+    ``stride``; ``chunk_size - stride`` tokens of overlap) — the standard
+    context-window chunking pass before embedding/training.
+
+    Returns ``(id_col, chunk_idx, chunk_len, chunk_hash)`` — one row per
+    chunk; ``chunk_hash`` is the md5 of the space-joined chunk tokens.
+    Documents with no tokens produce no rows; every token of a non-empty
+    document is covered by at least one chunk (the last chunk may be
+    shorter than ``chunk_size``).
+
+    Scale shape: pure narrow ops — tokenize → per-row chunk-count →
+    explode → slice. No shuffle at all; output partitioning inherits the
+    input, and the explode fan-out is bounded by tokens/stride per row.
+    Not in the reference (no text ops); extension surface per SURVEY §2.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    n_chunks = F.when(F.col("__n") <= chunk_size, F.lit(1)).otherwise(
+        (
+            F.lit(1)
+            + F.ceil(
+                (F.col("__n") - F.lit(chunk_size)) / F.lit(stride)
+            )
+        ).cast("int")
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, F.lit(chunk_size)
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
