@@ -1568,6 +1568,106 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in 1997
+    — join-agg then global top-k with a total order (TakeOrderedAndProject,
+    no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts (including
+    zero-order customers) — LEFT join with the filter on the right side, a
+    per-key count, then a count-of-counts histogram (two agg levels)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of their part's average quantity, per brand — a per-group average joined
+    back against the rows that formed it. The per-part threshold is derived
+    from exact DECIMAL sums so the comparison is engine-independent."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to the lineitem-mediated part↔supplier
+    link): suppliers who shipped more than half of a red part's total 1997
+    volume — per-(part,supplier) agg, per-part total, a group-threshold
+    semi-join back, then DISTINCT suppliers."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    totals = ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = ps.join(totals, F.col("l_partkey") == F.col("t_partkey")).filter(
+        F.col("supp_qty") * F.lit(2) > F.col("part_qty")
+    )
+    return (
+        dominant.select("l_suppkey")
+        .distinct()
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # Document chunking + k-means (LLM-pipeline extension surface)
 # --------------------------------------------------------------------------
@@ -1697,6 +1797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profit_by_nation_year": q_profit_by_nation_year,
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier_revenue": q_top_supplier_revenue,
+        "returned_item_customers": q_returned_item_customers,
+        "order_count_distribution": q_order_count_distribution,
+        "small_qty_order_revenue": q_small_qty_order_revenue,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
         "doc_chunks": q_doc_chunks,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_step": q_kmeans_step,
@@ -2684,6 +2788,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT s_suppkey, s_name, total_revenue
         FROM r JOIN supplier ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+    """
+
+    sql["returned_item_customers"] = f"""
+        SELECT c_custkey, c_name, n_name AS nation,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+    sql["order_count_distribution"] = """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+        GROUP BY c_count
+    """
+
+    sql["small_qty_order_revenue"] = """
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        t AS (
+            SELECT l_partkey AS t_partkey,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*)) AS qty_threshold
+            FROM li GROUP BY l_partkey)
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS small_qty_revenue,
+               COUNT(*) AS n_lines
+        FROM li JOIN t ON l_partkey = t_partkey
+        WHERE l_quantity < qty_threshold
+        GROUP BY p_brand
+    """
+
+    sql["dominant_part_suppliers"] = """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey),
+        t AS (
+            SELECT l_partkey AS t_partkey, SUM(supp_qty) AS part_qty
+            FROM ps GROUP BY l_partkey)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM ps
+        JOIN t ON l_partkey = t_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty * 2 > part_qty
     """
 
     doc_toks = _sql_toks("text")
