@@ -1714,6 +1714,47 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed exact-cosine near-dup pairs (≥ 0.8) over
+    the augmented embeddings — all-pairs only WITHIN each of 8 centroid
+    buckets (Σ|cluster|² work instead of n²); cross-bucket pairs are missed
+    by design and the oracle reproduces the same bucketing."""
+    from metadata_driven_data_pipeline_spark.operators import clustering as cl  # noqa: F401
+
+    emb = _aug_embeddings(spark, sf_dir)
+    centroids = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    return sim.semdedup_pairs(emb, centroids, threshold=0.8)
+
+
+def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify/resample: per-user contiguous hourly purchase
+    grid (zero-filled) between each user's first and last purchase —
+    sequence+explode generates the grid, a left join places observations."""
+    from metadata_driven_data_pipeline_spark.operators import timeseries as ts
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+    )
+    return ts.gap_fill(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        agg={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double"),
+        },
+    ).select(
+        "user_id",
+        "bucket_ts",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1804,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_step": q_kmeans_step,
+        "semdedup_pairs": q_semdedup_pairs,
+        "hourly_gap_fill": q_hourly_gap_fill,
     }
 
 
@@ -2915,6 +2958,52 @@ def oracle_sql() -> dict[str, str]:
         FROM mm GROUP BY cluster_id, dim
     """
     )
+
+    aug_d2 = (
+        f"list_sum(list_transform(range(0, {EMB_DIM}), "
+        "i -> (e.embedding[i+1]::DOUBLE - c.cemb[i+1]::DOUBLE) "
+        "* (e.embedding[i+1]::DOUBLE - c.cemb[i+1]::DOUBLE)))"
+    )
+    sql["semdedup_pairs"] = f"""
+        WITH aug AS ({_AUG_EMB_SQL}),
+        c AS (SELECT vec_id AS cluster_id, embedding AS cemb
+              FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT e.vec_id, c.cluster_id, {aug_d2} AS d2
+              FROM aug e CROSS JOIN c),
+        a AS (SELECT vec_id, cluster_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster_id) AS rn
+              FROM d),
+        m AS (SELECT aug.vec_id, aug.embedding, a.cluster_id
+              FROM aug JOIN a ON a.vec_id = aug.vec_id AND a.rn = 1)
+        SELECT cluster_id, id_a, id_b, cosine FROM (
+            SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
+                   {_sql_cosine64('x.embedding', 'y.embedding')} AS cosine
+            FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+                             AND x.vec_id < y.vec_id
+        ) WHERE cosine >= 0.8
+    """
+
+    sql["hourly_gap_fill"] = """
+        WITH ev AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, value
+            FROM events WHERE event_type = 'purchase' AND user_id < 30),
+        obs AS (
+            SELECT user_id, h, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM ev GROUP BY user_id, h),
+        bounds AS (
+            SELECT user_id, min(h) AS lo, max(h) AS hi FROM ev GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+            FROM bounds)
+        SELECT g.user_id, g.bucket_ts,
+               COALESCE(o.n_events, 0) AS n_events,
+               round(COALESCE(o.sum_value, 0), 6) AS sum_value
+        FROM grid g
+        LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.bucket_ts
+    """
 
     # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
     # (driver records rows-only check).

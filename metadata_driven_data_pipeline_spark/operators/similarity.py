@@ -352,3 +352,63 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: bucket every vector to its
+    nearest centroid (broadcast k-means assignment), then compute exact
+    cosine ONLY within buckets — pairs ``(cluster_id, id_a, id_b, cosine)``
+    with ``cosine >= threshold`` (rounded to 6, same convention as
+    ``dedup.embedding_neardup_pairs``).
+
+    This is the scale path for embedding dedup: the all-pairs O(n²) of the
+    brute-force verifier becomes Σ|cluster|² — with k sized so clusters are
+    ~√n, total work is ~n·√n and each cluster's pair generation is an
+    equi-join on cluster_id (no cross join). Pairs whose members land in
+    different clusters are missed by design (the SemDeDup trade-off:
+    abs. recall for a k-fold cost cut); raise k's granularity or multiprobe
+    to trade back. Reference has no vector ops — extension surface.
+    """
+    from .clustering import kmeans_assign
+
+    assigned = kmeans_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id")
+    withn = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            dvec(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .join(
+            assigned.select(F.col(id_col).alias("__id"), "cluster_id"), "__id"
+        )
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(
+                pair_dot / (F.col("a.__norm") * F.col("b.__norm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

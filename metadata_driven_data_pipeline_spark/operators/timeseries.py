@@ -1,0 +1,62 @@
+"""Time-series resampling: dense per-key time grids from sparse events.
+
+Not in the reference (purely batch row pipeline, no time ops beyond
+`to_date`); this is the standard gap-fill/resample shape analytics and
+feature pipelines need over event streams: aggregate events to a
+(key, bucket) grid, then densify so every key has a row for EVERY bucket
+between its first and last activity, zero-filled where nothing happened.
+
+Scale shape: one hash aggregate on (key, bucket), one tiny per-key bounds
+aggregate, a `sequence` + `explode` that fans each key out to its own time
+range (cost ∝ output rows, no shuffle beyond the join on (key, bucket)),
+and a left join to place the observed values. The dense grid is generated,
+never stored; skew follows the span of each key's activity, not data
+volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step: str = "1 hour",
+    agg: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Densify events into a contiguous per-key time grid.
+
+    ``agg`` maps output column name → aggregate expression evaluated per
+    (key, bucket); defaults to ``{"n_events": count(*)}``. Missing buckets
+    get 0 for counts/sums (``coalesce``). Returns
+    ``(key_col, bucket_ts, *agg_cols)``.
+    """
+    if agg is None:
+        agg = {"n_events": F.count(F.lit(1))}
+    if step != "1 hour":
+        raise NotImplementedError(
+            "only '1 hour' step is implemented; extend with window(ts, step)"
+        )
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    observed = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket_ts"))
+        .agg(*[expr.alias(name) for name, expr in agg.items()])
+    )
+    bounds = df.groupBy(key_col).agg(
+        F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("interval 1 hour"))
+        ).alias("bucket_ts"),
+    )
+    out = grid.join(observed, [key_col, "bucket_ts"], "left")
+    return out.select(
+        key_col,
+        "bucket_ts",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in agg],
+    )

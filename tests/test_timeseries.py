@@ -1,0 +1,60 @@
+"""gap_fill: dense per-key hourly grids from sparse events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators.timeseries import gap_fill
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+
+
+def test_fills_interior_gaps_with_zero(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    t3 = dt.datetime(2024, 1, 1, 13, 5)
+    out = gap_fill(
+        _ev(spark, [(1, t0, 2.0), (1, t3, 3.0)]), "user_id", "ts"
+    ).orderBy("bucket_ts").collect()
+    assert len(out) == 4  # 10:00 11:00 12:00 13:00
+    assert [r["n_events"] for r in out] == [1, 0, 0, 1]
+
+
+def test_single_event_single_bucket(spark):
+    out = gap_fill(
+        _ev(spark, [(1, dt.datetime(2024, 1, 1, 5, 59), 1.0)]), "user_id", "ts"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1
+
+
+def test_keys_do_not_leak(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 2, 0), 1.0),
+        (2, dt.datetime(2024, 1, 2, 0, 0), 1.0),
+    ]
+    out = gap_fill(_ev(spark, rows), "user_id", "ts").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 3  # 00,01,02
+    assert len(by_user[2]) == 1  # its own single hour, not user 1's range
+
+
+def test_custom_agg_zero_filled(spark):
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 30), 2.5),
+            (1, dt.datetime(2024, 1, 1, 2, 0), 1.5)]
+    out = gap_fill(
+        _ev(spark, rows), "user_id", "ts",
+        agg={"total": F.sum("value")},
+    ).orderBy("bucket_ts").collect()
+    assert [r["total"] for r in out] == [2.5, 0.0, 1.5]
+
+
+def test_non_hour_step_rejected(spark):
+    with pytest.raises(NotImplementedError):
+        gap_fill(_ev(spark, []), "user_id", "ts", step="5 minutes")
