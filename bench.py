@@ -49,6 +49,12 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "streaming_hourly_counts",
+    "nation_trade_flows",
+    "returned_item_customers",
+    "doc_chunks",
+    "kmeans_assign",
+    "semdedup_pairs",
+    "hourly_gap_fill",
 ]
 
 
