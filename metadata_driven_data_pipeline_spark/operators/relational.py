@@ -346,6 +346,99 @@ def _t_range_join(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
     return {ctx["name"]: out}
 
 
+# --- extension-op handlers (LLM-pipeline surface as metadata transforms) ----
+
+def _t_chunk(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    from .text import chunk_documents
+
+    df = _get(catalog, params["input"])
+    out = chunk_documents(
+        df,
+        text_col=params.get("textCol", "text"),
+        id_col=params.get("idCol", "doc_id"),
+        chunk_size=int(params.get("chunkSize", 128)),
+        stride=int(params.get("stride", 96)),
+    )
+    return {ctx["name"]: out}
+
+
+def _t_gap_fill(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    from .timeseries import gap_fill
+
+    df = _get(catalog, params["input"])
+    agg = None
+    if "aggregations" in params:
+        agg = {a["alias"]: F.expr(a["expr"]) for a in params["aggregations"]}
+    out = gap_fill(
+        df,
+        key_col=params["keyCol"],
+        ts_col=params["tsCol"],
+        step=params.get("step", "1 hour"),
+        agg=agg,
+    )
+    return {ctx["name"]: out}
+
+
+def _t_kmeans_assign(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    from .clustering import kmeans_assign
+
+    df = _get(catalog, params["input"])
+    centroids = _get(catalog, params["centroids"])
+    out = kmeans_assign(
+        df,
+        centroids,
+        id_col=params.get("idCol", "vec_id"),
+        vec_col=params.get("vecCol", "embedding"),
+        centroid_id_col=params.get("centroidIdCol", "cluster_id"),
+        centroid_vec_col=params.get("centroidVecCol", "centroid"),
+    )
+    return {ctx["name"]: out}
+
+
+def _t_semdedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    from .similarity import semdedup_pairs
+
+    df = _get(catalog, params["input"])
+    centroids = _get(catalog, params["centroids"])
+    out = semdedup_pairs(
+        df,
+        centroids,
+        threshold=float(params.get("threshold", 0.8)),
+        id_col=params.get("idCol", "vec_id"),
+        vec_col=params.get("vecCol", "embedding"),
+    )
+    return {ctx["name"]: out}
+
+
+def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    from .sampling import hash_sample, stratified_hash_sample, train_test_split
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "hash")
+    if mode == "hash":
+        out = hash_sample(
+            df, params["keyCol"], float(params["fraction"]),
+            salt=params.get("salt", "sample"),
+        )
+    elif mode == "stratified":
+        out = stratified_hash_sample(
+            df, params["keyCol"], params["stratumCol"],
+            {str(k): float(v) for k, v in params["fractions"].items()},
+            default_fraction=float(params.get("defaultFraction", 0.0)),
+            salt=params.get("salt", "stratified"),
+        )
+    elif mode == "split":
+        out = train_test_split(
+            df, params["keyCol"],
+            test_fraction=float(params.get("testFraction", 0.1)),
+            validation_fraction=float(params.get("validationFraction", 0.0)),
+            salt=params.get("salt", "split"),
+        )
+    else:
+        raise ValueError(f"unknown sample mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
 TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "add_fields": _t_add_fields,
     "validate_fields": _t_validate_fields,
@@ -362,6 +455,11 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "sql": _t_sql,
     "asof_join": _t_asof_join,
     "range_join": _t_range_join,
+    "chunk": _t_chunk,
+    "gap_fill": _t_gap_fill,
+    "kmeans_assign": _t_kmeans_assign,
+    "semdedup": _t_semdedup,
+    "sample": _t_sample,
 }
 
 
