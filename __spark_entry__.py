@@ -1668,6 +1668,78 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_important_part_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of the
+    GLOBAL total — per-key agg filtered against a broadcast 1-row global
+    scalar (HAVING with a scalar subquery). Value sums stay in exact
+    DECIMAL; the threshold compare runs in doubles derived identically in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("__val"))
+    total = per_part.agg(F.sum("__val").alias("__tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("__val").cast("double") * F.lit(2000.0)
+            > F.col("__tot").cast("double")
+        )
+        .select("l_partkey", F.col("__val").cast("double").alias("part_value"))
+    )
+
+
+def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    brand/size/quantity predicates spanning both join sides — Catalyst must
+    push the common partkey equi-condition into the join and keep the OR as
+    a post-join filter, with per-side prunable conjuncts extracted."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond1 | cond2)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame functions over the full partition: per user, the
+    first/last/second event type ordered by (ts, event_id) —
+    first_value/last_value/nth_value with an UNBOUNDED-to-UNBOUNDED rows
+    frame, reduced to one row per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_event"),
+            F.last_value("event_type").over(w).alias("last_event"),
+            F.nth_value("event_type", 2).over(w).alias("second_event"),
+            F.row_number().over(wn).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Document chunking + k-means (LLM-pipeline extension surface)
 # --------------------------------------------------------------------------
@@ -1847,6 +1919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "semdedup_pairs": q_semdedup_pairs,
         "hourly_gap_fill": q_hourly_gap_fill,
+        "important_part_volumes": q_important_part_volumes,
+        "brand_filter_revenue": q_brand_filter_revenue,
+        "user_first_last_events": q_user_first_last_events,
     }
 
 
@@ -2958,6 +3033,43 @@ def oracle_sql() -> dict[str, str]:
         FROM mm GROUP BY cluster_id, dim
     """
     )
+
+    sql["important_part_volumes"] = f"""
+        WITH pp AS (
+            SELECT l_partkey, SUM({_REVENUE_SQL}) AS val
+            FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT SUM(val) AS tot FROM pp)
+        SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM pp, t
+        WHERE CAST(val AS DOUBLE) * 2000.0 > CAST(tot AS DOUBLE)
+    """
+
+    sql["brand_filter_revenue"] = f"""
+        SELECT p_brand,
+               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 30)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+        GROUP BY p_brand
+    """
+
+    sql["user_first_last_events"] = """
+        SELECT user_id, first_event, last_event, second_event FROM (
+            SELECT user_id,
+                   first_value(event_type) OVER w AS first_event,
+                   last_value(event_type) OVER w AS last_event,
+                   nth_value(event_type, 2) OVER w AS second_event,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        ) WHERE rn = 1
+    """
 
     aug_d2 = (
         f"list_sum(list_transform(range(0, {EMB_DIM}), "
