@@ -386,6 +386,9 @@ def semdedup_pairs(
             dvec(F.col(vec_col)).alias("__v"),
         )
         .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        # cosine is undefined for zero vectors; drop them rather than
+        # divide by zero (ANSI mode throws)
+        .filter(F.col("__norm") > 0)
         .join(
             assigned.select(F.col(id_col).alias("__id"), "cluster_id"), "__id"
         )
@@ -411,4 +414,43 @@ def semdedup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_auto(
+    emb: DataFrame,
+    bucket_size: int = 512,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "semdedup-centroids",
+) -> DataFrame:
+    """:func:`semdedup_pairs` with centroid count scaled to the corpus:
+    k = max(1, n / bucket_size), so expected bucket size stays constant and
+    total pair work is Σ|bucket|² ≈ n · bucket_size — LINEAR in n. (Fixed k
+    or k=√n both leave a quadratic residue; see the scale probe in
+    BASELINE.md.)
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (md5-keyed, no RNG): same corpus → same centroids → reproducible
+    buckets and pairs. One extra ``count()`` action sizes k.
+    """
+    from .sampling import hash_draw, _BUCKETS
+
+    n = emb.count()
+    k = max(1, n // max(1, bucket_size))
+    if k >= n:
+        k = max(1, n)
+    frac_threshold = int(round(min(1.0, (2.0 * k) / max(1, n)) * _BUCKETS))
+    sampled = (
+        emb.filter(hash_draw(F.col(id_col), salt) < F.lit(frac_threshold))
+        .orderBy(id_col)
+        .limit(k)
+    )
+    centroids = sampled.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+    return semdedup_pairs(
+        emb, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
     )

@@ -41,3 +41,21 @@ def test_threshold_filters(spark):
     assert semdedup_pairs(emb, cents, threshold=0.5).count() == 0
     out = semdedup_pairs(emb, cents, threshold=0.0).collect()
     assert len(out) == 1 and out[0]["cosine"] == 0.0
+
+
+def test_semdedup_auto_deterministic_and_linear_k(spark):
+    from metadata_driven_data_pipeline_spark.operators.similarity import (
+        semdedup_auto,
+    )
+
+    emb = _emb(
+        spark,
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(200)],
+    )
+    a = {(r["id_a"], r["id_b"]) for r in semdedup_auto(emb, bucket_size=20,
+                                                        threshold=0.999).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in semdedup_auto(emb, bucket_size=20,
+                                                        threshold=0.999).collect()}
+    assert a == b  # same corpus -> same centroids -> same pairs
+    # identical-direction vectors within a bucket are found
+    assert len(a) > 0
