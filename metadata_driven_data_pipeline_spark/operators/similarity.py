@@ -392,6 +392,10 @@ def semdedup_pairs(
         .join(
             assigned.select(F.col(id_col).alias("__id"), "cluster_id"), "__id"
         )
+        # Both sides of the pair self-join read this projection; without
+        # persist each side recomputes the whole assignment lineage
+        # (scan → broadcast centroid scoring → argmin agg → join).
+        .persist()
     )
     a, b = withn.alias("a"), withn.alias("b")
     pair_dot = F.aggregate(
