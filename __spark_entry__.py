@@ -1715,6 +1715,26 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_late_ship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many 1997 orders have at
+    least one lineitem shipped more than 30 days after the order date —
+    EXISTS (left-semi join) feeding an aggregate, the semi side pruned
+    before the join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
 def q_user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic frame functions over the full partition: per user, the
     first/last/second event type ordered by (ts, event_id) —
@@ -1922,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_volumes": q_important_part_volumes,
         "brand_filter_revenue": q_brand_filter_revenue,
         "user_first_last_events": q_user_first_last_events,
+        "priority_late_ship_counts": q_priority_late_ship_counts,
     }
 
 
@@ -3054,6 +3075,18 @@ def oracle_sql() -> dict[str, str]:
            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 40)
         GROUP BY p_brand
+    """
+
+    sql["priority_late_ship_counts"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
     """
 
     sql["user_first_last_events"] = """

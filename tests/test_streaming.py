@@ -187,3 +187,57 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT click_id, error_id FROM ssj").collect()
     pairs = sorted((r.click_id, r.error_id) for r in rows)
     assert pairs == [(1, 101)]  # click 2's error is outside the interval
+
+
+def test_foreachbatch_upsert_consolidated(spark, tmp_path):
+    """Streaming upsert: two AvailableNow passes over a growing directory
+    leave the consolidated table with exactly one latest row per key."""
+    import os
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_upsert_consolidated,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "consolidated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("batch_date", T.StringType()),
+    ])
+
+    def write_batch(name, rows):
+        import json
+
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.jsonl", [
+        {"k": "a", "v": 1, "batch_date": "2025-01-01"},
+        {"k": "b", "v": 2, "batch_date": "2025-01-01"},
+    ])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_upsert_consolidated(stream, ckpt, out, "k", "batch_date")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+    # second batch updates key a, adds c; key b untouched
+    write_batch("b2.jsonl", [
+        {"k": "a", "v": 10, "batch_date": "2025-01-02"},
+        {"k": "c", "v": 3, "batch_date": "2025-01-02"},
+    ])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_upsert_consolidated(stream, ckpt, out, "k", "batch_date")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 10), ("b", 2), ("c", 3)}
+
+    # idempotency: a third run with no new files changes nothing
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_upsert_consolidated(stream, ckpt, out, "k", "batch_date")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 10), ("b", 2), ("c", 3)}
