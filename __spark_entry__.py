@@ -1715,6 +1715,15 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per TEST-split document (deterministic
+    hash split), the count and fraction of its distinct 5-gram shingles
+    that also occur in any TRAIN document — explode → distinct train set →
+    LEFT SEMI probe, no doc×doc pair work."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.split_contamination(docs, n=5, test_fraction=0.1)
+
+
 def q_priority_late_ship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: per order priority, how many 1997 orders have at
     least one lineitem shipped more than 30 days after the order date —
@@ -1943,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filter_revenue": q_brand_filter_revenue,
         "user_first_last_events": q_user_first_last_events,
         "priority_late_ship_counts": q_priority_late_ship_counts,
+        "split_contamination": q_split_contamination,
     }
 
 
@@ -2768,6 +2778,29 @@ def oracle_sql() -> dict[str, str]:
     sql["hash_sample"] = f"""
         SELECT doc_id, lang FROM documents
         WHERE {draw('sample', 'doc_id')} < 100000
+    """
+
+    sh5 = _sql_shingles("toks", 5)
+    sql["split_contamination"] = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {draw('split', 'doc_id')} < 100000 AS is_test,
+                   {sh5} AS sh
+            FROM (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
+                  FROM documents)),
+        ex AS (SELECT doc_id, is_test, unnest(sh) AS shingle FROM s),
+        train AS (SELECT DISTINCT shingle FROM ex WHERE NOT is_test),
+        test_sh AS (SELECT doc_id, shingle FROM ex WHERE is_test),
+        totals AS (SELECT doc_id, COUNT(*) AS n_shingles
+                   FROM test_sh GROUP BY doc_id),
+        hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+                 FROM test_sh SEMI JOIN train USING (shingle)
+                 GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated,
+               round(COALESCE(h.n_contaminated, 0)
+                     / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
     """
 
     sql["stratified_sample"] = f"""

@@ -473,3 +473,65 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def split_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test decontamination report: for every TEST document (per the
+    deterministic hash split of ``sampling.train_test_split``), how many of
+    its distinct word n-grams also occur in ANY train document.
+
+    Returns ``(id_col, n_shingles, n_contaminated, contamination)`` — one
+    row per test doc; ``contamination`` = contaminated/total rounded to 6.
+    This is the benchmark-leakage check a training pipeline runs before
+    eval: a test doc with high n-gram overlap against the train split is
+    compromised.
+
+    Scale shape: explode test+train shingles once (|corpus| × shingles
+    rows), distinct the train side (hash agg), LEFT SEMI join test shingles
+    against it (the semi join never materializes matches), and two per-doc
+    counts. Everything shuffles on the shingle hash or the doc id — no
+    pairwise doc×doc work at any point.
+    """
+    from .sampling import _BUCKETS, hash_draw
+
+    threshold = int(round(test_fraction * _BUCKETS))
+    with_split = df.select(
+        F.col(id_col),
+        (hash_draw(F.col(id_col), salt) < F.lit(threshold)).alias("__is_test"),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    exploded = with_split.select(
+        id_col, "__is_test", F.explode("__sh").alias("shingle")
+    )
+    train_shingles = (
+        exploded.filter(~F.col("__is_test")).select("shingle").distinct()
+    )
+    test_sh = exploded.filter(F.col("__is_test")).persist()
+    totals = test_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        test_sh.join(train_shingles, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )

@@ -140,3 +140,36 @@ def test_exact_dedup_on_real_documents(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = D.exact_dedup(docs)
     assert 0 < out.count() <= docs.count()
+
+
+def test_split_contamination_bounds(spark):
+    from metadata_driven_data_pipeline_spark.operators.dedup import (
+        split_contamination,
+    )
+    from metadata_driven_data_pipeline_spark.operators.sampling import (
+        _BUCKETS,
+        hash_draw,
+    )
+    from pyspark.sql import functions as F
+
+    # find one id that lands in the test split under the default salt
+    ids = spark.createDataFrame([(i,) for i in range(200)], "doc_id LONG")
+    test_ids = [
+        r["doc_id"]
+        for r in ids.filter(
+            hash_draw(F.col("doc_id"), "split") < int(0.1 * _BUCKETS)
+        ).collect()
+    ]
+    assert test_ids, "expected at least one test-split id in range(200)"
+    tid = test_ids[0]
+    train_id = next(i for i in range(200) if i not in test_ids)
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(tid, dup_text), (train_id, dup_text),
+            (train_id + 1000000, "totally different words here entirely now")]
+    # ensure the extra doc is in train too
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in split_contamination(docs).collect()}
+    # the test doc duplicates a train doc -> fully contaminated
+    assert out[tid]["contamination"] == 1.0
+    assert out[tid]["n_contaminated"] == out[tid]["n_shingles"]
