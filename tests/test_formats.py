@@ -80,3 +80,46 @@ class TestCompaction:
         total = sum(sz for _, sz in _list_data_files(spark, out))
         stats = compact_files(spark, out, target_file_bytes=total // 4 + 1)
         assert 3 <= stats["files_after"] <= 5
+
+
+def test_permissive_corrupt_rows_survive_and_route_ko(spark, tmp_path):
+    """S2 parity (runner.py:268-291): PERMISSIVE reads don't fail on
+    malformed lines; with an enforced schema the corrupt line becomes an
+    all-null row, which the notNull validation rule then routes to KO —
+    corrupt input degrades to rejected records, never a pipeline failure."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from metadata_driven_data_pipeline_spark.operators.validate import split_ok_ko
+    from metadata_driven_data_pipeline_spark.sources.reader import read_source
+
+    p = tmp_path / "in.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"policy_number": "P1", "driver_age": 30}) + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps({"policy_number": "P2", "driver_age": 41}) + "\n")
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "policy_number", "type": "string", "nullable": True},
+            {"name": "driver_age", "type": "integer", "nullable": True},
+        ],
+    }
+    res = read_source(
+        spark,
+        {"name": "s", "path": str(p), "format": "json",
+         "schema": schema, "schema_enforcement": {"enabled": True}},
+    )
+    assert res.status == "success"
+    df = res.df
+    rows = df.collect()
+    assert len(rows) == 3  # corrupt line kept as all-null row, not dropped
+    assert sum(1 for r in rows if r["policy_number"] is None) == 1
+
+    result = split_ok_ko(df, [{"field": "policy_number", "rules": ["notNull"]}])
+    assert result.ok.count() == 2
+    ko = result.ko.collect()
+    assert len(ko) == 1
+    assert "notNull" in ko[0]["validation_errors"]["policy_number"]
