@@ -1715,6 +1715,15 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup verification: exact containment (|A∩B|/|A| and
+    /|B|) over the MinHash-LSH candidate set — catches short-doc-inside-
+    long-doc dups that Jaccard misses. |pairs|-linear verify join."""
+    docs = _aug_docs(spark, sf_dir)
+    candidates = dd.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return dd.containment_verify_pairs(docs, candidates, threshold=0.6)
+
+
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per TEST-split document (deterministic
     hash split), the count and fraction of its distinct 5-gram shingles
@@ -1953,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_events": q_user_first_last_events,
         "priority_late_ship_counts": q_priority_late_ship_counts,
         "split_contamination": q_split_contamination,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -2318,6 +2328,37 @@ def oracle_sql() -> dict[str, str]:
              losers AS (SELECT DISTINCT id_b FROM verified)
         SELECT doc_id FROM aug
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+    sql["containment_pairs"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+             s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
+             shs AS (SELECT doc_id, {sh3} AS sh FROM s),
+             hsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM shs),
+             sig AS (SELECT doc_id, [{mh16}] AS sig FROM hsh),
+             bands AS ({bands_sql}),
+             cand AS (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+             ex AS (
+                 SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM shs
+                 WHERE doc_id IN (SELECT id_a FROM cand
+                                  UNION SELECT id_b FROM cand)),
+             common AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na,
+                        b.ns AS nb, COUNT(*) AS c
+                 FROM ex a JOIN ex b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4)
+        SELECT m.id_a, m.id_b,
+               round(c / CAST(na AS DOUBLE), 6) AS containment_a,
+               round(c / CAST(nb AS DOUBLE), 6) AS containment_b
+        FROM common m
+        JOIN cand ON cand.id_a = m.id_a AND cand.id_b = m.id_b
+        WHERE round(c / CAST(na AS DOUBLE), 6) >= 0.6
+           OR round(c / CAST(nb AS DOUBLE), 6) >= 0.6
     """
 
     sql["ngram_jaccard_pairs"] = f"""

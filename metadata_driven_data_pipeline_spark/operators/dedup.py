@@ -535,3 +535,53 @@ def split_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def containment_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact CONTAINMENT for a given candidate-pair set: |A∩B|/|A| and
+    |A∩B|/|B| per pair, kept when either direction ≥ ``threshold``.
+
+    Containment is the asymmetric complement to Jaccard: a short document
+    fully embedded in a long one (quote, boilerplate wrapper, excerpt) has
+    containment ≈ 1 on the short side but low Jaccard (the union is
+    dominated by the long doc), so Jaccard-only dedup misses it. Same
+    |pairs|-linear plan as :func:`jaccard_verify_pairs` — per-pair array
+    intersection over the semi-joined shingle projection, no explode join.
+    """
+    from pyspark import StorageLevel
+
+    in_pairs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(in_pairs, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.round(common / F.size("__sh_a").cast("double"), 6).alias(
+            "containment_a"
+        ),
+        F.round(common / F.size("__sh_b").cast("double"), 6).alias(
+            "containment_b"
+        ),
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold)
+    )

@@ -173,3 +173,25 @@ def test_split_contamination_bounds(spark):
     # the test doc duplicates a train doc -> fully contaminated
     assert out[tid]["contamination"] == 1.0
     assert out[tid]["n_contaminated"] == out[tid]["n_shingles"]
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from metadata_driven_data_pipeline_spark.operators.dedup import (
+        containment_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+
+    jac = jaccard_verify_pairs(docs, pairs, threshold=0.8).collect()
+    assert jac == []  # union dominated by the long doc -> low jaccard
+
+    cont = containment_verify_pairs(docs, pairs, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment_a"] == 1.0  # short doc fully embedded
+    assert cont[0]["containment_b"] < 0.5
