@@ -85,3 +85,40 @@ def test_hash_matches_slice(spark):
     expected0 = hashlib.md5("t0 t1 t2 t3".encode()).hexdigest()
     expected1 = hashlib.md5("t3 t4 t5 t6".encode()).hexdigest()
     assert [r["chunk_hash"] for r in out] == [expected0, expected1]
+
+
+def test_chunk_invariants_edge_grid(spark):
+    """Every (n_tokens, chunk_size, stride) combo in one job: full token
+    coverage, correct chunk count, max length respected, contiguous
+    chunk_idx starting at 0."""
+    import math
+
+    sizes = [(4, 3), (3, 3), (5, 2), (8, 8), (2, 1)]
+    ns = [1, 2, 3, 4, 5, 7, 8, 9, 16, 17, 31]
+    for chunk_size, stride in sizes:
+        rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in ns]
+        from metadata_driven_data_pipeline_spark.operators.text import (
+            chunk_documents,
+        )
+
+        out = chunk_documents(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+            chunk_size=chunk_size,
+            stride=stride,
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in ns:
+            chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+            expected = 1 if n <= chunk_size else 1 + math.ceil(
+                (n - chunk_size) / stride
+            )
+            assert len(chunks) == expected, (n, chunk_size, stride)
+            assert [c["chunk_idx"] for c in chunks] == list(range(expected))
+            covered = set()
+            for c in chunks:
+                start = c["chunk_idx"] * stride
+                assert 1 <= c["chunk_len"] <= chunk_size
+                covered.update(range(start, start + c["chunk_len"]))
+            assert covered == set(range(n)), (n, chunk_size, stride)
