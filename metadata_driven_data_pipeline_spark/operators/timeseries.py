@@ -26,6 +26,7 @@ def gap_fill(
     ts_col: str,
     step: str = "1 hour",
     agg: dict[str, F.Column] | None = None,
+    max_buckets_per_key: int | None = 366 * 24,
 ) -> DataFrame:
     """Densify events into a contiguous per-key time grid.
 
@@ -33,6 +34,13 @@ def gap_fill(
     (key, bucket); defaults to ``{"n_events": count(*)}``. Missing buckets
     get 0 for counts/sums (``coalesce``). Returns
     ``(key_col, bucket_ts, *agg_cols)``.
+
+    ``max_buckets_per_key`` bounds the generated grid: one key with a
+    corrupt timestamp (epoch-0, ms-as-s) would otherwise explode into
+    millions of rows. Keys whose span exceeds the cap keep ONLY their
+    observed buckets (no fill) rather than failing the job — the
+    degrade-don't-fail stance the reference takes for corrupt input.
+    Pass ``None`` to disable. Default: one year of hours.
     """
     if agg is None:
         agg = {"n_events": F.count(F.lit(1))}
@@ -48,12 +56,26 @@ def gap_fill(
     bounds = df.groupBy(key_col).agg(
         F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
     )
+    if max_buckets_per_key is not None:
+        span_ok = (
+            F.unix_timestamp("__hi") - F.unix_timestamp("__lo")
+        ) / 3600 < F.lit(max_buckets_per_key)
+        bounds = bounds.withColumn(
+            "__hi", F.when(span_ok, F.col("__hi")).otherwise(F.col("__lo"))
+        ).withColumn("__capped", ~span_ok)
+        # capped keys: grid collapses to the lone __lo bucket; their other
+        # observed buckets are re-attached below so no data is lost
     grid = bounds.select(
         key_col,
         F.explode(
             F.sequence("__lo", "__hi", F.expr("interval 1 hour"))
         ).alias("bucket_ts"),
     )
+    if max_buckets_per_key is not None:
+        # union the observed buckets back in so capped keys lose fill, not data
+        grid = grid.unionByName(
+            observed.select(key_col, "bucket_ts")
+        ).distinct()
     out = grid.join(observed, [key_col, "bucket_ts"], "left")
     return out.select(
         key_col,

@@ -58,3 +58,29 @@ def test_custom_agg_zero_filled(spark):
 def test_non_hour_step_rejected(spark):
     with pytest.raises(NotImplementedError):
         gap_fill(_ev(spark, []), "user_id", "ts", step="5 minutes")
+
+
+def test_span_cap_degrades_to_observed_only(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 5, 0), 1.0),     # normal key: filled
+        (2, dt.datetime(1970, 1, 1, 0, 0), 1.0),      # corrupt epoch-0 ts
+        (2, dt.datetime(2024, 1, 1, 0, 0), 1.0),      # 54-year span
+    ]
+    out = gap_fill(
+        _ev(spark, rows), "user_id", "ts", max_buckets_per_key=1000
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 6            # 00..05 filled
+    assert len(by_user[2]) == 2            # observed buckets only, no fill
+    assert all(r["n_events"] == 1 for r in by_user[2])
+
+
+def test_span_cap_disabled(spark):
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, dt.datetime(2024, 3, 1, 0, 0), 1.0)]
+    out = gap_fill(_ev(spark, rows), "user_id", "ts",
+                   max_buckets_per_key=None).count()
+    assert out == 60 * 24 + 1  # Jan 1 00:00 .. Mar 1 00:00 (2024 is a leap year)
