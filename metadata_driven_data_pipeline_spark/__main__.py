@@ -9,6 +9,12 @@ Mirrors the reference's spark-submit invocation
         [--run-id RUN] [--manifest state/manifest.json] \
         [--pipeline-name NAME] [--log-out run_log.json]
 
+Or run one of the named analytics queries directly (the driver-contract
+surface in ``__spark_entry__.py``) and print JSON-lines rows:
+
+    python -m metadata_driven_data_pipeline_spark \
+        --query pricing_summary [--sf-dir /root/testdata/sf0.01] [--limit 20]
+
 Exit code 0 on success; non-zero with the failure recorded in the run log.
 """
 
@@ -23,14 +29,49 @@ from metadata_driven_data_pipeline_spark.engine import Engine
 from metadata_driven_data_pipeline_spark.session import get_spark
 
 
+def run_query(args) -> int:
+    """Run one named driver-contract query and print rows as JSON lines."""
+    import importlib
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.getcwd())
+    entry = importlib.import_module("__spark_entry__")
+    qs = entry.queries()
+    if args.query not in qs:
+        print(json.dumps({"error": "unknown query",
+                          "available": sorted(qs)}), file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"query-{args.query}")
+    try:
+        df = qs[args.query](spark, args.sf_dir)
+        rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(recursive=True), default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="metadata_driven_data_pipeline_spark")
-    p.add_argument("--metadata", required=True, help="metadata JSON path")
+    p.add_argument("--metadata", default=None, help="metadata JSON path")
+    p.add_argument("--query", default=None,
+                   help="run a named query from __spark_entry__ instead of a pipeline")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="testdata scale-factor dir for --query")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows printed by --query (0 = all)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--manifest", default=None, help="manifest JSON path (high watermark)")
     p.add_argument("--pipeline-name", default="pipeline")
     p.add_argument("--log-out", default=None, help="write the structured run log here")
     args = p.parse_args(argv)
+
+    if args.query:
+        return run_query(args)
+    if not args.metadata:
+        p.error("--metadata is required unless --query is given")
 
     # load_metadata applies ${VAR} environment substitution (parity:
     # config_loader.py's expandvars), so paths can be parameterized.
