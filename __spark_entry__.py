@@ -1715,6 +1715,42 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; per (cohort,
+    day-offset) the count of distinct users active that day — first-touch
+    attribution via a per-key min, joined back to distinct daily activity.
+    Two hash aggs + one equi-join; no window over the full event stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    daily = ev.distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        daily.join(first, "user_id")
+        .select(
+            F.col("cohort_day").cast("date").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_price_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width banding via width_bucket: lineitem extended prices into
+    12 buckets over [0, 120000) plus the out-of-range buckets 0 and 13 —
+    single scan-agg, band arithmetic entirely in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(120000.0), F.lit(12)
+    )
+    return li.groupBy(band.alias("price_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("band_value"),
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup verification: exact containment (|A∩B|/|A| and
     /|B|) over the MinHash-LSH candidate set — catches short-doc-inside-
@@ -1963,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_ship_counts": q_priority_late_ship_counts,
         "split_contamination": q_split_contamination,
         "containment_pairs": q_containment_pairs,
+        "cohort_retention": q_cohort_retention,
+        "price_band_histogram": q_price_band_histogram,
     }
 
 
@@ -2328,6 +2366,33 @@ def oracle_sql() -> dict[str, str]:
              losers AS (SELECT DISTINCT id_b FROM verified)
         SELECT doc_id FROM aug
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+    sql["cohort_retention"] = """
+        WITH daily AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY user_id)
+        SELECT CAST(cohort_day AS DATE) AS cohort_day,
+               datediff('day', cohort_day, day) AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM daily d JOIN first f ON d.user_id = f.user_id
+        GROUP BY 1, 2
+    """
+
+    # duckdb has no width_bucket; the SQL-standard formula spelled out
+    # (bucket 0 below range, n+1 at/above the upper bound)
+    sql["price_band_histogram"] = """
+        SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                    WHEN l_extendedprice >= 120000.0 THEN 13
+                    ELSE CAST(floor((l_extendedprice - 0.0)
+                                    / ((120000.0 - 0.0) / 12)) AS BIGINT) + 1
+               END AS price_band,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS band_value
+        FROM lineitem
+        GROUP BY 1
     """
 
     sql["containment_pairs"] = f"""
