@@ -2887,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sh5 = _sql_shingles("toks", 5)
+    h60x = _sql_h60("x")
     sql["split_contamination"] = f"""
         WITH s AS (
             SELECT doc_id,
@@ -2894,7 +2895,9 @@ def oracle_sql() -> dict[str, str]:
                    {sh5} AS sh
             FROM (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
                   FROM documents)),
-        ex AS (SELECT doc_id, is_test, unnest(sh) AS shingle FROM s),
+        ex AS (SELECT doc_id, is_test,
+                      unnest(list_transform(sh, x -> {h60x})) AS shingle
+               FROM s),
         train AS (SELECT DISTINCT shingle FROM ex WHERE NOT is_test),
         test_sh AS (SELECT doc_id, shingle FROM ex WHERE is_test),
         totals AS (SELECT doc_id, COUNT(*) AS n_shingles
