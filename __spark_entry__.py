@@ -1715,6 +1715,22 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price via AGGREGATION
+    (collect_list→sort_array→slice inside one hash agg with map-side
+    combine) instead of a window — no per-partition full sort; the window
+    formulation is the oracle, proving plan-shape equivalence."""
+    part = _t(spark, sf_dir, "part")
+    return rel.grouped_topk(
+        part.select("p_brand", "p_retailprice", "p_partkey"),
+        group_cols=["p_brand"],
+        order_col="p_retailprice",
+        k=3,
+        descending=True,
+        tiebreak_col="p_partkey",
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-active day; per (cohort,
     day-offset) the count of distinct users active that day — first-touch
@@ -2001,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cohort_retention": q_cohort_retention,
         "price_band_histogram": q_price_band_histogram,
+        "top_parts_per_brand": q_top_parts_per_brand,
     }
 
 
@@ -2366,6 +2383,18 @@ def oracle_sql() -> dict[str, str]:
              losers AS (SELECT DISTINCT id_b FROM verified)
         SELECT doc_id FROM aug
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+    # tiebreak direction mirrors sort_array DESC over struct(price, partkey):
+    # both fields descend
+    sql["top_parts_per_brand"] = """
+        SELECT p_brand, p_retailprice, p_partkey, rank FROM (
+            SELECT p_brand, p_retailprice, p_partkey,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC,
+                                               p_partkey DESC) AS rank
+            FROM part)
+        WHERE rank <= 3
     """
 
     sql["cohort_retention"] = """

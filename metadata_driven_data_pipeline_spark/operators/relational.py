@@ -465,3 +465,51 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
 
 def register_transform_type(name: str, fn: TransformHandler) -> None:
     TRANSFORM_TYPES[name] = fn
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via AGGREGATION, not a window.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY x)`` must shuffle and
+    fully sort every partition before it can cut at k. This formulation
+    instead does `collect_list(struct) → sort_array → slice(k)` inside a
+    hash aggregate: the map side already combines partial lists, the sort
+    is per-group over at most the group's rows, and only k structs per
+    group survive the shuffle when groups are pre-aggregated map-side.
+    For heavy-hitter groups at 100 TB the window form sorts millions of
+    rows per group to keep 10; this form carries the same rows through ONE
+    agg with no global sort. (Trade-off: collect_list buffers a group's
+    rows in memory on the reduce side — for groups too large for that,
+    pre-filter with an approximate threshold first.)
+
+    Ties are broken by ``tiebreak_col`` (defaults to the first group col
+    being unique per row is NOT assumed — pass a unique column for
+    determinism). Output: group cols + order/tiebreak cols + ``rank_col``
+    (1-based).
+    """
+    if tiebreak_col is None:
+        raise ValueError("pass a unique tiebreak_col for deterministic top-k")
+    pair = F.struct(
+        F.col(order_col).alias("__o"), F.col(tiebreak_col).alias("__t")
+    )
+    arr = F.slice(
+        F.sort_array(F.collect_list(pair), asc=not descending), 1, k
+    )
+    agged = df.groupBy(*group_cols).agg(arr.alias("__top"))
+    exploded = agged.select(
+        *group_cols, F.posexplode("__top").alias("__pos", "__pair")
+    )
+    return exploded.select(
+        *group_cols,
+        F.col("__pair.__o").alias(order_col),
+        F.col("__pair.__t").alias(tiebreak_col),
+        (F.col("__pos") + 1).alias(rank_col),
+    )

@@ -89,3 +89,40 @@ class TestPointIntervalJoin:
             points, intervals, ["k"], "p", "s", "e", 10
         )._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_grouped_topk_equals_window_formulation(spark, sf_dir):
+    """The aggregation-based top-k must return exactly the window top-k
+    (same ordering, same tiebreak), with no Window/Sort in its plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metadata_driven_data_pipeline_spark.operators.relational import (
+        grouped_topk,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_brand", "p_retailprice", "p_partkey"
+    )
+    via_agg = {
+        (r["p_brand"], r["p_partkey"], r["rank"])
+        for r in grouped_topk(
+            part, ["p_brand"], "p_retailprice", 3,
+            descending=True, tiebreak_col="p_partkey",
+        ).collect()
+    }
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").desc()
+    )
+    via_window = {
+        (r["p_brand"], r["p_partkey"], r["rank"])
+        for r in part.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").collect()
+    }
+    assert via_agg == via_window
+
+    plan = grouped_topk(
+        part, ["p_brand"], "p_retailprice", 3,
+        descending=True, tiebreak_col="p_partkey",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
