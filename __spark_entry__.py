@@ -1715,6 +1715,60 @@ def q_brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_minus_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicates preserved): click
+    user_ids minus purchase user_ids — each purchase cancels ONE click of
+    that user, surviving multiplicity intact."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(purchases)
+
+
+def q_click_purchase_common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): per user, min(click count,
+    purchase count) copies survive."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersectAll(purchases)
+
+
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join: the purchase event stream enriched
+    with the static customer dimension (user_id ⋈ c_custkey), aggregated
+    per market segment — the canonical streaming-enrichment shape; the
+    static side broadcasts per micro-batch, no stream-side state beyond
+    the aggregation. Equal to the batch join under the oracle."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = purchases.join(
+        F.broadcast(cust), purchases["user_id"] == cust["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by retail price via AGGREGATION
     (collect_list→sort_array→slice inside one hash agg with map-side
@@ -2018,6 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "price_band_histogram": q_price_band_histogram,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "click_minus_purchase_users": q_click_minus_purchase_users,
+        "click_purchase_common_users": q_click_purchase_common_users,
+        "streaming_enriched_counts": q_streaming_enriched_counts,
     }
 
 
@@ -2383,6 +2440,27 @@ def oracle_sql() -> dict[str, str]:
              losers AS (SELECT DISTINCT id_b FROM verified)
         SELECT doc_id FROM aug
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+    sql["click_minus_purchase_users"] = """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """
+
+    sql["click_purchase_common_users"] = """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """
+
+    sql["streaming_enriched_counts"] = """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment
     """
 
     # tiebreak direction mirrors sort_array DESC over struct(price, partkey):
