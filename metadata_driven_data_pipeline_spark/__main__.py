@@ -53,6 +53,37 @@ def run_query(args) -> int:
         spark.stop()
 
 
+def dry_run(metadata) -> int:
+    """Compile-time check: metadata structure, transform types, reference
+    resolution, and cycle detection — prints the execution plan as JSON.
+    No SparkSession is created; a bad document fails here in milliseconds
+    instead of mid-pipeline."""
+    from metadata_driven_data_pipeline_spark.plans import (
+        compile_dataflow,
+        validate_metadata,
+    )
+
+    try:
+        validate_metadata(metadata)
+        plan = {}
+        for flow in metadata["dataflows"]:
+            compiled = compile_dataflow(flow)
+            plan[flow["name"]] = {
+                "sources": [s["name"] for s in flow.get("sources", [])],
+                "transform_order": [
+                    t["name"] for t in compiled.transforms_in_order
+                ],
+                "sinks": {
+                    sk["name"]: sk["input"] for sk in flow.get("sinks", [])
+                },
+            }
+    except Exception as e:
+        print(json.dumps({"status": "invalid", "error": str(e)}))
+        return 1
+    print(json.dumps({"status": "valid", "plan": plan}, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="metadata_driven_data_pipeline_spark")
     p.add_argument("--metadata", default=None, help="metadata JSON path")
@@ -62,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="testdata scale-factor dir for --query")
     p.add_argument("--limit", type=int, default=20,
                    help="max rows printed by --query (0 = all)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="validate + compile the metadata and print the plan "
+                        "(topological transform order, sink wiring) without "
+                        "starting Spark or executing anything")
     p.add_argument("--run-id", default=None)
     p.add_argument("--manifest", default=None, help="manifest JSON path (high watermark)")
     p.add_argument("--pipeline-name", default="pipeline")
@@ -76,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     # load_metadata applies ${VAR} environment substitution (parity:
     # config_loader.py's expandvars), so paths can be parameterized.
     metadata = load_metadata(args.metadata)
+
+    if args.dry_run:
+        return dry_run(metadata)
 
     spark = get_spark(app_name=args.pipeline_name)
     try:

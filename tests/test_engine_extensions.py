@@ -167,3 +167,48 @@ def test_kmeans_and_semdedup_transforms(spark, tmp_path):
     )
     assert set(pairs.columns) == {"cluster_id", "id_a", "id_b", "cosine"}
     assert pairs.filter("id_a >= id_b").count() == 0
+
+
+def test_cli_dry_run_valid_and_invalid(tmp_path, capsys):
+    """--dry-run compiles without Spark: valid metadata prints the topo
+    plan and exits 0; a dangling input reference exits 1 with the error."""
+    import json
+
+    from metadata_driven_data_pipeline_spark.__main__ import main
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({
+        "processing_mode": "full",
+        "dataflows": [{
+            "name": "f",
+            "sources": [{"name": "documents", "path": f"{SF}/documents.parquet",
+                         "format": "parquet"}],
+            "transformations": [
+                {"name": "b", "type": "filter",
+                 "params": {"input": "a", "condition": "1=1"}},
+                {"name": "a", "type": "filter",
+                 "params": {"input": "documents", "condition": "1=1"}},
+            ],
+            "sinks": [{"name": "o", "input": "b", "path": str(tmp_path / "o"),
+                       "format": "parquet"}],
+        }],
+    }))
+    assert main(["--metadata", str(good), "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    # declaration order b,a is re-ordered topologically to a,b
+    assert out["plan"]["f"]["transform_order"] == ["a", "b"]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "processing_mode": "full",
+        "dataflows": [{
+            "name": "f",
+            "sources": [{"name": "s", "path": "/x", "format": "parquet"}],
+            "transformations": [{"name": "t", "type": "filter",
+                                 "params": {"input": "NOPE", "condition": "1=1"}}],
+            "sinks": [{"name": "o", "input": "t", "path": "/tmp/o",
+                       "format": "parquet"}],
+        }],
+    }))
+    assert main(["--metadata", str(bad), "--dry-run"]) == 1
+    assert "NOPE" in capsys.readouterr().out
