@@ -60,6 +60,7 @@ class Engine:
         run_id: str | None = None,
         manifest_path: str | None = None,
         pipeline_name: str = "pipeline",
+        log: RunLog | None = None,
     ):
         validate_metadata(metadata)
         self.spark = spark
@@ -67,7 +68,14 @@ class Engine:
         self.run_id = run_id or os.environ.get("RUN_ID") or uuid.uuid4().hex[:16]
         self.manifest_path = manifest_path
         self.pipeline_name = pipeline_name
-        self.log = RunLog(self.run_id, pipeline_name)
+        # An injected log is shared with an orchestrator (orchestrate.py)
+        # that owns finalization — the engine then only appends its own
+        # spark_pipeline stage, mirroring the reference split where the DAG's
+        # last stage finalizes the log, not the spark job
+        # (airflow/dags/motor_policy_pipeline_dag.py:137 sets FINALIZE_LOG
+        # on post_pipeline_tests, not on run_spark_pipeline).
+        self._owns_log = log is None
+        self.log = log if log is not None else RunLog(self.run_id, pipeline_name)
         self.compiled = [compile_dataflow(f) for f in metadata["dataflows"]]
 
     # -- single-batch dataflow execution ------------------------------------
@@ -267,10 +275,13 @@ class Engine:
                 )
             )
             self.log.end_stage(stage, "success")
-            return self.log.finalize("success")
+            if self._owns_log:
+                return self.log.finalize("success")
+            return self.log.doc
         except Exception:
             self.log.end_stage(stage, "failed")
-            self.log.finalize("failed")
+            if self._owns_log:
+                self.log.finalize("failed")
             raise
 
 

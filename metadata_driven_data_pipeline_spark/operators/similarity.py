@@ -360,6 +360,7 @@ def semdedup_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: bucket every vector to its
     nearest centroid (broadcast k-means assignment), then compute exact
@@ -368,12 +369,19 @@ def semdedup_pairs(
     ``dedup.embedding_neardup_pairs``).
 
     This is the scale path for embedding dedup: the all-pairs O(n²) of the
-    brute-force verifier becomes Σ|cluster|² — with k sized so clusters are
-    ~√n, total work is ~n·√n and each cluster's pair generation is an
-    equi-join on cluster_id (no cross join). Pairs whose members land in
+    brute-force verifier becomes Σ|cluster|². Pairs whose members land in
     different clusters are missed by design (the SemDeDup trade-off:
     abs. recall for a k-fold cost cut); raise k's granularity or multiprobe
     to trade back. Reference has no vector ops — extension surface.
+
+    Parallelism is NOT capped at k: clusters larger than ``block_size``
+    are hash-split into ``ceil(m/block_size)`` sub-blocks and the pair join
+    runs on (cluster, block_i, block_j) keys, one task-sized unit per block
+    pair — so a skewed giant cluster becomes many ~block_size² units
+    instead of one m² task. The block-pair fan-out replicates each row
+    ~nblocks/2 times, i.e. shuffled bytes scale as m²/(2·block_size) per
+    cluster — strictly cheaper than the m²/2 pair evaluations it unlocks.
+    Result set is identical to the unblocked join.
     """
     from .clustering import kmeans_assign
 
@@ -392,27 +400,49 @@ def semdedup_pairs(
         .join(
             assigned.select(F.col(id_col).alias("__id"), "cluster_id"), "__id"
         )
+    )
+    # k-row cluster-size table, broadcast back to derive each row's block
+    # count and hash-assigned block id. Tiny (one row per centroid).
+    sizes = withn.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__m"))
+    nblocks = F.greatest(
+        F.lit(1), F.ceil(F.col("__m") / F.lit(block_size)).cast("int")
+    )
+    blocked = (
+        withn.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("__nb", nblocks)
+        .withColumn("__blk", F.pmod(F.xxhash64("__id"), F.col("__nb")).cast("int"))
+        .drop("__m")
         # Both sides of the pair self-join read this projection; without
         # persist each side recomputes the whole assignment lineage
         # (scan → broadcast centroid scoring → argmin agg → join).
         .persist()
     )
-    a, b = withn.alias("a"), withn.alias("b")
+    # A-side owns block i and replicates to every j >= i; B-side keeps its
+    # own block as j. Join on (cluster, i, j): each key's work is bounded
+    # by ~block_size² regardless of cluster skew.
+    a = blocked.withColumn(
+        "__j", F.explode(F.sequence(F.col("__blk"), F.col("__nb") - 1))
+    ).alias("a")
+    b = blocked.alias("b")
     pair_dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    same_block = F.col("a.__blk") == F.col("b.__blk")
     return (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__j") == F.col("b.__blk"))
+            # same block: order by id to emit each pair once; cross block:
+            # (i, j) with i < j already names each unordered pair once
+            & (~same_block | (F.col("a.__id") < F.col("b.__id"))),
         )
         .select(
             F.col("a.cluster_id").alias("cluster_id"),
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
             F.round(
                 pair_dot / (F.col("a.__norm") * F.col("b.__norm")), 6
             ).alias("cosine"),

@@ -1,0 +1,266 @@
+"""DAG-shaped pipeline orchestration (SURVEY §2 L4 parity).
+
+The reference's operational unit is not the Spark job alone but an Airflow
+DAG that gates it with test suites and threads one structured run log
+through every stage
+(``airflow/dags/motor_policy_pipeline_dag.py:154-162``)::
+
+    init_run >> generate_data >> pre_pipeline_tests >> run_spark_pipeline
+             >> post_pipeline_tests >> cleanup_run_id
+
+Semantics reproduced here, Spark-first and scheduler-agnostic:
+
+- **Gates fail the pipeline.** A failing pre-gate means the Spark job never
+  starts; a failing post-gate marks the run failed. (Airflow gets this from
+  task dependencies + BashOperator exit codes; here ``run_dag`` raises
+  :class:`GateFailure` at the first red gate.)
+- **One run log across stages.** Every stage — including the test gates —
+  appends to the same per-``run_id`` JSON document, and only the *last*
+  stage finalizes it (reference ``tests/conftest.py:72-136`` appends
+  pre/post test stages and finalizes on ``FINALIZE_LOG=true``, which the
+  DAG sets on ``post_pipeline_tests`` at
+  ``motor_policy_pipeline_dag.py:137``).
+- **Cleanup always runs.** The saved log is flushed in a ``finally`` (the
+  ``TriggerRule.ALL_DONE`` analog of ``cleanup_run_id``).
+
+A "gate" is any callable ``gate() -> bool | dict``: falsy/False → gate
+failed; a dict is treated as passed with the dict stored as stage metrics
+(raise or return False to fail). :func:`pytest_gate` adapts a pytest
+invocation into a gate, propagating ``RUN_ID`` / ``RUN_LOG_PATH`` /
+``FINALIZE_LOG`` so the session hooks in ``tests/conftest.py`` append the
+test stage into the shared log exactly like the reference's conftest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from metadata_driven_data_pipeline_spark.engine import Engine
+from metadata_driven_data_pipeline_spark.runlog import RunLog
+
+Gate = Callable[[], Any]
+
+
+class GateFailure(RuntimeError):
+    """A pre- or post-pipeline gate failed; the run is marked failed."""
+
+    def __init__(self, stage: str, gate_name: str, detail: Any = None):
+        super().__init__(f"{stage} gate {gate_name!r} failed: {detail!r}")
+        self.stage = stage
+        self.gate_name = gate_name
+        self.detail = detail
+
+
+def _run_gates(
+    log: RunLog, stage_name: str, gates: list[tuple[str, Gate]]
+) -> None:
+    """Run gates under one log stage; raise GateFailure on the first red."""
+    stage = log.start_stage(stage_name)
+    for name, gate in gates:
+        t0 = RunLog.now()
+        try:
+            result = gate()
+        except GateFailure:
+            log.end_stage(stage, "failed")
+            raise
+        except Exception as e:  # a crashing gate is a failing gate
+            stage["sub_stages"].append(
+                RunLog.sub_stage(name, "test_gate", t0, "failed", error=str(e))
+            )
+            log.end_stage(stage, "failed")
+            raise GateFailure(stage_name, name, str(e)) from e
+        ok = bool(result) if not isinstance(result, dict) else True
+        metrics = result if isinstance(result, dict) else {}
+        stage["sub_stages"].append(
+            RunLog.sub_stage(
+                name, "test_gate", t0, "success" if ok else "failed", **metrics
+            )
+        )
+        if not ok:
+            log.end_stage(stage, "failed")
+            raise GateFailure(stage_name, name, result)
+    log.end_stage(stage, "success")
+
+
+def run_dag(
+    spark: SparkSession,
+    metadata: dict[str, Any],
+    *,
+    run_id: str | None = None,
+    manifest_path: str | None = None,
+    pipeline_name: str = "pipeline",
+    log_path: str | None = None,
+    setup: Callable[[], Any] | None = None,
+    pre_gates: list[tuple[str, Gate]] | None = None,
+    post_gates: list[tuple[str, Gate]] | None = None,
+) -> dict[str, Any]:
+    """Execute the full gated lifecycle and return the finalized run log.
+
+    Stage order mirrors the reference DAG: ``init_run`` → optional ``setup``
+    (the generate-data analog) → pre gates → ``Engine.run()`` (appends its
+    own ``spark_pipeline`` stage to the shared log) → post gates →
+    finalize. The log is saved to ``log_path`` after every stage
+    transition and once more in ``finally`` so a crashed run still leaves
+    its partial log behind.
+    """
+    rid = run_id or os.environ.get("RUN_ID") or uuid.uuid4().hex[:16]
+    log = RunLog(rid, pipeline_name)
+
+    def _flush() -> None:
+        if log_path:
+            log.save(log_path)
+
+    init = log.start_stage("init_run")
+    init["sub_stages"].append(
+        RunLog.sub_stage("assign_run_id", "init", RunLog.now(), "success",
+                         run_id=rid)
+    )
+    log.end_stage(init, "success")
+    _flush()
+
+    try:
+        if setup is not None:
+            stage = log.start_stage("generate_data")
+            t0 = RunLog.now()
+            try:
+                info = setup()
+            except Exception as e:
+                stage["sub_stages"].append(
+                    RunLog.sub_stage("setup", "setup", t0, "failed",
+                                     error=str(e))
+                )
+                log.end_stage(stage, "failed")
+                raise
+            stage["sub_stages"].append(
+                RunLog.sub_stage(
+                    "setup", "setup", t0, "success",
+                    **(info if isinstance(info, dict) else {}),
+                )
+            )
+            log.end_stage(stage, "success")
+            _flush()
+
+        _run_gates(log, "pre_pipeline_tests", pre_gates or [])
+        _flush()
+
+        engine = Engine(
+            spark,
+            metadata,
+            run_id=rid,
+            manifest_path=manifest_path,
+            pipeline_name=pipeline_name,
+            log=log,  # shared: engine appends spark_pipeline, no finalize
+        )
+        engine.run()
+        _flush()
+
+        _run_gates(log, "post_pipeline_tests", post_gates or [])
+        return log.finalize("success")
+    except Exception:
+        log.finalize("failed")
+        raise
+    finally:
+        # cleanup_run_id analog: TriggerRule.ALL_DONE — always flush
+        _flush()
+
+
+def pytest_gate(
+    pytest_args: list[str],
+    *,
+    run_id: str | None = None,
+    log_path: str | None = None,
+    stage_name: str | None = None,
+    finalize: bool = False,
+    cwd: str | None = None,
+) -> Gate:
+    """Adapt a pytest invocation into a gate callable.
+
+    Runs ``python -m pytest <args>`` in a subprocess (the reference runs its
+    gates the same way: BashOperator → ``python3 -m pytest tests -m ...``,
+    ``motor_policy_pipeline_dag.py:84-93,130-141``). ``RUN_ID`` /
+    ``RUN_LOG_PATH`` / ``RUN_LOG_STAGE`` / ``FINALIZE_LOG`` are exported so
+    the session hooks (:func:`runlog_sessionstart` /
+    :func:`runlog_sessionfinish`, wired in ``tests/conftest.py``) append the
+    test stage to the shared run-log document.
+    """
+
+    def gate() -> dict[str, Any]:
+        env = dict(os.environ)
+        if run_id:
+            env["RUN_ID"] = run_id
+        if log_path:
+            env["RUN_LOG_PATH"] = log_path
+        if stage_name:
+            env["RUN_LOG_STAGE"] = stage_name
+        env["FINALIZE_LOG"] = "true" if finalize else "false"
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", *pytest_args],
+            env=env,
+            cwd=cwd,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise GateFailure(
+                stage_name or "pytest", " ".join(pytest_args),
+                proc.stdout[-2000:] + proc.stderr[-2000:],
+            )
+        return {"pytest_exit": proc.returncode}
+
+    return gate
+
+
+# -- pytest session hooks (reference tests/conftest.py:72-136 parity) -------
+# Imported by tests/conftest.py; active only when RUN_ID and RUN_LOG_PATH
+# are exported (i.e. the suite is running as a DAG gate), a no-op otherwise.
+
+def runlog_sessionstart(session) -> None:
+    run_id = os.environ.get("RUN_ID")
+    path = os.environ.get("RUN_LOG_PATH")
+    if not run_id or not path:
+        return
+    if not os.path.exists(path):
+        raise ValueError(
+            f"run log not found at {path!r} for run_id {run_id!r}: "
+            "previous DAG stages may have failed or not run yet"
+        )
+    with open(path) as f:
+        doc = json.load(f)
+    log = RunLog(run_id)
+    log.doc = doc
+    stage_name = os.environ.get("RUN_LOG_STAGE")
+    if not stage_name:
+        argv = " ".join(sys.argv)
+        stage_name = (
+            "post_pipeline_tests" if "post_pipeline" in argv
+            else "pre_pipeline_tests"
+        )
+    stage = log.start_stage(stage_name)
+    session.config._runlog = log
+    session.config._runlog_stage = stage
+    session.config._runlog_path = path
+
+
+def runlog_sessionfinish(session, exitstatus) -> None:
+    log = getattr(session.config, "_runlog", None)
+    if log is None:
+        return
+    stage = session.config._runlog_stage
+    status = "success" if exitstatus == 0 else "failed"
+    stage["sub_stages"].append(
+        RunLog.sub_stage(
+            "pytest", "test_gate", stage["started_at"], status,
+            test_result="all_passed" if exitstatus == 0 else "some_failed",
+        )
+    )
+    log.end_stage(stage, status)
+    if os.environ.get("FINALIZE_LOG", "false").lower() == "true":
+        log.finalize(status)
+    log.save(session.config._runlog_path)

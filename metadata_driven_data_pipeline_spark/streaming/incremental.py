@@ -22,6 +22,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with timezone).
+
+    Parquet written with tz-less ``timestamp[us]`` loads as TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    The cast interprets the naive value in the session timezone — pin the
+    session to UTC for deterministic results. No-op for TIMESTAMP columns.
+    """
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def incremental_file_stream(
     spark: SparkSession,
     path: str,
@@ -73,7 +86,8 @@ def windowed_counts(
         else F.window(ts_col, window_duration)
     )
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(win, F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(
@@ -95,7 +109,8 @@ def sessionized(
 ) -> DataFrame:
     """Session windows (gap-based) per key."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -118,8 +133,10 @@ def streaming_dedup(
     within the watermark horizon (``dropDuplicatesWithinWatermark``), so
     state size is bounded — the 100 TB-stream answer to the reference's
     whole-history consolidation dedup."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
     )
 
 
@@ -148,8 +165,8 @@ def stream_interval_join(
     ``left_ts``/``right_ts`` must be distinct column names (rename before
     calling) — the joined schema keeps both.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = None
     for k in keys:
         c = l[k] == r[k]

@@ -25,3 +25,24 @@ def sf_dir():
 
 def load(spark, sf_dir, table):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# -- DAG-gate run-log hooks (reference tests/conftest.py:72-136 parity) -----
+# When this suite runs as an orchestration gate (orchestrate.pytest_gate
+# exports RUN_ID + RUN_LOG_PATH), append a pre/post test stage to the shared
+# run log and finalize it when FINALIZE_LOG=true. No-ops otherwise.
+
+def pytest_sessionstart(session):
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        runlog_sessionstart,
+    )
+
+    runlog_sessionstart(session)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        runlog_sessionfinish,
+    )
+
+    runlog_sessionfinish(session, exitstatus)

@@ -109,7 +109,7 @@ def test_gap_fill_transform(spark, tmp_path):
         transformations=[
             {"name": "purchases", "type": "sql",
              "params": {"statement":
-                        "SELECT user_id, timestamp_micros(ts div 1000) AS ts "
+                        "SELECT user_id, CAST(ts AS TIMESTAMP) AS ts "
                         "FROM events WHERE event_type = 'purchase'"}},
             {"name": "dense", "type": "gap_fill",
              "params": {"input": "purchases", "keyCol": "user_id", "tsCol": "ts",

@@ -1,0 +1,223 @@
+"""DAG-shaped orchestration (L4): gate ordering, gate failure blocking the
+engine, shared run-log threading, and pytest-gate run-log hooks — the
+rebuilt analog of the reference's Airflow DAG contract
+(airflow/dags/motor_policy_pipeline_dag.py:154-162 chain;
+tests/conftest.py:72-136 test-stage logging)."""
+
+from __future__ import annotations
+
+import json
+import os
+import textwrap
+
+import pytest
+
+from metadata_driven_data_pipeline_spark.orchestrate import (
+    GateFailure,
+    pytest_gate,
+    run_dag,
+)
+
+from test_pipeline_e2e import generate_batches, motor_metadata
+
+
+def _stages(doc):
+    return [s["stage"] for s in doc["stages"]]
+
+
+def test_dag_success_threads_one_log(spark, tmp_path):
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+
+    seen = []
+    doc = run_dag(
+        spark,
+        meta,
+        run_id="dagrun1",
+        log_path=log_path,
+        setup=lambda: seen.append("setup") or {"batches": 1},
+        pre_gates=[
+            ("input_exists",
+             lambda: seen.append("pre") or os.path.isdir(f"{root}/input")),
+        ],
+        post_gates=[
+            ("output_exists",
+             lambda: seen.append("post") or {"ok_dirs": len(os.listdir(root))}),
+        ],
+    )
+    # stage chain mirrors the reference DAG order
+    assert _stages(doc) == [
+        "init_run", "generate_data", "pre_pipeline_tests",
+        "spark_pipeline", "post_pipeline_tests",
+    ]
+    assert doc["status"] == "success"
+    assert doc["run_id"] == "dagrun1"
+    assert seen == ["setup", "pre", "post"]  # gates ran in DAG order
+    # persisted log equals the returned document
+    with open(log_path) as f:
+        assert json.load(f)["status"] == "success"
+
+
+def test_failing_pre_gate_blocks_engine(spark, tmp_path):
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+
+    with pytest.raises(GateFailure) as exc:
+        run_dag(
+            spark,
+            meta,
+            run_id="dagrun2",
+            log_path=log_path,
+            pre_gates=[("always_red", lambda: False)],
+        )
+    assert exc.value.stage == "pre_pipeline_tests"
+
+    with open(log_path) as f:
+        doc = json.load(f)
+    # engine never ran: no spark_pipeline stage, no sink output
+    assert "spark_pipeline" not in _stages(doc)
+    assert doc["status"] == "failed"
+    assert not os.path.exists(f"{root}/output")
+    red = doc["stages"][-1]
+    assert red["stage"] == "pre_pipeline_tests"
+    assert red["status"] == "failed"
+    assert red["sub_stages"][-1]["status"] == "failed"
+
+
+def test_failing_post_gate_marks_run_failed(spark, tmp_path):
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+
+    with pytest.raises(GateFailure):
+        run_dag(
+            spark,
+            meta,
+            run_id="dagrun3",
+            log_path=log_path,
+            post_gates=[("row_floor", lambda: False)],
+        )
+    with open(log_path) as f:
+        doc = json.load(f)
+    # the engine DID run (outputs exist) but the run is failed overall
+    assert "spark_pipeline" in _stages(doc)
+    assert doc["status"] == "failed"
+
+
+def test_crashing_gate_is_failing_gate(spark, tmp_path):
+    root = str(tmp_path)
+    generate_batches(root, num_batches=1, records_per_batch=50)
+
+    def boom():
+        raise RuntimeError("gate exploded")
+
+    with pytest.raises(GateFailure) as exc:
+        run_dag(
+            spark,
+            motor_metadata(root),
+            run_id="dagrun4",
+            log_path=f"{root}/run_log.json",
+            pre_gates=[("boom", boom)],
+        )
+    assert "gate exploded" in str(exc.value)
+
+
+def test_pytest_gate_appends_test_stage(tmp_path):
+    """A pytest subprocess gate appends its stage to the shared log via the
+    conftest session hooks and finalizes on FINALIZE_LOG (reference
+    conftest.py:125-136)."""
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    # seed a log document as init_run would
+    from metadata_driven_data_pipeline_spark.runlog import RunLog
+
+    log = RunLog("gaterun")
+    s = log.start_stage("init_run")
+    log.end_stage(s, "success")
+    log.save(log_path)
+
+    # a tiny spark-free test tree whose conftest delegates to the hooks
+    testdir = tmp_path / "gate_tests"
+    testdir.mkdir()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (testdir / "conftest.py").write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo_root!r})
+        from metadata_driven_data_pipeline_spark.orchestrate import (
+            runlog_sessionstart, runlog_sessionfinish,
+        )
+
+        def pytest_sessionstart(session):
+            runlog_sessionstart(session)
+
+        def pytest_sessionfinish(session, exitstatus):
+            runlog_sessionfinish(session, exitstatus)
+    """))
+    (testdir / "test_green.py").write_text("def test_ok():\n    assert True\n")
+
+    gate = pytest_gate(
+        [str(testdir / "test_green.py")],
+        run_id="gaterun",
+        log_path=log_path,
+        stage_name="post_pipeline_tests",
+        finalize=True,
+    )
+    result = gate()
+    assert result["pytest_exit"] == 0
+
+    with open(log_path) as f:
+        doc = json.load(f)
+    assert [st["stage"] for st in doc["stages"]] == [
+        "init_run", "post_pipeline_tests"
+    ]
+    assert doc["stages"][-1]["status"] == "success"
+    assert doc["stages"][-1]["sub_stages"][-1]["test_result"] == "all_passed"
+    assert doc["status"] == "success"  # FINALIZE_LOG finalized the whole log
+
+
+def test_pytest_gate_red_suite_fails_and_finalizes_failed(tmp_path):
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    from metadata_driven_data_pipeline_spark.runlog import RunLog
+
+    log = RunLog("gaterun2")
+    s = log.start_stage("init_run")
+    log.end_stage(s, "success")
+    log.save(log_path)
+
+    testdir = tmp_path / "gate_tests"
+    testdir.mkdir()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (testdir / "conftest.py").write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo_root!r})
+        from metadata_driven_data_pipeline_spark.orchestrate import (
+            runlog_sessionstart, runlog_sessionfinish,
+        )
+
+        def pytest_sessionstart(session):
+            runlog_sessionstart(session)
+
+        def pytest_sessionfinish(session, exitstatus):
+            runlog_sessionfinish(session, exitstatus)
+    """))
+    (testdir / "test_red.py").write_text("def test_no():\n    assert False\n")
+
+    gate = pytest_gate(
+        [str(testdir / "test_red.py")],
+        run_id="gaterun2",
+        log_path=log_path,
+        stage_name="post_pipeline_tests",
+        finalize=True,
+    )
+    with pytest.raises(GateFailure):
+        gate()
+    with open(log_path) as f:
+        doc = json.load(f)
+    assert doc["stages"][-1]["status"] == "failed"
+    assert doc["status"] == "failed"

@@ -62,11 +62,12 @@ def test_windowed_counts_on_stream(spark, sf_dir, tmp_path):
     os.makedirs(stream_dir, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    events = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(events.dtypes).get("ts") == "bigint":  # legacy nanos-as-long read
+        events = events.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # timestamp_ntz / timestamp flavors are normalized by windowed_counts
     agg = S.windowed_counts(events, window_duration="1 hour", watermark="1 hour")
     name = f"win_{abs(hash(str(tmp_path))) % 10**6}"
     q = (
