@@ -2862,6 +2862,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
     """
 
+    # value-checked oracle for the fake decoder: dim=16 is exactly one md5
+    # digest of payload||':0'; feature[j] = float32(byte_j/255); the sum is
+    # reproduced byte-for-byte from the hex digest (md5(VARCHAR) hashes the
+    # UTF-8 bytes, same as the Spark side's encode(text,'UTF-8') payload).
+    sql["multimodal_features"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN text IS NULL THEN 'null_payload' ELSE 'ok' END
+                   AS decode_status,
+               CASE WHEN text IS NULL THEN NULL ELSE
+                   round(list_sum(list_transform(range(0, 16), j ->
+                       CAST(CAST(('0x' || substr(md5(text || ':0'),
+                                                 CAST(2 * j + 1 AS INT), 2))
+                            AS INT) / 255.0 AS FLOAT)::DOUBLE)), 6)
+               END AS feature_sum
+        FROM documents
+    """
+
     sql["conditional_agg"] = """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,

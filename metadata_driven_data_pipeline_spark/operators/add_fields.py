@@ -84,8 +84,25 @@ def apply_add_fields(
     batch_id: str | None = None,
     run_id: str | None = None,
 ) -> DataFrame:
-    """Apply all field additions as one projection."""
+    """Apply field additions in declaration order.
+
+    Generator fields (``expr``) may reference fields added earlier in the
+    same list, so they are applied as chained projections — Catalyst's
+    project-collapsing folds the chain back into one physical projection,
+    so the sequential form costs nothing at runtime. Lists without ``expr``
+    fields keep the single-``withColumns`` fast path (no dependency is
+    possible: every other generator reads only the batch/run context).
+    """
     ctx = {"batch_id": batch_id, "run_id": run_id}
+    if any(f["function"] == "expr" for f in add_fields):
+        for field in add_fields:
+            df = df.withColumn(
+                field["name"],
+                compile_field(
+                    field["name"], field["function"], ctx, field.get("params")
+                ),
+            )
+        return df
     cols: dict[str, Column] = {}
     for field in add_fields:
         cols[field["name"]] = compile_field(

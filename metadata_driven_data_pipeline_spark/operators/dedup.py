@@ -22,6 +22,17 @@ trade-off:
   brute-force for verification, LSH/IVF bucketing (similarity.py) at scale.
 
 All built from built-in functions (JVM codegen); no Python UDFs.
+
+Caching contract: operators that feed one projection into both sides of a
+self-join (``jaccard_verify_pairs``, ``minhash_dedup``,
+``split_contamination``, ``containment_pairs``) persist that intermediate
+and deliberately do NOT unpersist it — the returned DataFrame still reads
+the cached blocks lazily, so unpersisting here would silently re-run the
+dominant hashing work at materialization. Callers that materialize the
+result inside a long-lived session and want the memory back should call
+``spark.catalog.clearCache()`` (or track/unpersist via
+``spark.sparkContext._jsc.getPersistentRDDs``) once the output is written
+— the engine's ``run_dataflow`` does exactly this for transform outputs.
 """
 
 from __future__ import annotations

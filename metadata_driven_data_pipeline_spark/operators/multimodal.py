@@ -59,14 +59,83 @@ FEATURE_SCHEMA = T.StructType(
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake 'decoder': md5-seeded feature vector. Stands in
-    for a real image/audio encoder so plumbing is testable in-container."""
+    for a real image/audio encoder so plumbing is testable in-container.
+
+    The per-digest suffix is ASCII (``:0``, ``:1`` ...) so an ANSI-SQL
+    oracle can reproduce the vector with plain string concat + md5 —
+    byte-level suffixes are not expressible in engines whose md5 only
+    accepts VARCHAR."""
     out = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.md5(payload + counter.to_bytes(4, "little")).digest()
+        h = hashlib.md5(payload + f":{counter}".encode()).digest()
         out.extend(b / 255.0 for b in h)
         counter += 1
     return [float(x) for x in out[:dim]]
+
+
+def _image_feature(payload: bytes, dim: int) -> list[float] | None:
+    """Real image decode via Pillow when it is installed: decode →
+    grayscale → thumbnail to a square grid → normalized pixel intensities.
+    Returns None when the payload is not a decodable image."""
+    import io
+
+    from PIL import Image  # optional dep; caller guards the import
+
+    side = max(1, int(dim ** 0.5))
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            small = img.convert("L").resize((side, side))
+            px = list(small.getdata())
+    except Exception:
+        return None
+    out = [p / 255.0 for p in px]
+    return (out * ((dim // len(out)) + 1))[:dim] if out else None
+
+
+def _audio_feature(payload: bytes, dim: int) -> list[float] | None:
+    """Real audio decode via soundfile when installed: first ``dim``
+    samples of the first channel, clipped to [-1, 1]."""
+    import io
+
+    import soundfile as sf  # optional dep; caller guards the import
+
+    try:
+        data, _sr = sf.read(io.BytesIO(payload), frames=dim, always_2d=True)
+    except Exception:
+        return None
+    col = [float(max(-1.0, min(1.0, x))) for x in data[:, 0]]
+    return col + [0.0] * (dim - len(col)) if col else None
+
+
+def _real_decoder(dim: int):
+    """Return a payload→feature callable backed by whichever optional codec
+    libraries exist (Pillow for images, soundfile for audio), or None when
+    neither is importable — the documented stub regime for this container."""
+    decoders = []
+    try:
+        import PIL.Image  # noqa: F401
+
+        decoders.append(_image_feature)
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        decoders.append(_audio_feature)
+    except ImportError:
+        pass
+    if not decoders:
+        return None
+
+    def decode(payload: bytes) -> list[float] | None:
+        for d in decoders:
+            feat = d(payload, dim)
+            if feat is not None:
+                return feat
+        return None
+
+    return decode
 
 
 def extract_features(
@@ -77,19 +146,24 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``fake=False`` raises NotImplementedError per batch (no codec libs in
-    this container — clearly-marked stub); ``fake=True`` produces
-    deterministic md5-derived vectors exercising the exact same plumbing
-    (schema, batch iteration, null payloads)."""
+    ``fake=True`` produces deterministic md5-derived vectors exercising the
+    exact plumbing (schema, batch iteration, null payloads) with an
+    ANSI-SQL-reproducible oracle. ``fake=False`` attempts the real codecs
+    (Pillow / soundfile) if importable; payloads neither library accepts
+    get ``decode_status='decode_error'``. When no codec library exists in
+    the environment (this container), the stub raises
+    NotImplementedError per batch, as documented."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = None if fake else _real_decoder(dim)
         for pdf in batches:
             if batch_note is not None:
                 batch_note["batches"] = batch_note.get("batches", 0) + 1
-            if not fake:
+            if not fake and real is None:
                 raise NotImplementedError(
-                    "Real media decode requires image/audio codecs not present "
-                    "in this environment; run with fake=True for plumbing tests"
+                    "Real media decode requires image/audio codecs "
+                    "(Pillow/soundfile) not present in this environment; "
+                    "run with fake=True for plumbing tests"
                 )
             feats = []
             status = []
@@ -97,9 +171,13 @@ def extract_features(
                 if payload is None:
                     feats.append(None)
                     status.append("null_payload")
-                else:
+                elif fake:
                     feats.append(_fake_feature(bytes(payload), dim))
                     status.append("ok")
+                else:
+                    feat = real(bytes(payload))
+                    feats.append(feat)
+                    status.append("ok" if feat is not None else "decode_error")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -131,40 +209,90 @@ def frame_sample(
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "Real frame sampling requires a video codec; "
                     "run with fake=True for plumbing tests"
                 )
-            rows = {"media_id": [], "frame_idx": [], "frame_fingerprint": []}
-            for _, row in pdf.iterrows():
-                duration = (row["meta"] or {}).get("duration_ms") or 0
-                payload = row["payload"] or b""
-                payload_md5 = hashlib.md5(bytes(payload)).hexdigest()
-                for i in range(max(0, duration // every_ms)):
-                    rows["media_id"].append(row["media_id"])
-                    rows["frame_idx"].append(i)
-                    # md5(md5(payload) || ':' || i): deterministic AND
-                    # reproducible from ANSI SQL (string concat, no
-                    # byte-order dependence) for the oracle harness
-                    rows["frame_fingerprint"].append(
-                        hashlib.md5(f"{payload_md5}:{i}".encode()).hexdigest()
-                    )
-            yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            # vectorized 1→N expansion: np.repeat on the row index, one
+            # concatenated arange for frame indexes; only the two md5
+            # calls per row remain in Python (hashing is inherently
+            # per-value)
+            n_frames = np.array(
+                [
+                    max(0, ((m or {}).get("duration_ms") or 0) // every_ms)
+                    for m in pdf["meta"]
+                ],
+                dtype=np.int64,
+            )
+            payload_md5 = [
+                hashlib.md5(bytes(p) if p is not None else b"").hexdigest()
+                for p in pdf["payload"]
+            ]
+            rep = np.repeat(np.arange(len(pdf)), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(n) for n in n_frames]
+            ) if len(rep) else np.array([], dtype=np.int64)
+            # md5(md5(payload) || ':' || i): deterministic AND reproducible
+            # from ANSI SQL (string concat, no byte-order dependence)
+            fingerprints = [
+                hashlib.md5(f"{payload_md5[r]}:{i}".encode()).hexdigest()
+                for r, i in zip(rep, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[rep],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_fingerprint": fingerprints,
+                }
+            )
 
     return df.mapInPandas(op, out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub — raises until a codec is available (documented
-    stub per task spec; the operator registration and signature are the
-    deliverable)."""
+    """Image resize: real when Pillow is importable (decode → resize →
+    re-encode PNG, metadata updated), a documented NotImplementedError
+    stub otherwise (no codec libs in this container)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "Image resize requires an image codec not present in this environment"
-        )
-        yield  # pragma: no cover
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "Image resize requires Pillow, not present in this environment"
+            ) from None
+        import io
+
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta or {})
+                if payload is None:
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
+                try:
+                    with Image.open(io.BytesIO(bytes(payload))) as img:
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+                    meta.update(
+                        {"mime_type": "image/png", "width": width,
+                         "height": height}
+                    )
+                except Exception:
+                    payloads.append(None)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads,
+                 "meta": metas}
+            )
 
     return df.mapInPandas(op, MEDIA_SCHEMA)

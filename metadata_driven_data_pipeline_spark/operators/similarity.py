@@ -104,6 +104,7 @@ def brute_force_topk_pandas(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k via the Arrow/Pandas-UDF path: the (small) query
     set is collected to a numpy matrix and closed over a ``mapInPandas``
@@ -111,6 +112,13 @@ def brute_force_topk_pandas(
     matmul and emits only its per-query local top-k, so the shuffle into
     the final ranking window carries ≤ k·m rows per batch instead of the
     full b×m product.
+
+    The query set is DRIVER-RESIDENT by contract: it is collected, closed
+    over the UDF, and re-sent with every task. ``max_queries`` (default
+    10k ≈ 5 MB at 64 float64 dims) fails fast instead of OOMing the driver
+    when a caller points this at a large relation — for query sets beyond
+    the cap, use :func:`brute_force_topk` (distributed join) or the
+    LSH/IVF bucketed paths.
 
     Same output contract as :func:`brute_force_topk` (rank 1..k, ties by
     corpus id, cosine rounded HALF_UP to 6 — numpy's half-even ``round`` is
@@ -123,7 +131,16 @@ def brute_force_topk_pandas(
     import pandas as pd
 
     qid = query_id_col or id_col
-    q_rows = queries.select(F.col(qid), F.col(emb_col)).collect()
+    q_rows = queries.select(F.col(qid), F.col(emb_col)).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_pandas collects the query set to the driver; "
+            f"got > max_queries={max_queries} rows. Use brute_force_topk "
+            f"(distributed join) or an LSH/IVF bucketed path for large "
+            f"query sets, or raise max_queries deliberately."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))

@@ -191,6 +191,19 @@ def split_ok_ko(
     ``validation_errors`` map of only the failing fields.
     """
     original_columns = list(df.columns)
+    if not validations:
+        # No rules ⇒ nothing can fail: all rows are OK, the KO side is an
+        # empty frame with the contract schema (original columns +
+        # empty validation_errors map). Metadata validation does not forbid
+        # an empty list, so degrade gracefully instead of IndexError.
+        ko = df.filter(F.lit(False)).select(
+            *original_columns,
+            F.map_filter(
+                F.create_map(F.lit("_"), F.lit(None).cast("array<string>")),
+                lambda k, v: v.isNotNull(),
+            ).alias("validation_errors"),
+        )
+        return ValidationResult(ok=df, ko=ko, annotated=df)
     annotated = annotate_errors(df, validations)
     if cache:
         annotated = annotated.cache()

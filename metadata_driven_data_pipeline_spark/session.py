@@ -71,8 +71,12 @@ def configure_object_store(
 ) -> None:
     """Programmatic s3a connector config (parity: pipeline/runner.py:131-136).
 
-    Not exercised in tests (no object store in the harness) but part of the
-    engine surface: the reference reads/writes MinIO via ``fs.s3a.*``.
+    Sets the Hadoop-level ``fs.s3a.*`` keys the reference passes via
+    spark-submit ``--conf`` (airflow/dags/motor_policy_pipeline_dag.py:
+    103-108). No object store exists in the test harness, so tests verify
+    the conf lands in the live Hadoop configuration (the exact mechanism
+    spark uses to build the s3a filesystem client) and that URI-scheme
+    routing through the engine's reader/writer works via ``file://``.
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.endpoint", endpoint)

@@ -77,3 +77,16 @@ def test_multiple_fields_single_projection(spark, df):
         run_id="r1",
     )
     assert set(out.columns) == {"a", "source_batch", "batch_date", "processed_run_id"}
+
+
+def test_expr_field_can_reference_earlier_added_field(spark, df):
+    """Declaration-order dependency: a later expr field reads a field added
+    earlier in the same addFields list (sequential-application contract)."""
+    out = apply_add_fields(
+        df,
+        [
+            {"name": "a2", "function": "expr", "params": "a * 2"},
+            {"name": "a4", "function": "expr", "params": "a2 * 2"},
+        ],
+    )
+    assert [r["a4"] for r in out.orderBy("a").collect()] == [4, 8]

@@ -91,3 +91,30 @@ def test_binaryfile_source_through_engine_to_features(spark, tmp_path):
         fake=True,
     ).collect()
     assert {tuple(r["feature"]) for r in rows} == {tuple(r["feature"]) for r in out2}
+
+
+def test_real_decoder_gating():
+    """_real_decoder returns a callable only when an optional codec library
+    (Pillow / soundfile) imports; in this container neither exists, which
+    is exactly the documented stub regime."""
+    from metadata_driven_data_pipeline_spark.operators.multimodal import (
+        _real_decoder,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    try:
+        import soundfile  # noqa: F401
+        has_sf = True
+    except ImportError:
+        has_sf = False
+
+    decoder = _real_decoder(16)
+    if has_pil or has_sf:
+        assert callable(decoder)
+        assert decoder(b"not-a-real-image") is None  # undecodable → None
+    else:
+        assert decoder is None

@@ -66,3 +66,15 @@ def test_lsh_deterministic(spark, embeddings, queries):
     b = S.lsh_bucket_topk(embeddings, queries, dim=64, k=3, bits=6).collect()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_pandas_path_query_cap_guards_driver_collect(spark, embeddings):
+    """The pandas path collects the query set to the driver — an unguarded
+    large relation would OOM it. max_queries fails fast instead."""
+    with pytest.raises(ValueError, match="max_queries"):
+        S.brute_force_topk_pandas(embeddings, embeddings, k=2, max_queries=10)
+    # at the cap is fine
+    out = S.brute_force_topk_pandas(
+        embeddings, embeddings.filter("vec_id < 3"), k=2, max_queries=3
+    )
+    assert out.count() == 6

@@ -135,3 +135,13 @@ class TestContracts:
             df, [{"field": "f", "rules": [{"name": "isIn", "params": ["5"]}]}], cache=False
         )
         assert res2.ko.count() == 1
+
+
+def test_empty_validations_passes_all_rows_through(spark, sample):
+    """An empty rules list is legal metadata: every row is OK and the KO
+    frame is empty but keeps the contract schema (validation_errors map)."""
+    res = split_ok_ko(sample, [])
+    assert res.ok.count() == sample.count()
+    assert res.ko.count() == 0
+    assert "validation_errors" in res.ko.columns
+    assert dict(res.ko.dtypes)["validation_errors"] == "map<string,array<string>>"
