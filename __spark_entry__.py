@@ -722,6 +722,13 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(kept).select("doc_id")
 
 
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Shannon entropy per doc — vocabulary-diversity / perplexity
+    proxy (low entropy = templated/degenerate text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_entropy(docs)
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-min rolling-hash document sketch (1-hash MinHash)."""
     docs = _t(spark, sf_dir, "documents")
@@ -769,6 +776,19 @@ def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.neardup_groups(
         _aug_docs(spark, sf_dir), num_hashes=16, bands=4, jaccard_threshold=0.7
     )
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: one survivor per near-dup group by
+    keep-LONGEST policy (the perturbed ' extra' copies beat their originals
+    — distinguishing this from minhash_dedup's keep-lowest-id rule), plus
+    all ungrouped docs."""
+    from metadata_driven_data_pipeline_spark.operators import clustering as cl
+
+    return cl.neardup_keep_best(
+        _aug_docs(spark, sf_dir), num_hashes=16, bands=4,
+        jaccard_threshold=0.7,
+    ).select("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2111,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "price_band_histogram": q_price_band_histogram,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "neardup_keep_best": q_neardup_keep_best,
+        "bigram_entropy": q_bigram_entropy,
     }
 
 
@@ -2817,7 +2839,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
     """
 
-    sql["neardup_groups"] = f"""
+    # shared LSH→verify→connected-components CTE chain: neardup_groups
+    # exposes the labels; neardup_keep_best layers the keep-policy on top
+    neardup_cte = f"""
         WITH RECURSIVE aug AS ({_AUG_SQL}),
              s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM aug),
              shs AS (SELECT doc_id, {sh3} AS sh FROM s),
@@ -2850,8 +2874,23 @@ def oracle_sql() -> dict[str, str]:
              reach(id, lab) AS (
                  SELECT u, u FROM edges
                  UNION
-                 SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id)
+                 SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id)"""
+
+    sql["neardup_groups"] = neardup_cte + """
         SELECT id AS doc_id, MIN(lab) AS group_id FROM reach GROUP BY id
+    """
+
+    sql["neardup_keep_best"] = neardup_cte + """,
+             grp AS (SELECT id AS doc_id, MIN(lab) AS group_id
+                     FROM reach GROUP BY id),
+             keep AS (
+                 SELECT aug.doc_id,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY COALESCE(grp.group_id, aug.doc_id)
+                            ORDER BY COALESCE(length(aug.text), -1) DESC,
+                                     aug.doc_id ASC) AS rn
+                 FROM aug LEFT JOIN grp ON aug.doc_id = grp.doc_id)
+        SELECT doc_id FROM keep WHERE rn = 1
     """
 
     sql["multimodal_frames"] = """
@@ -2860,6 +2899,29 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id AS media_id, text,
                      unnest(range(0, CAST(doc_id % 4 AS BIGINT))) AS i
               FROM documents)
+    """
+
+    sql["bigram_entropy"] = f"""
+        WITH s AS (SELECT doc_id, {toks_norm} AS toks FROM documents),
+             g AS (SELECT doc_id,
+                          unnest(CASE WHEN len(toks) >= 2 THEN
+                              list_transform(range(0, len(toks) - 1),
+                                  i -> array_to_string(
+                                      list_slice(toks, i + 1, i + 2), ' '))
+                          ELSE []::VARCHAR[] END) AS gram
+                   FROM s),
+             c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             st AS (SELECT doc_id,
+                           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                           SUM(CAST(c AS DOUBLE) * log2(c)) AS s
+                    FROM c GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(st.n_bigrams, 0) AS n_bigrams,
+               COALESCE(st.n_distinct, 0) AS n_distinct,
+               round(log2(st.n_bigrams) - st.s / st.n_bigrams, 6)
+                   AS entropy_bits
+        FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """
 
     # value-checked oracle for the fake decoder: dim=16 is exactly one md5

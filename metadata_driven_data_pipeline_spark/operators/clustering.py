@@ -131,6 +131,50 @@ def neardup_groups(
     )
 
 
+def neardup_keep_best(
+    df: DataFrame,
+    quality=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Canonical-document selection: cluster near-dups
+    (:func:`neardup_groups`) and keep exactly one member per dup group —
+    the highest-``quality`` one (ties broken by lowest id) — plus every
+    ungrouped document unchanged. This is the corpus-curation keep-policy
+    the greedy lowest-id rule of ``minhash_dedup`` can't express: keep the
+    longest / newest / highest-scoring variant of each duplicate cluster.
+
+    ``quality`` is any deterministic Column over ``df``'s columns; default
+    is character length of ``text_col`` (keep-longest). NULL quality sorts
+    last (coalesced to -1).
+
+    Scale shape: the group labels are |clustered docs| rows (only docs in
+    a verified pair) — the left join back to the corpus broadcasts when
+    small; the keep-window partitions by group id, and ungrouped docs are
+    their own singleton partitions, so no skew beyond the largest dup
+    group (bounded by LSH candidate generation).
+    """
+    if quality is None:
+        quality = F.length(F.col(text_col))
+    groups = neardup_groups(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, jaccard_threshold=jaccard_threshold,
+    )
+    labeled = df.join(groups, id_col, "left")
+    eff_group = F.coalesce(F.col("group_id"), F.col(id_col))
+    w = Window.partitionBy(eff_group).orderBy(
+        F.coalesce(quality, F.lit(-1)).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__keep_rank", F.row_number().over(w))
+        .filter(F.col("__keep_rank") == 1)
+        .drop("__keep_rank", "group_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # K-means over embedding columns (centroid assign / update / fit)
 # --------------------------------------------------------------------------

@@ -253,6 +253,49 @@ def repetition_profile(
     )
 
 
+def bigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's bigram distribution — a
+    vocabulary-diversity score / perplexity proxy for corpus filtering:
+    degenerate or templated text has low entropy even when no single
+    bigram dominates (the case :func:`repetition_profile`'s max-fraction
+    metrics miss).
+
+    Computed without materializing probabilities:
+    ``H = log2(T) − (Σ c·log2 c)/T`` over per-doc bigram counts ``c``
+    (total ``T``) — two hash-aggregate shuffles keyed by doc id, map-side
+    combinable, no window and no Python. Docs with fewer than 2 tokens get
+    NULL entropy and zero counts.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(bigrams(tokens(normalize_text(F.col(text_col))))).alias(
+            "__gram"
+        ),
+    )
+    counts = grams.groupBy(id_col, "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    stats = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("__c").cast("double") * F.log2("__c")).alias("__s"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.round(
+                F.log2("n_bigrams") - F.col("__s") / F.col("n_bigrams"), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
 def tfidf_topterms(
     df: DataFrame,
     text_col: str = "text",

@@ -78,3 +78,47 @@ class TestNeardupGroups:
                 assert by_id[orig + 10000] == by_id.get(orig, orig)
         # group representative is always the component min ⇒ ≤ member id
         assert all(g <= d for d, g in by_id.items())
+
+
+class TestNeardupKeepBest:
+    def test_keep_longest_survivor_per_group(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        pert = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        corpus = docs.unionByName(pert)
+        groups = cl.neardup_groups(corpus, jaccard_threshold=0.7)
+        kept = cl.neardup_keep_best(corpus, jaccard_threshold=0.7)
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+        # exactly one survivor per dup group; it has the max text length
+        rows = corpus.join(groups, "doc_id").select(
+            "doc_id", "group_id", F.length("text").alias("len")
+        ).collect()
+        by_group: dict[int, list] = {}
+        for r in rows:
+            by_group.setdefault(r["group_id"], []).append(r)
+        for gid, members in by_group.items():
+            survivors = [m for m in members if m["doc_id"] in kept_ids]
+            assert len(survivors) == 1, f"group {gid}"
+            max_len = max(m["len"] for m in members)
+            assert survivors[0]["len"] == max_len
+        # ungrouped docs all survive
+        grouped = {r["doc_id"] for r in rows}
+        all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+        assert (all_ids - grouped) <= kept_ids
+        # the ' extra' copy is strictly longer than its original, so in any
+        # two-member group {orig, orig+10000} the perturbed id survives
+        by_id = {r["doc_id"]: r["group_id"] for r in rows}
+        members_of = {}
+        for d, g in by_id.items():
+            members_of.setdefault(g, set()).add(d)
+        for orig in range(10):
+            pid = orig + 10000
+            if orig in by_id and by_id.get(pid) == by_id[orig]:
+                if members_of[by_id[orig]] == {orig, pid}:
+                    assert pid in kept_ids
+                    assert orig not in kept_ids

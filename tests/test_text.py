@@ -180,3 +180,31 @@ class TestTfidf:
         df = spark.createDataFrame([Row(doc_id=1, text="x y"), Row(doc_id=2, text="x")])
         out = X.tfidf_topterms(df, k=1, log_idf=True).collect()
         assert {r["doc_id"] for r in out} == {1, 2}
+
+
+class TestBigramEntropy:
+    def test_uniform_vs_repetitive(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="a b c d e f g h"),     # all bigrams unique
+            Row(doc_id=2, text="a b a b a b a b a"),   # two bigrams repeated
+            Row(doc_id=3, text="word"),                # < 2 tokens
+            Row(doc_id=4, text=None),
+        ])
+        out = {r["doc_id"]: r for r in
+               __import__("metadata_driven_data_pipeline_spark.operators.text",
+                          fromlist=["text"]).bigram_entropy(df).collect()}
+        # 7 unique bigrams → entropy = log2(7)
+        import math
+        assert out[1]["n_bigrams"] == 7
+        assert abs(out[1]["entropy_bits"] - round(math.log2(7), 6)) < 1e-9
+        # 'a b' x4 + 'b a' x4 → two equiprobable symbols → 1 bit
+        assert out[2]["n_bigrams"] == 8
+        assert abs(out[2]["entropy_bits"] - 1.0) < 1e-9
+        # degenerate docs: zero grams, NULL entropy
+        for d in (3, 4):
+            assert out[d]["n_bigrams"] == 0
+            assert out[d]["entropy_bits"] is None
+        # diversity ordering: unique-bigram doc > repetitive doc
+        assert out[1]["entropy_bits"] > out[2]["entropy_bits"]
