@@ -410,6 +410,68 @@ def _t_semdedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFram
     return {ctx["name"]: out}
 
 
+def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Corpus dedup as a metadata transform. ``mode``: ``exact`` (content
+    fingerprint), ``minhash`` (LSH→verify, keep lowest id), or
+    ``keep_best`` (near-dup groups, keep highest-quality member; quality
+    defaults to text length, or any SQL expression via ``qualityExpr``)."""
+    from . import dedup as dd
+    from .clustering import neardup_keep_best
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "exact")
+    text_col = params.get("textCol", "text")
+    id_col = params.get("idCol", "doc_id")
+    if mode == "exact":
+        out = dd.exact_dedup(
+            df, text_col=text_col, id_col=id_col,
+            normalize=bool(params.get("normalize", True)),
+        )
+    elif mode == "minhash":
+        out = dd.minhash_dedup(
+            df, text_col=text_col, id_col=id_col,
+            num_hashes=int(params.get("numHashes", 16)),
+            bands=int(params.get("bands", 4)),
+            jaccard_threshold=float(params.get("jaccardThreshold", 0.8)),
+        )
+    elif mode == "keep_best":
+        quality = (
+            F.expr(params["qualityExpr"]) if "qualityExpr" in params else None
+        )
+        out = neardup_keep_best(
+            df, quality=quality, text_col=text_col, id_col=id_col,
+            num_hashes=int(params.get("numHashes", 16)),
+            bands=int(params.get("bands", 4)),
+            jaccard_threshold=float(params.get("jaccardThreshold", 0.8)),
+        )
+    else:
+        raise ValueError(f"unknown text_dedup mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
+def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Text-analysis transforms: ``profile`` (lang-id + quality + token
+    counts), ``entropy`` (bigram Shannon entropy), ``pii_redact``."""
+    from . import text as tx
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "profile")
+    text_col = params.get("textCol", "text")
+    id_col = params.get("idCol", "doc_id")
+    if mode == "profile":
+        out = tx.text_profile(df, text_col=text_col)
+    elif mode == "entropy":
+        out = tx.bigram_entropy(df, text_col=text_col, id_col=id_col)
+    elif mode == "pii_redact":
+        out = df.withColumn(
+            params.get("outputCol", text_col),
+            tx.redact_pii(F.col(text_col)),
+        )
+    else:
+        raise ValueError(f"unknown text_analyze mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
 def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     from .sampling import hash_sample, stratified_hash_sample, train_test_split
 
@@ -460,6 +522,8 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "kmeans_assign": _t_kmeans_assign,
     "semdedup": _t_semdedup,
     "sample": _t_sample,
+    "text_dedup": _t_text_dedup,
+    "text_analyze": _t_text_analyze,
 }
 
 

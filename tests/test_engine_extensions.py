@@ -212,3 +212,70 @@ def test_cli_dry_run_valid_and_invalid(tmp_path, capsys):
     }))
     assert main(["--metadata", str(bad), "--dry-run"]) == 1
     assert "NOPE" in capsys.readouterr().out
+
+
+def test_text_dedup_transform_modes(spark, tmp_path):
+    """Metadata-declared corpus dedup: exact and keep_best modes through
+    the engine (same operators the query surface certifies)."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "aug", "type": "sql",
+             "params": {"statement":
+                        "SELECT doc_id, text FROM documents "
+                        "UNION ALL "
+                        "SELECT doc_id + 10000, text || ' extra' "
+                        "FROM documents WHERE doc_id < 10"}},
+            {"name": "canon", "type": "text_dedup",
+             "params": {"input": "aug", "mode": "keep_best",
+                        "jaccardThreshold": 0.7}},
+        ],
+        sink_input="canon",
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    base = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(ids) < base + 10  # some dup groups collapsed
+    assert len(ids) > 0
+
+
+def test_text_dedup_exact_transform(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "dup", "type": "sql",
+             "params": {"statement":
+                        "SELECT doc_id, text FROM documents "
+                        "UNION ALL SELECT doc_id + 10000, text FROM documents"}},
+            {"name": "uniq", "type": "text_dedup",
+             "params": {"input": "dup", "mode": "exact"}},
+        ],
+        sink_input="uniq",
+    )
+    # exact copies collapse: every surviving fingerprint is unique and the
+    # survivor is the lowest id (original, not +10000) except null texts
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert all(i < 10000 for i in ids)
+
+
+def test_text_analyze_transform(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "ent", "type": "text_analyze",
+             "params": {"input": "documents", "mode": "entropy"}},
+        ],
+        sink_input="ent",
+    )
+    assert set(out.columns) == {"doc_id", "n_bigrams", "n_distinct",
+                                "entropy_bits"}
+    assert out.count() == spark.read.parquet(f"{SF}/documents.parquet").count()
