@@ -976,6 +976,44 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the oracle:
+    per-user running (count, total) as explicit group state, driven to
+    completion with availableNow over the static table. micro_units makes
+    the accumulation integer-exact (order-independent), so the final state
+    equals the batch GROUP BY answer bit-for-bit."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+    )
+    from metadata_driven_data_pipeline_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = _event_ts(incremental_file_stream(spark, stream_dir, schema, fmt="parquet"))
+    totals = running_totals(stream, micro_units=True)
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    run_to_memory(totals, name, output_mode="update")
+    # update mode re-emits a key's row every micro-batch it appears in;
+    # a single-file source is one batch, but keep the final-state
+    # projection robust to multi-batch splits anyway
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 def q_order_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per order, the sorted list of line numbers
     (collect_list → array_sort, emitted as a CSV string so the comparison
@@ -2133,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "neardup_keep_best": q_neardup_keep_best,
         "bigram_entropy": q_bigram_entropy,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
     }
 
 
@@ -2511,6 +2550,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id FROM events WHERE event_type = 'click'
         INTERSECT ALL
         SELECT user_id FROM events WHERE event_type = 'purchase'
+    """
+
+    sql["streaming_stateful_totals"] = """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               round(COALESCE(
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0.0
+               ), 6) AS total_value
+        FROM events GROUP BY user_id
     """
 
     sql["streaming_enriched_counts"] = """

@@ -20,6 +20,7 @@ def running_totals(
     events: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
+    micro_units: bool = False,
 ) -> DataFrame:
     """Per-key running (count, sum) maintained as explicit group state and
     re-emitted every micro-batch — the minimal custom stateful op: unlike a
@@ -29,7 +30,18 @@ def running_totals(
 
     Output rows: (key, n_events, total_value) — the totals over *all*
     micro-batches so far for that key.
+
+    ``micro_units=True`` accumulates each value as an integer count of
+    1e-6 units (HALF_UP, matching a DECIMAL(18,6) cast) instead of a
+    float sum. Integer addition is exactly commutative, so the total is
+    independent of batch/row order — required when the output must
+    hash-match an exact-decimal SQL oracle. The float path is fine for
+    monitoring-style totals.
     """
+    import math
+
+    def _micros(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
 
     def update(
         key: tuple,
@@ -38,14 +50,27 @@ def running_totals(
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
             n, total = state.get
+            # state schema stores total as double; micro counts < 2^53
+            # round-trip exactly, so int() restores exact integer arithmetic
+            if micro_units:
+                total = int(total)
         else:
-            n, total = 0, 0.0
+            n, total = 0, (0 if micro_units else 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].fillna(0.0).sum())
-        state.update((int(n), float(total)))
+            vals = pdf[value_col].fillna(0.0)
+            if micro_units:
+                total += int(sum(_micros(float(v)) for v in vals))
+            else:
+                total += float(vals.sum())
+        if micro_units:
+            state.update((int(n), int(total)))
+            out_total = round(total / 1e6, 6)
+        else:
+            state.update((int(n), float(total)))
+            out_total = total
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+            {key_col: [key[0]], "n_events": [n], "total_value": [out_total]}
         )
 
     return events.groupBy(key_col).applyInPandasWithState(

@@ -242,3 +242,35 @@ def test_foreachbatch_upsert_consolidated(spark, tmp_path):
     run_upsert_consolidated(stream, ckpt, out, "k", "batch_date")
     got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 10), ("b", 2), ("c", 3)}
+
+
+def test_stateful_micro_units_totals_are_order_exact(spark, sf_dir, tmp_path):
+    """micro_units accumulation must equal the exact-decimal batch answer
+    regardless of batch/row order (integer addition is commutative)."""
+    import shutil
+    import pyspark.sql.functions as F
+    from metadata_driven_data_pipeline_spark.streaming.stateful import running_totals
+
+    src = f"{tmp_path}/ev"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_totals(stream, micro_units=True)
+    name = "state_exact_t"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table(name).collect()}
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.coalesce(
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                 F.lit(0.0)), 6).alias("t"))
+        .collect()
+    }
+    assert got == want
