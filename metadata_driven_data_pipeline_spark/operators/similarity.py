@@ -232,6 +232,44 @@ def _centroid_dots(emb: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Build the IVF index once: (id, vector, norm, ``__cell``) with each
+    row assigned to its best coarse cell (argmax dot, first-index tiebreak).
+
+    This is the build half of the build-once / probe-many split: persist
+    the result (ideally ``write.bucketBy``/``partitionBy('__cell')``) and
+    pass it to :func:`ivf_topk`, which skips re-assignment when ``__cell``
+    is present — query cost stops depending on index-construction cost,
+    and a partition-pruned read touches only the probed cells.
+    """
+    cents = centroids or ivf_centroids(dim, n_cells)
+    return (
+        widen(corpus)
+        .select(F.col(id_col), dvec(F.col(emb_col)).alias("__cv"))
+        .select(
+            id_col,
+            "__cv",
+            l2_norm(F.col("__cv")).alias("__cn"),
+            _centroid_dots(F.col("__cv"), cents).alias("__d"),
+        )
+        .select(
+            id_col,
+            "__cv",
+            "__cn",
+            (F.array_position("__d", F.array_max("__d")) - 1)
+            .cast("int")
+            .alias("__cell"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -257,22 +295,15 @@ def ivf_topk(
     ncells = len(cents)
     qid = query_id_col or id_col
 
-    c = (
-        widen(corpus)
-        .select(F.col(id_col), dvec(F.col(emb_col)).alias("__cv"))
-        .select(
-            id_col,
-            "__cv",
-            l2_norm(F.col("__cv")).alias("__cn"),
-            _centroid_dots(F.col("__cv"), cents).alias("__d"),
+    if "__cell" in corpus.columns:
+        # pre-built index (ivf_build_index): cell assignment already done —
+        # the build-once / probe-many production shape
+        c = corpus.select(id_col, "__cv", "__cn", "__cell")
+    else:
+        c = ivf_build_index(
+            corpus, dim, n_cells=ncells, id_col=id_col, emb_col=emb_col,
+            centroids=cents,
         )
-        .select(
-            id_col,
-            "__cv",
-            "__cn",
-            (F.array_position("__d", F.array_max("__d")) - 1).cast("int").alias("__cell"),
-        )
-    )
     # probe cells: indices of the n_probe largest dots (ties → lower index),
     # via sort of (-dot, index) structs
     entries = F.transform(

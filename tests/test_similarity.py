@@ -78,3 +78,24 @@ def test_pandas_path_query_cap_guards_driver_collect(spark, embeddings):
         embeddings, embeddings.filter("vec_id < 3"), k=2, max_queries=3
     )
     assert out.count() == 6
+
+
+def test_ivf_prebuilt_index_matches_direct_path(spark, embeddings, queries, tmp_path):
+    """Build-once / probe-many: probing a persisted __cell-partitioned index
+    returns exactly the direct ivf_topk answer (partition pruning reads
+    only the probed cells at scale)."""
+    dim = 64
+    direct = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.ivf_topk(embeddings, queries, dim=dim, k=5).collect()
+    }
+    idx_path = str(tmp_path / "ivf_index")
+    S.ivf_build_index(embeddings, dim=dim).write.partitionBy(
+        "__cell"
+    ).parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    probed = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.ivf_topk(indexed, queries, dim=dim, k=5).collect()
+    }
+    assert probed == direct
