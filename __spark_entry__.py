@@ -2023,6 +2023,16 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_pairs(emb, centroids, threshold=0.8)
 
 
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SCALE policy under the oracle: k scaled to the
+    corpus (k = n // bucket_size, constant expected bucket size ⇒ Σ|bucket|²
+    ≈ n·bucket_size, linear), centroids a deterministic md5 hash-sample of
+    the corpus itself — the oracle reproduces count → k → threshold →
+    sample → assignment → within-bucket pairs end-to-end."""
+    emb = _aug_embeddings(spark, sf_dir)
+    return sim.semdedup_auto(emb, bucket_size=64, threshold=0.8)
+
+
 def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densify/resample: per-user contiguous hourly purchase
     grid (zero-filled) between each user's first and last purchase —
@@ -2172,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "bigram_entropy": q_bigram_entropy,
         "streaming_stateful_totals": q_streaming_stateful_totals,
+        "semdedup_auto": q_semdedup_auto,
     }
 
 
@@ -3534,6 +3545,36 @@ def oracle_sql() -> dict[str, str]:
               FROM d),
         m AS (SELECT aug.vec_id, aug.embedding, a.cluster_id
               FROM aug JOIN a ON a.vec_id = aug.vec_id AND a.rn = 1)
+        SELECT cluster_id, id_a, id_b, cosine FROM (
+            SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
+                   {_sql_cosine64('x.embedding', 'y.embedding')} AS cosine
+            FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+                             AND x.vec_id < y.vec_id
+        ) WHERE cosine >= 0.8
+    """
+
+    sql["semdedup_auto"] = f"""
+        WITH aug AS ({_AUG_EMB_SQL}),
+             p AS (SELECT COUNT(*) AS n FROM aug),
+             kk AS (SELECT n, GREATEST(1, n // 64) AS k FROM p),
+             thr AS (SELECT n, k,
+                            CAST(round(LEAST(1.0, (2.0 * k) / GREATEST(1, n))
+                                       * 1000000) AS BIGINT) AS t
+                     FROM kk),
+             samp AS (SELECT vec_id, embedding,
+                             ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+                      FROM aug, thr
+                      WHERE {draw('semdedup-centroids', 'vec_id')} < t),
+             c AS (SELECT srn - 1 AS cluster_id, embedding AS cemb
+                   FROM samp, thr WHERE srn <= k),
+             d AS (SELECT e.vec_id, c.cluster_id, {aug_d2} AS d2
+                   FROM aug e CROSS JOIN c),
+             a AS (SELECT vec_id, cluster_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cluster_id) AS rn
+                   FROM d),
+             m AS (SELECT aug.vec_id, aug.embedding, a.cluster_id
+                   FROM aug JOIN a ON a.vec_id = aug.vec_id AND a.rn = 1)
         SELECT cluster_id, id_a, id_b, cosine FROM (
             SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
                    {_sql_cosine64('x.embedding', 'y.embedding')} AS cosine
