@@ -2033,6 +2033,61 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_auto(emb, bucket_size=64, threshold=0.8)
 
 
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS and NOT EXISTS correlated on the SAME
+    relation — suppliers who were the sole late shipper on multi-supplier
+    fulfilled orders ("late" = shipped > 90 days after the order date; the
+    testdata has no commit/receipt dates). One semi join (another supplier
+    exists on the order) + one anti join (no OTHER supplier was late),
+    both equi on orderkey with a supplier-inequality residual — no
+    cartesian anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_lines = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = (
+        late.join(
+            all_lines,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    counts = waiting.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").alias("numwait")
+    )
+    return (
+        counts.join(supp, counts.l_suppkey == supp.s_suppkey)
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
 def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densify/resample: per-user contiguous hourly purchase
     grid (zero-filled) between each user's first and last purchase —
@@ -2183,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "semdedup_auto": q_semdedup_auto,
+        "suppliers_kept_waiting": q_suppliers_kept_waiting,
     }
 
 
@@ -3551,6 +3607,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m x JOIN m y ON x.cluster_id = y.cluster_id
                              AND x.vec_id < y.vec_id
         ) WHERE cosine >= 0.8
+    """
+
+    sql["suppliers_kept_waiting"] = """
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+             waiting AS (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM late l1
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey))
+        SELECT s_name, s_suppkey, CAST(numwait AS BIGINT) AS numwait
+        FROM (SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS numwait
+              FROM waiting GROUP BY l_suppkey) w
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 20
     """
 
     sql["semdedup_auto"] = f"""
