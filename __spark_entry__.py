@@ -443,15 +443,47 @@ def q_percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB drop-ins for exact countDistinct/
-    percentile (HLL++ / KLL-sketch based; single pass, mergeable partial
-    states, no sort). Deliberately no SQL oracle: the approximation
-    algorithms are engine-specific, so the driver records a rows-only check;
-    exact counterparts are oracle-verified in percentile_by_priority."""
+    percentile (HLL++ / KLL-style sketches; single pass, mergeable partial
+    states, no sort). Raw sketch outputs are engine-specific, so the query
+    emits ERROR-BOUND ASSERTIONS instead: per group, booleans stating the
+    approximation landed inside its documented bound relative to the exact
+    twin computed in the same pass.
+
+    Bounds asserted (3x slack over the nominal guarantees):
+      - approx_count_distinct (HLL++, default rsd=0.05): within 15% (3*rsd)
+        of COUNT(DISTINCT).
+      - approx_percentile (default accuracy=10000, rank error eps<=1e-4):
+        value lies between the exact 0.45/0.55 (resp. 0.85/0.95) quantiles —
+        a +-0.05 rank band, orders of magnitude looser than eps.
+
+    The oracle computes the same booleans exactly (trivially TRUE), so a
+    sketch drifting outside its contract turns the row red — the check
+    certifies approximation QUALITY, not just row shape."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_p50"),
-        F.expr("approx_percentile(o_totalprice, 0.9)").alias("approx_p90"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("ac"),
+            F.expr("approx_percentile(o_totalprice, 0.5)").alias("ap50"),
+            F.expr("approx_percentile(o_totalprice, 0.9)").alias("ap90"),
+            F.countDistinct("o_custkey").alias("xc"),
+            F.expr("percentile(o_totalprice, 0.45)").alias("q45"),
+            F.expr("percentile(o_totalprice, 0.55)").alias("q55"),
+            F.expr("percentile(o_totalprice, 0.85)").alias("q85"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("q95"),
+        )
+        .select(
+            "o_orderpriority",
+            (F.abs(F.col("ac") - F.col("xc")) <= 0.15 * F.col("xc")).alias(
+                "custs_in_bound"
+            ),
+            F.col("ap50").between(F.col("q45"), F.col("q55")).alias(
+                "p50_in_bound"
+            ),
+            F.col("ap90").between(F.col("q85"), F.col("q95")).alias(
+                "p90_in_bound"
+            ),
+        )
     )
 
 
@@ -655,9 +687,13 @@ _AUG_EMB_SQL = """
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.8 (exact verification path)."""
+    """Embedding-cosine near-dup pairs ≥ 0.8 via the production
+    candidates→verify path (banded hyperplane LSH candidates, exact cosine
+    verify). The DuckDB oracle is the full all-pairs enumeration, so a
+    green row certifies BOTH exactness of surviving pairs AND recall=1.0
+    of the candidate generator on this corpus."""
     return dd.embedding_neardup_pairs(
-        _aug_embeddings(spark, sf_dir), threshold=0.8
+        _aug_embeddings(spark, sf_dir), threshold=0.8, dim=EMB_DIM
     )
 
 
@@ -2483,6 +2519,18 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
                COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    # approx_stats emits error-bound booleans; under exact computation the
+    # bounds hold by construction, so the oracle is the exact-arithmetic
+    # statement of the same assertions (TRUE per group). A Spark sketch
+    # drifting outside its documented bound hash-mismatches this row.
+    sql["approx_stats"] = """
+        SELECT o_orderpriority,
+               TRUE AS custs_in_bound,
+               TRUE AS p50_in_bound,
+               TRUE AS p90_in_bound
         FROM orders GROUP BY o_orderpriority
     """
 

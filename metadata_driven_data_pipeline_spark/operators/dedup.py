@@ -444,21 +444,12 @@ def simhash_candidates(
 
 # --- embedding near-dup -------------------------------------------------------
 
-def embedding_neardup_pairs(
-    df: DataFrame,
-    emb_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-) -> DataFrame:
-    """Exact cosine near-dup pairs (brute force O(n²) — verification scale).
-    At corpus scale, generate candidates with similarity.lsh_bucket_topk
-    and verify with this predicate on the candidate set only."""
-    # Pre-cast each vector to array<double> ONCE per row: the per-pair
-    # zip_with lambda then multiplies doubles directly instead of casting
-    # 2×dim floats per pair (O(n) casts instead of O(n²) — measured ~1.6×
-    # on the whole query). cast(float→double) before multiply is bit-exact
-    # with casting inside the lambda, so oracle hashes are unchanged.
-    withn = widen(df).select(
+def _emb_base(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
+    """(__id, __v: array<double>, __norm) — vectors cast ONCE per row so
+    downstream pair predicates multiply doubles directly (O(n) casts, not
+    O(pairs)); cast-before-multiply is bit-exact with casting inside the
+    lambda, so oracle hashes are unchanged."""
+    return widen(df).select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
         F.sqrt(
@@ -469,19 +460,153 @@ def embedding_neardup_pairs(
             )
         ).alias("__norm"),
     )
-    a, b = withn.alias("a"), withn.alias("b")
+
+
+def _pair_cosine() -> Column:
+    """round(cos, 6) between the joined ``a``/``b`` aliases of _emb_base."""
     dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    return F.round(dot / (F.col("a.__norm") * F.col("b.__norm")), 6)
+
+
+def _verify_all_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine pairs by brute-force O(n²) self-join — INTERNAL
+    verification path only (recall ground truth for tests and the recall
+    harness). Production entry point is :func:`embedding_neardup_pairs`,
+    which is candidates→verify and |candidates|-linear."""
+    a, b = _emb_base(df, emb_col, id_col).alias("a"), _emb_base(
+        df, emb_col, id_col
+    ).alias("b")
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(dot / (F.col("a.__norm") * F.col("b.__norm")), 6).alias("cosine"),
+            _pair_cosine().alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_candidate_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    bits: int = 14,
+    bands: int = 32,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs (id_a < id_b, distinct).
+
+    Each row gets ``bands`` independent ``bits``-bit sign signatures (one
+    Arrow/numpy GEMM — deterministic seed-derived hyperplanes, no RNG
+    state); a pair is a candidate when any band matches within Hamming
+    distance ``multiprobe`` (the probe side also enumerates single-bit
+    flips, so two rows whose band signatures differ in ≤1 bit still
+    collide). For a pair at angle θ with per-bit agreement s = 1 − θ/π,
+    P(band hit) = s^bits + bits·(1−s)·s^(bits−1) at multiprobe=1; with the
+    default (14, 32) that is ≥ 0.9986 at cosine 0.8 (s ≈ 0.795), ≥
+    0.99994 at 0.85, and → 1 rapidly above. Tests assert empirical
+    recall = 1.0 vs the exact all-pairs ground truth on the testdata
+    corpus at three scale factors.
+
+    Scale shape: one linear Arrow-batched signature projection, explode to
+    (band, sig) [probe side ×(1+multiprobe·bits)], one shuffle hash join on
+    the bucket key, pair-distinct. No all-pairs product anywhere; expected
+    false-positive collisions per random pair = bands·(1+bits)/2^bits
+    (~2.9% at defaults; clustered corpora add genuinely-similar pairs on
+    top, which is the point), and every candidate is re-verified with the exact
+    cosine predicate, so widening the probe only costs candidate volume,
+    never precision. At 100 TB, raise ``bits`` so 2^bits tracks corpus
+    size (bucket occupancy, not n², bounds the join) and raise ``bands``
+    for recall — both linear-cost knobs."""
+    from metadata_driven_data_pipeline_spark.operators.similarity import (
+        np_band_signatures,
+    )
+
+    if dim is None:
+        probe = df.select(F.size(F.col(emb_col)).alias("d")).first()
+        if probe is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}"
+            )
+        dim = probe["d"]
+    base = widen(df).select(
+        F.col(id_col).alias("__id"),
+        np_band_signatures(emb_col, dim, bits, bands, seed).alias("__sigs"),
+    )
+    left = base.select(
+        "__id", F.posexplode(F.col("__sigs")).alias("__band", "__sig")
+    )
+    probes = [F.col("__sig")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+        ]
+    right = base.select(
+        "__id", F.posexplode(F.col("__sigs")).alias("__band", "__sig")
+    ).select(
+        "__id", "__band", F.explode(F.array(*probes)).alias("__sig")
+    )
+    a, b = left.alias("a"), right.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 14,
+    bands: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ ``threshold`` — candidates→verify.
+
+    Candidates from banded random-hyperplane LSH
+    (:func:`embedding_candidate_pairs`, |candidates|-linear), verified with
+    the exact double-precision cosine predicate — identical arithmetic to
+    the all-pairs form, so surviving pairs are bit-identical to
+    :func:`_verify_all_pairs` output restricted to the candidate set.
+
+    Recall contract: probabilistic (multiprobe-1 band hit, see
+    :func:`embedding_candidate_pairs`) — ≥ 99.86% at cosine 0.8 with
+    defaults, → 1 rapidly above;
+    tests assert empirical recall = 1.0 against the exact ground truth on
+    testdata. At 100 TB, raise ``bands`` (linear cost) to push recall —
+    precision is always exact because every candidate is re-verified."""
+    cand = embedding_candidate_pairs(
+        df, emb_col=emb_col, id_col=id_col, dim=dim, bits=bits, bands=bands,
+        seed=seed,
+    )
+    base = _emb_base(df, emb_col, id_col)
+    a = base.withColumnRenamed("__id", "id_a").alias("a")
+    b = base.withColumnRenamed("__id", "id_b").alias("b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -135,6 +135,38 @@ class TestEmbeddingNearDup:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert got == {(1, 2)}
 
+    def test_candidates_verify_matches_all_pairs(self, spark, sf_dir):
+        """The production candidates→verify path must recover EXACTLY the
+        all-pairs ground truth on the perturbed testdata corpus — recall
+        1.0 (LSH bands missed nothing) and exact precision (every
+        surviving pair re-verified with the same cosine arithmetic)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dim = len(emb.first()["embedding"])
+        pert = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.concat(
+                F.array(-F.col("embedding")[0]),
+                F.slice(F.col("embedding"), 2, dim - 1),
+            ).alias("embedding"),
+        )
+        df = emb.unionByName(pert)
+        exact = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in D._verify_all_pairs(df, threshold=0.8).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in D.embedding_neardup_pairs(df, threshold=0.8).collect()
+        }
+        assert got == exact
+        assert len(exact) > 0
+
+    def test_candidate_pairs_empty_corpus(self, spark):
+        df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+        assert D.embedding_candidate_pairs(df).count() == 0
+
 
 def test_exact_dedup_on_real_documents(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -99,3 +99,26 @@ def test_ivf_prebuilt_index_matches_direct_path(spark, embeddings, queries, tmp_
         for r in S.ivf_topk(indexed, queries, dim=dim, k=5).collect()
     }
     assert probed == direct
+
+def test_np_band_signatures_match_jvm_form(spark, embeddings):
+    """The Arrow/numpy GEMM signature lane and the pure-JVM expression lane
+    must produce identical band signatures (same seed-derived plane family,
+    same bit packing) — sign flips from summation-order differences would
+    show here."""
+    sub = embeddings.filter("vec_id < 200").select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    jvm = {
+        r["vec_id"]: r["s"]
+        for r in sub.select(
+            "vec_id",
+            S.rh_signatures_banded(v, 64, 6, 4, seed=7).alias("s"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["s"]
+        for r in sub.select(
+            "vec_id",
+            S.np_band_signatures("embedding", 64, 6, 4, seed=7).alias("s"),
+        ).collect()
+    }
+    assert jvm == arrow
