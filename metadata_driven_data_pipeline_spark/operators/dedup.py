@@ -26,13 +26,14 @@ All built from built-in functions (JVM codegen); no Python UDFs.
 Caching contract: operators that feed one projection into both sides of a
 self-join (``jaccard_verify_pairs``, ``minhash_dedup``,
 ``split_contamination``, ``containment_pairs``) persist that intermediate
-and deliberately do NOT unpersist it — the returned DataFrame still reads
-the cached blocks lazily, so unpersisting here would silently re-run the
-dominant hashing work at materialization. Callers that materialize the
-result inside a long-lived session and want the memory back should call
-``spark.catalog.clearCache()`` (or track/unpersist via
-``spark.sparkContext._jsc.getPersistentRDDs``) once the output is written
-— the engine's ``run_dataflow`` does exactly this for transform outputs.
+and deliberately do NOT unpersist it before returning — the returned
+DataFrame still reads the cached blocks lazily, so unpersisting here would
+silently re-run the dominant hashing work at materialization. Every such
+persist is recorded in a module-level registry: once a caller has
+materialized the result (count/collect/write), reclaim the memory with
+:func:`release_persisted` (unpersists and clears the registry) or inspect
+:func:`persisted_handles` to manage individual handles. The engine's
+``run_dataflow`` clears transform caches the same way after sink writes.
 """
 
 from __future__ import annotations
@@ -42,6 +43,37 @@ from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators.partitioning import widen
 from metadata_driven_data_pipeline_spark.operators.text import normalize_text, tokens
+
+
+# --- persist-handle registry -------------------------------------------------
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """Record a DataFrame this module persisted so callers can release it."""
+    _PERSISTED.append(df)
+    return df
+
+
+def persisted_handles() -> list[DataFrame]:
+    """DataFrames persisted by this module's operators, oldest first.
+    Each is safe to ``unpersist()`` once downstream results are
+    materialized; prefer :func:`release_persisted` to drop them all."""
+    return list(_PERSISTED)
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every intermediate this module cached and clear the
+    registry; returns how many handles were released. Call after the
+    operator output has been materialized (count/collect/write) — the
+    lazily-returned DataFrames will otherwise recompute the cached stage
+    on their next action."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
 
 
 # --- exact ------------------------------------------------------------------
@@ -300,7 +332,7 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
+    sh = _track_persist(
         df.join(in_pairs, id_col, "left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -344,9 +376,10 @@ def minhash_dedup(
     MEMORY_AND_DISK is cheap at any scale."""
     from pyspark import StorageLevel
 
-    candidates = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _track_persist(
+        minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     verified = jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=jaccard_threshold
     )
@@ -661,7 +694,7 @@ def split_contamination(
     train_shingles = (
         exploded.filter(~F.col("__is_test")).select("shingle").distinct()
     )
-    test_sh = exploded.filter(F.col("__is_test")).persist()
+    test_sh = _track_persist(exploded.filter(F.col("__is_test")).persist())
     totals = test_sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -710,7 +743,7 @@ def containment_verify_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
+    sh = _track_persist(
         df.join(in_pairs, id_col, "left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)

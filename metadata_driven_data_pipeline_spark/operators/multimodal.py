@@ -7,10 +7,14 @@ LLM-pipeline extension surface (not in the reference). The contract:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` operators so payload bytes stay columnar end-to-end and
   each task processes a batch, not a row;
-- the actual codec work is STUBBED: this container ships no image/audio
-  libraries, so decoders raise ``NotImplementedError`` unless
-  ``fake=True`` (deterministic fake features for plumbing tests). The
-  Spark-side shapes — schema, batching, partitioning — are real and tested.
+- decode is REAL even in this container: Pillow / soundfile are preferred
+  when importable (broad format coverage), and a pure-stdlib lane
+  (``operators/codecs.py``: PNG via zlib/struct, PCM WAV via ``wave``)
+  decodes actual bytes otherwise, so ``extract_features(fake=False)`` and
+  ``resize_images`` run end-to-end in-sandbox. ``fake=True`` keeps the
+  md5-derived deterministic vectors whose values an ANSI-SQL oracle can
+  reproduce (real pixel math is not expressible in the DuckDB oracle).
+  Only video ``frame_sample`` remains stubbed (no stdlib video codec).
 
 Scale notes: binary payloads dominate row size; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a task's Arrow batch of
@@ -108,25 +112,53 @@ def _audio_feature(payload: bytes, dim: int) -> list[float] | None:
     return col + [0.0] * (dim - len(col)) if col else None
 
 
+def _stdlib_image_feature(payload: bytes, dim: int) -> list[float] | None:
+    """Stdlib PNG decode (operators/codecs.py): pixels → grayscale mean →
+    nearest-neighbor square grid → normalized intensities. Same feature
+    semantics as the Pillow lane (grayscale thumbnail grid)."""
+    from metadata_driven_data_pipeline_spark.operators import codecs
+
+    pixels = codecs.png_decode(payload)
+    if pixels is None:
+        return None
+    gray = pixels[:, :, : min(3, pixels.shape[2])].mean(axis=2)
+    side = max(1, int(dim ** 0.5))
+    grid = codecs.resize_nearest(gray[:, :, None], side, side)[:, :, 0]
+    out = [float(v) / 255.0 for v in grid.reshape(-1)]
+    return (out * ((dim // len(out)) + 1))[:dim] if out else None
+
+
+def _stdlib_audio_feature(payload: bytes, dim: int) -> list[float] | None:
+    """Stdlib PCM-WAV decode (operators/codecs.py): first ``dim`` samples
+    of channel 0 in [-1, 1], zero-padded — same semantics as the
+    soundfile lane."""
+    from metadata_driven_data_pipeline_spark.operators import codecs
+
+    data = codecs.wav_decode(payload, max_frames=dim)
+    if data is None:
+        return None
+    col = [float(max(-1.0, min(1.0, x))) for x in data]
+    return col + [0.0] * (dim - len(col)) if col else None
+
+
 def _real_decoder(dim: int):
-    """Return a payload→feature callable backed by whichever optional codec
-    libraries exist (Pillow for images, soundfile for audio), or None when
-    neither is importable — the documented stub regime for this container."""
+    """Return a payload→feature callable. Pillow / soundfile are used when
+    importable (broad format coverage); otherwise the pure-stdlib PNG/WAV
+    codecs decode real bytes, so a decoder always exists. Payloads no lane
+    understands map to None → ``decode_status='decode_error'``."""
     decoders = []
     try:
         import PIL.Image  # noqa: F401
 
         decoders.append(_image_feature)
     except ImportError:
-        pass
+        decoders.append(_stdlib_image_feature)
     try:
         import soundfile  # noqa: F401
 
         decoders.append(_audio_feature)
     except ImportError:
-        pass
-    if not decoders:
-        return None
+        decoders.append(_stdlib_audio_feature)
 
     def decode(payload: bytes) -> list[float] | None:
         for d in decoders:
@@ -148,23 +180,16 @@ def extract_features(
 
     ``fake=True`` produces deterministic md5-derived vectors exercising the
     exact plumbing (schema, batch iteration, null payloads) with an
-    ANSI-SQL-reproducible oracle. ``fake=False`` attempts the real codecs
-    (Pillow / soundfile) if importable; payloads neither library accepts
-    get ``decode_status='decode_error'``. When no codec library exists in
-    the environment (this container), the stub raises
-    NotImplementedError per batch, as documented."""
+    ANSI-SQL-reproducible oracle. ``fake=False`` decodes REAL bytes:
+    Pillow / soundfile when importable, else the pure-stdlib PNG/WAV lane
+    (``operators/codecs.py``) — payloads no lane accepts get
+    ``decode_status='decode_error'``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = None if fake else _real_decoder(dim)
         for pdf in batches:
             if batch_note is not None:
                 batch_note["batches"] = batch_note.get("batches", 0) + 1
-            if not fake and real is None:
-                raise NotImplementedError(
-                    "Real media decode requires image/audio codecs "
-                    "(Pillow/soundfile) not present in this environment; "
-                    "run with fake=True for plumbing tests"
-                )
             feats = []
             status = []
             for payload in pdf["payload"]:
@@ -255,44 +280,84 @@ def frame_sample(
     return df.mapInPandas(op, out_schema)
 
 
+RESIZED_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields
+    + [T.StructField("resize_status", T.StringType(), False)]
+)
+
+
+def _pillow_resizer(width: int, height: int):
+    from PIL import Image  # caller guards the import
+    import io
+
+    def resize(payload: bytes) -> bytes | None:
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            return None
+
+    return resize
+
+
+def _stdlib_resizer(width: int, height: int):
+    from metadata_driven_data_pipeline_spark.operators import codecs
+
+    def resize(payload: bytes) -> bytes | None:
+        pixels = codecs.png_decode(payload)
+        if pixels is None:
+            return None
+        return codecs.png_encode(codecs.resize_nearest(pixels, width, height))
+
+    return resize
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: real when Pillow is importable (decode → resize →
-    re-encode PNG, metadata updated), a documented NotImplementedError
-    stub otherwise (no codec libs in this container)."""
+    """Image resize (decode → resize → re-encode PNG, metadata updated):
+    Pillow when importable, else the pure-stdlib PNG lane
+    (``operators/codecs.py``, nearest-neighbor) — real bytes either way.
+
+    Output adds ``resize_status`` ∈ {'ok', 'null_input', 'decode_error'}
+    so callers can distinguish a failed resize (payload nulled, ORIGINAL
+    meta retained for forensics) from a row that was null on input —
+    mirroring ``extract_features``'s ``decode_status`` contract."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image
+            import PIL.Image  # noqa: F401
+
+            resize = _pillow_resizer(width, height)
         except ImportError:
-            raise NotImplementedError(
-                "Image resize requires Pillow, not present in this environment"
-            ) from None
-        import io
+            resize = _stdlib_resizer(width, height)
 
         for pdf in batches:
             payloads = []
             metas = []
+            statuses = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 meta = dict(meta or {})
                 if payload is None:
                     payloads.append(None)
                     metas.append(meta)
+                    statuses.append("null_input")
                     continue
-                try:
-                    with Image.open(io.BytesIO(bytes(payload))) as img:
-                        buf = io.BytesIO()
-                        img.resize((width, height)).save(buf, format="PNG")
-                    payloads.append(buf.getvalue())
+                resized = resize(bytes(payload))
+                if resized is None:
+                    payloads.append(None)
+                    statuses.append("decode_error")
+                else:
+                    payloads.append(resized)
                     meta.update(
                         {"mime_type": "image/png", "width": width,
                          "height": height}
                     )
-                except Exception:
-                    payloads.append(None)
+                    statuses.append("ok")
                 metas.append(meta)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads,
-                 "meta": metas}
+                 "meta": metas, "resize_status": statuses}
             )
 
-    return df.mapInPandas(op, MEDIA_SCHEMA)
+    return df.mapInPandas(op, RESIZED_SCHEMA)

@@ -58,6 +58,36 @@ class GateFailure(RuntimeError):
         self.detail = detail
 
 
+def _adopt_external_stages(log: RunLog, log_path: str | None) -> None:
+    """Fold stages appended to the shared log FILE by gate subprocesses
+    back into the in-memory document.
+
+    A ``pytest_gate`` given ``log_path`` runs the suite in a subprocess
+    whose conftest hooks append their own test stage to the file; without
+    this merge the next in-memory ``_flush()`` would silently overwrite
+    that stage (and any ``FINALIZE_LOG=true`` finalization — which under
+    ``run_dag`` is run_dag's job anyway: the final status is always the
+    DAG's, so set ``finalize=False`` on gates used inside a DAG)."""
+    if not log_path or not os.path.exists(log_path):
+        return
+    try:
+        with open(log_path, encoding="utf-8") as f:
+            doc = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return  # partial write / unreadable: in-memory doc wins
+    seen = {
+        (s.get("stage"), s.get("started_at")) for s in log.doc["stages"]
+    }
+    external = [
+        s
+        for s in doc.get("stages", [])
+        if (s.get("stage"), s.get("started_at")) not in seen
+    ]
+    if external:
+        log.doc["stages"].extend(external)
+        log.doc["stages"].sort(key=lambda s: s.get("started_at") or "")
+
+
 def _run_gates(
     log: RunLog, stage_name: str, gates: list[tuple[str, Gate]]
 ) -> None:
@@ -67,7 +97,13 @@ def _run_gates(
         t0 = RunLog.now()
         try:
             result = gate()
-        except GateFailure:
+        except GateFailure as e:
+            # record the failing gate so the failed stage isn't empty
+            stage["sub_stages"].append(
+                RunLog.sub_stage(
+                    name, "test_gate", t0, "failed", error=str(e.detail)[:2000]
+                )
+            )
             log.end_stage(stage, "failed")
             raise
         except Exception as e:  # a crashing gate is a failing gate
@@ -115,6 +151,9 @@ def run_dag(
 
     def _flush() -> None:
         if log_path:
+            # adopt stages gate subprocesses appended to the file before
+            # overwriting it, so they survive the rewrite (ADVICE r2)
+            _adopt_external_stages(log, log_path)
             log.save(log_path)
 
     init = log.start_stage("init_run")
@@ -189,6 +228,13 @@ def pytest_gate(
     the session hooks (:func:`runlog_sessionstart` /
     :func:`runlog_sessionfinish`, wired in ``tests/conftest.py``) append the
     test stage to the shared run-log document.
+
+    Under :func:`run_dag`, stages the subprocess appends to the file are
+    folded back into the DAG's in-memory log (``_adopt_external_stages``)
+    so they survive later flushes. Give the gate a distinct ``stage_name``
+    (e.g. ``"pre_pipeline_tests.pytest"``) so its stage is distinguishable
+    from the DAG's own gate stage, and leave ``finalize=False`` — the
+    final run status under a DAG is always ``run_dag``'s own.
     """
 
     def gate() -> dict[str, Any]:

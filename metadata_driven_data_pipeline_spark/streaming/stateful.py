@@ -37,8 +37,18 @@ def running_totals(
     independent of batch/row order — required when the output must
     hash-match an exact-decimal SQL oracle. The float path is fine for
     monitoring-style totals.
+
+    Exactness bound: the state slot is a double, which round-trips
+    integers only below 2^53 micro-units (~9.0e9 in value units per key).
+    Exceeding it would silently break the order-independence guarantee the
+    mode exists for, so the update function RAISES ``OverflowError``
+    (failing the streaming query loudly) instead of losing exactness;
+    re-key or pre-aggregate upstream if a single key can legitimately
+    accumulate past the bound.
     """
     import math
+
+    _MAX_EXACT = 1 << 53  # doubles round-trip integers only below 2^53
 
     def _micros(x: float) -> int:
         return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
@@ -64,6 +74,14 @@ def running_totals(
             else:
                 total += float(vals.sum())
         if micro_units:
+            if abs(total) >= _MAX_EXACT:
+                raise OverflowError(
+                    f"micro_units running total for key {key!r} reached "
+                    f"{total} micro-units (>= 2^53): the double-typed state "
+                    "slot can no longer store it exactly, which would "
+                    "silently void the order-independence guarantee. "
+                    "Re-key or pre-aggregate upstream."
+                )
             state.update((int(n), int(total)))
             out_total = round(total / 1e6, 6)
         else:

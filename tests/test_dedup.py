@@ -227,3 +227,19 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert len(cont) == 1
     assert cont[0]["containment_a"] == 1.0  # short doc fully embedded
     assert cont[0]["containment_b"] < 0.5
+
+
+def test_persist_registry_release(spark, near_dup_docs):
+    """minhash_dedup persists its candidate set (and the verify step its
+    shingle projection); the module registry must expose those handles and
+    release_persisted() must drop them all after materialization."""
+    D.release_persisted()  # clean slate
+    out = D.minhash_dedup(near_dup_docs)
+    out.count()  # materialize while caches are live
+    handles = D.persisted_handles()
+    assert len(handles) >= 1
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    released = D.release_persisted(blocking=True)
+    assert released == len(handles)
+    assert D.persisted_handles() == []
+    assert all(not h.storageLevel.useMemory for h in handles)

@@ -1,8 +1,15 @@
-"""Multimodal binary-column plumbing (decode stubbed per task spec)."""
+"""Multimodal binary-column plumbing + REAL stdlib decode.
 
+Pillow/soundfile are absent in this container, so the operators fall back
+to the pure-stdlib PNG/WAV codecs (operators/codecs.py) — these tests
+exercise actual bytes→pixels/samples work end-to-end, not just plumbing.
+"""
+
+import numpy as np
 import pytest
 from pyspark.sql import Row
 
+from metadata_driven_data_pipeline_spark.operators import codecs
 from metadata_driven_data_pipeline_spark.operators import multimodal as M
 
 
@@ -19,6 +26,128 @@ def media(spark):
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
 
+def _gradient_png(width=8, height=6):
+    """Deterministic RGB test image: distinct value per (y, x, channel)."""
+    y, x, c = np.meshgrid(
+        np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+    )
+    pixels = ((y * 37 + x * 11 + c * 5) % 256).astype(np.uint8)
+    return pixels, codecs.png_encode(pixels)
+
+
+# ---- stdlib codec unit coverage -------------------------------------------
+
+class TestPngCodec:
+    def test_roundtrip_rgb(self):
+        pixels, payload = _gradient_png()
+        out = codecs.png_decode(payload)
+        assert out is not None and out.shape == (6, 8, 3)
+        assert (out == pixels).all()
+
+    def test_roundtrip_gray_and_rgba(self):
+        gray = (np.arange(20, dtype=np.uint8) * 7 % 256).reshape(4, 5)
+        out = codecs.png_decode(codecs.png_encode(gray))
+        assert out.shape == (4, 5, 1) and (out[:, :, 0] == gray).all()
+        rgba = np.dstack([gray, gray.T.reshape(4, 5), gray[::-1], gray])
+        out = codecs.png_decode(codecs.png_encode(rgba))
+        assert out.shape == (4, 5, 4) and (out == rgba).all()
+
+    def test_all_filter_types_decode(self):
+        """Hand-filter scanlines with each PNG filter type (Sub/Up/Average/
+        Paeth) and check the decoder un-applies them exactly."""
+        import struct
+        import zlib
+
+        pixels, _ = _gradient_png(4, 5)  # (5, 4, 3)
+        h, w, ch = pixels.shape
+        bpp = ch
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = pixels[y].reshape(-1).astype(np.int32)
+            ftype = y % 5
+            raw.append(ftype)
+            if ftype == 0:
+                filt = cur.copy()
+            elif ftype == 1:  # Sub
+                filt = cur.copy()
+                filt[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+            elif ftype == 2:  # Up
+                filt = (cur - prev) % 256
+            elif ftype == 3:  # Average
+                left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+                filt = (cur - ((left + prev) >> 1)) % 256
+            else:  # Paeth
+                filt = np.empty_like(cur)
+                for x in range(w * ch):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = (cur[x] - pred) % 256
+            raw.extend(int(v) for v in filt)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = b"".join([
+            b"\x89PNG\r\n\x1a\n",
+            codecs._chunk(b"IHDR", ihdr),
+            codecs._chunk(b"IDAT", zlib.compress(bytes(raw))),
+            codecs._chunk(b"IEND", b""),
+        ])
+        out = codecs.png_decode(payload)
+        assert out is not None and (out == pixels).all()
+
+    def test_rejects_non_png(self):
+        assert codecs.png_decode(b"not a png at all") is None
+        assert codecs.png_decode(b"\x89PNG\r\n\x1a\ntruncated") is None
+
+    def test_resize_nearest_identity_and_downscale(self):
+        pixels, _ = _gradient_png(8, 6)
+        assert (codecs.resize_nearest(pixels, 8, 6) == pixels).all()
+        small = codecs.resize_nearest(pixels, 4, 3)
+        assert small.shape == (3, 4, 3)
+        # centered mapping: output (0,0) samples input (1,1)
+        assert (small[0, 0] == pixels[1, 1]).all()
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self):
+        t = np.arange(400) / 16000.0
+        samples = 0.5 * np.sin(2 * np.pi * 440 * t)
+        payload = codecs.wav_encode(samples, framerate=16000)
+        out = codecs.wav_decode(payload)
+        assert out is not None and len(out) == 400
+        assert np.abs(out - samples).max() <= 1.5 / 32767
+
+    def test_max_frames_and_reject(self):
+        payload = codecs.wav_encode(np.zeros(100) + 0.25)
+        out = codecs.wav_decode(payload, max_frames=10)
+        assert len(out) == 10 and np.allclose(out, 0.25, atol=1e-3)
+        assert codecs.wav_decode(b"RIFF not really a wav") is None
+
+
+# ---- operators on real payloads -------------------------------------------
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    _, png = _gradient_png(8, 6)
+    wav = codecs.wav_encode(np.full(64, 0.5), framerate=8000)
+    rows = [
+        Row(media_id=1, payload=png,
+            meta=Row(mime_type="image/png", width=8, height=6, duration_ms=None)),
+        Row(media_id=2, payload=wav,
+            meta=Row(mime_type="audio/wav", width=None, height=None, duration_ms=8)),
+        Row(media_id=3, payload=None,
+            meta=Row(mime_type="image/png", width=8, height=8, duration_ms=None)),
+        Row(media_id=4, payload=b"junk bytes no codec accepts",
+            meta=Row(mime_type="application/octet-stream", width=None,
+                     height=None, duration_ms=None)),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
 def test_feature_extract_fake_path(spark, media):
     out = M.extract_features(media, dim=16, fake=True).collect()
     by_id = {r["media_id"]: r for r in out}
@@ -30,9 +159,34 @@ def test_feature_extract_fake_path(spark, media):
     assert again[1]["feature"] == by_id[1]["feature"]
 
 
-def test_feature_extract_real_path_is_stubbed(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        M.extract_features(media, fake=False).collect()
+def test_feature_extract_real_decode(spark, real_media):
+    """fake=False decodes REAL payload bytes via the stdlib lane: PNG
+    pixels and WAV samples produce features, junk is flagged, nulls pass
+    through."""
+    out = {r["media_id"]: r for r in
+           M.extract_features(real_media, dim=16, fake=False).collect()}
+    assert out[1]["decode_status"] == "ok"
+    assert len(out[1]["feature"]) == 16
+    # PNG lane: normalized grayscale intensities in [0, 1]
+    assert all(0.0 <= v <= 1.0 for v in out[1]["feature"])
+    # WAV lane: constant 0.5 signal → first samples ≈ 0.5
+    assert out[2]["decode_status"] == "ok"
+    assert out[2]["feature"][0] == pytest.approx(0.5, abs=1e-3)
+    assert out[3]["decode_status"] == "null_payload"
+    assert out[4]["decode_status"] == "decode_error" and out[4]["feature"] is None
+
+
+def test_feature_real_decode_matches_local_math(spark, real_media):
+    """Spark-side PNG feature equals the same stdlib math computed locally
+    (grayscale mean → nearest grid → /255)."""
+    pixels, payload = _gradient_png(8, 6)
+    expected = M._stdlib_image_feature(payload, 16)
+    got = [
+        r["feature"] for r in
+        M.extract_features(real_media, dim=16, fake=False).collect()
+        if r["media_id"] == 1
+    ][0]
+    assert got == pytest.approx(expected)
 
 
 def test_frame_sample_row_expansion(spark, media):
@@ -43,16 +197,33 @@ def test_frame_sample_row_expansion(spark, media):
     assert all(r["media_id"] == 2 for r in out)
 
 
-def test_resize_is_stubbed(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        M.resize_images(media, 32, 32).collect()
+def test_resize_real_png(spark, real_media):
+    """resize_images decodes the real PNG, resizes nearest-neighbor,
+    re-encodes — and reports per-row status (ADVICE r2)."""
+    out = {r["media_id"]: r for r in
+           M.resize_images(real_media, 4, 3).collect()}
+    ok = out[1]
+    assert ok["resize_status"] == "ok"
+    resized = codecs.png_decode(bytes(ok["payload"]))
+    assert resized.shape == (3, 4, 3)
+    pixels, _ = _gradient_png(8, 6)
+    assert (resized == codecs.resize_nearest(pixels, 4, 3)).all()
+    assert ok["meta"]["width"] == 4 and ok["meta"]["height"] == 3
+    assert ok["meta"]["mime_type"] == "image/png"
+    # WAV/junk payloads: decode_error, payload nulled, ORIGINAL meta kept
+    for mid, orig_mime in ((2, "audio/wav"), (4, "application/octet-stream")):
+        row = out[mid]
+        assert row["resize_status"] == "decode_error"
+        assert row["payload"] is None
+        assert row["meta"]["mime_type"] == orig_mime
+    # null input is distinguishable from a failed decode
+    assert out[3]["resize_status"] == "null_input" and out[3]["payload"] is None
 
 
 def test_binaryfile_source_through_engine_to_features(spark, tmp_path):
     """Multimodal ingestion end-to-end: raw media files on disk → engine
     binaryFile source (path/length metadata + content) → Arrow-batched
-    feature extraction. Completes the binary-column story from ingestion
-    rather than from a pre-built DataFrame."""
+    REAL feature extraction (stdlib PNG decode)."""
     import os
 
     from pyspark.sql import functions as F
@@ -64,7 +235,8 @@ def test_binaryfile_source_through_engine_to_features(spark, tmp_path):
 
     media = tmp_path / "media"
     os.makedirs(media)
-    (media / "a.bin").write_bytes(b"\x00\x01\x02payload-a" * 10)
+    _, png_a = _gradient_png(8, 6)
+    (media / "a.png").write_bytes(png_a)
     (media / "b.bin").write_bytes(b"payload-b" * 3)
 
     res = read_source(
@@ -74,47 +246,30 @@ def test_binaryfile_source_through_engine_to_features(spark, tmp_path):
     assert res.status == "success"
     df = res.df.select(
         F.xxhash64("path").alias("media_id"),
-        F.col("length"),
+        F.col("path"),
         F.col("content").alias("payload"),
     )
-    out = extract_features(df.select("media_id", "payload"), dim=8, fake=True)
-    rows = out.collect()
-    assert len(rows) == 2
-    assert all(len(r["feature"]) == 8 for r in rows)
-    assert all(r["decode_status"] == "ok" for r in rows)
-    # deterministic: same bytes -> same features on re-read
-    out2 = extract_features(
-        read_source(
-            spark, {"name": "media", "path": str(media), "format": "binaryFile"}
-        ).df.select(F.xxhash64("path").alias("media_id"), F.col("content").alias("payload")),
-        dim=8,
-        fake=True,
-    ).collect()
-    assert {tuple(r["feature"]) for r in rows} == {tuple(r["feature"]) for r in out2}
+    out = extract_features(df.select("media_id", "payload"), dim=8, fake=False)
+    rows = {r["media_id"]: r for r in out.collect()}
+    by_path = {r["path"]: r["media_id"] for r in df.select("path", "media_id").collect()}
+    png_id = [v for k, v in by_path.items() if k.endswith("a.png")][0]
+    bin_id = [v for k, v in by_path.items() if k.endswith("b.bin")][0]
+    assert rows[png_id]["decode_status"] == "ok"
+    assert len(rows[png_id]["feature"]) == 8
+    assert rows[bin_id]["decode_status"] == "decode_error"
 
 
-def test_real_decoder_gating():
-    """_real_decoder returns a callable only when an optional codec library
-    (Pillow / soundfile) imports; in this container neither exists, which
-    is exactly the documented stub regime."""
+def test_real_decoder_always_available():
+    """_real_decoder now always returns a callable: Pillow/soundfile when
+    importable, the stdlib PNG/WAV lane otherwise — the decode stage is no
+    longer environment-stubbed. Undecodable bytes map to None."""
     from metadata_driven_data_pipeline_spark.operators.multimodal import (
         _real_decoder,
     )
 
-    try:
-        import PIL  # noqa: F401
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    try:
-        import soundfile  # noqa: F401
-        has_sf = True
-    except ImportError:
-        has_sf = False
-
     decoder = _real_decoder(16)
-    if has_pil or has_sf:
-        assert callable(decoder)
-        assert decoder(b"not-a-real-image") is None  # undecodable → None
-    else:
-        assert decoder is None
+    assert callable(decoder)
+    assert decoder(b"not-a-real-image") is None
+    _, png = _gradient_png(4, 4)
+    feat = decoder(png)
+    assert feat is not None and len(feat) == 16

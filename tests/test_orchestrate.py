@@ -221,3 +221,113 @@ def test_pytest_gate_red_suite_fails_and_finalizes_failed(tmp_path):
         doc = json.load(f)
     assert doc["stages"][-1]["status"] == "failed"
     assert doc["status"] == "failed"
+
+
+def _gate_testdir(tmp_path, name, body):
+    testdir = tmp_path / name
+    testdir.mkdir()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (testdir / "conftest.py").write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo_root!r})
+        from metadata_driven_data_pipeline_spark.orchestrate import (
+            runlog_sessionstart, runlog_sessionfinish,
+        )
+
+        def pytest_sessionstart(session):
+            runlog_sessionstart(session)
+
+        def pytest_sessionfinish(session, exitstatus):
+            runlog_sessionfinish(session, exitstatus)
+    """))
+    (testdir / "test_gate.py").write_text(body)
+    return testdir
+
+
+def test_pytest_gate_stage_survives_run_dag_flushes(spark, tmp_path):
+    """ADVICE r2 (orchestrate.py run_dag/_flush): a stage the pytest-gate
+    SUBPROCESS appends to the shared log file must not be clobbered by
+    run_dag's next in-memory flush — _adopt_external_stages folds it back
+    into the DAG document."""
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+    testdir = _gate_testdir(
+        tmp_path, "gate_tests", "def test_ok():\n    assert True\n"
+    )
+
+    doc = run_dag(
+        spark,
+        meta,
+        run_id="dagrun5",
+        log_path=log_path,
+        pre_gates=[
+            (
+                "pre_suite",
+                pytest_gate(
+                    [str(testdir / "test_gate.py")],
+                    run_id="dagrun5",
+                    log_path=log_path,
+                    stage_name="pre_pipeline_tests.pytest",
+                ),
+            ),
+        ],
+    )
+    with open(log_path) as f:
+        persisted = json.load(f)
+    # the subprocess-appended stage survived every later flush, in both the
+    # returned document and the persisted file
+    for d in (doc, persisted):
+        assert "pre_pipeline_tests.pytest" in _stages(d)
+        assert "spark_pipeline" in _stages(d)
+        assert d["status"] == "success"
+    sub = [
+        s for s in persisted["stages"]
+        if s["stage"] == "pre_pipeline_tests.pytest"
+    ][0]
+    assert sub["sub_stages"][-1]["test_result"] == "all_passed"
+    # stages remain chronologically ordered after the merge
+    starts = [s["started_at"] for s in persisted["stages"]]
+    assert starts == sorted(starts)
+
+
+def test_failed_gate_stage_records_sub_stage(spark, tmp_path):
+    """ADVICE r2: when a gate raises GateFailure the failed stage must not
+    be empty — the failing gate is recorded as a sub_stage."""
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    testdir = _gate_testdir(
+        tmp_path, "gate_tests_red", "def test_no():\n    assert False\n"
+    )
+
+    with pytest.raises(GateFailure):
+        run_dag(
+            spark,
+            motor_metadata(root),
+            run_id="dagrun6",
+            log_path=log_path,
+            pre_gates=[
+                (
+                    "pre_suite",
+                    pytest_gate(
+                        [str(testdir / "test_gate.py")],
+                        run_id="dagrun6",
+                        log_path=log_path,
+                        stage_name="pre_pipeline_tests.pytest",
+                    ),
+                ),
+            ],
+        )
+    with open(log_path) as f:
+        doc = json.load(f)
+    dag_stage = [
+        s for s in doc["stages"] if s["stage"] == "pre_pipeline_tests"
+    ][0]
+    assert dag_stage["status"] == "failed"
+    assert dag_stage["sub_stages"], "failed gate stage must record the gate"
+    assert dag_stage["sub_stages"][-1]["name"] == "pre_suite"
+    assert dag_stage["sub_stages"][-1]["status"] == "failed"
+    # the subprocess's own failed test stage also survived the final flush
+    assert "pre_pipeline_tests.pytest" in _stages(doc)

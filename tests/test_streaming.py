@@ -274,3 +274,29 @@ def test_stateful_micro_units_totals_are_order_exact(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_micro_units_overflow_fails_loudly(spark, tmp_path):
+    """ADVICE r2 (stateful.py micro_units): a per-key total reaching 2^53
+    micro-units no longer silently loses exactness — the update function
+    raises OverflowError, failing the streaming query."""
+    from metadata_driven_data_pipeline_spark.streaming.stateful import running_totals
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    write_batch(f"{src}/b1", [
+        # 9.1e9 value units = 9.1e15 micro-units > 2^53 (~9.007e15)
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "value": 9.1e9},
+    ])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(f"{src}/b*/part.jsonl")
+    out = running_totals(stream, micro_units=True)
+    q = (
+        out.writeStream.format("memory").queryName("rt_overflow")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="OverflowError|micro-units"):
+        q.awaitTermination()
