@@ -2151,93 +2151,52 @@ def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill at a sub-hour step (15 minutes): certifies the generalized
+    resample surface (epoch-aligned bucket floor + parameterized sequence
+    stride) beyond the single hour granularity; operators/timeseries.py."""
+    from metadata_driven_data_pipeline_spark.operators import timeseries as ts
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+    )
+    return ts.gap_fill(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        step="15 minutes",
+        agg={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double"),
+        },
+    ).select(
+        "user_id",
+        "bucket_ts",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only. The window is budgeted so every SURVEY §2
-    operator family and every LLM-pipeline operator has at least one
-    certifying query inside it; redundant variants of already-certified
-    families (round-1 green rows in CORRECTNESS_r01.json) sit after
-    position 50 and stay verified by tools/check_oracle.py locally."""
+    the FIRST 50 entries only.
+
+    Round-3 window budget (VERDICT r2 item 1): positions 1–38 are the 38
+    entries that had never received a driver row in rounds 1–2 (all 16
+    extra TPC-H shapes, window/frame variants, kmeans_assign,
+    semdedup_auto, streaming_stateful_totals, ...); positions 39–50 are
+    the queries whose implementations changed or were added THIS round and
+    therefore need fresh driver certification (re-cut approx_stats, the
+    new candidates→verify embedding_neardup, the generalized
+    gap_fill_15min, and the dedup/validate/multimodal family re-certified
+    after the advisory fixes). Everything at position 51+ is driver-green
+    from a prior round at unchanged semantics and stays verified by
+    tools/check_oracle.py locally."""
     return {
-        # -- round-1 driver-red rows, now fixed (P10/A4/W2/simhash) --------
-        "events_gap_stats": q_events_gap_stats,
-        "events_sessionize": q_events_sessionize,
-        "json_props": q_json_props,
-        "simhash": q_simhash,
-        "approx_stats": q_approx_stats,
-        # -- core engine: projections, validation, dedup, set ops, agg -----
-        "add_fields": q_add_fields,
-        "validate_ko_errors": q_validate_ko_errors,
-        "validate_ok_ids": q_validate_ok_ids,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "union_tags": q_union_tags,
-        "top_orders": q_top_orders,
-        "customer_order_counts": q_customer_order_counts,
-        "percentile_by_priority": q_percentile_by_priority,
-        "cube_lineitem": q_cube_lineitem,
-        "order_rollup": q_order_rollup,
-        "grouping_sets": q_grouping_sets,
-        "running_total": q_running_total,
-        # -- joins: multi-join, as-of, range, skew-salted, EXCEPT ALL ------
-        "shipping_priority": q_shipping_priority,
-        "asof_view_before_purchase": q_asof_view_before_purchase,
-        "range_clicks_in_error_window": q_range_clicks_in_error_window,
-        "salted_join_revenue": q_salted_join_revenue,
-        "click_minus_purchase_users": q_click_minus_purchase_users,
-        # -- structured streaming (previously outside the window) ----------
-        "streaming_hourly_counts": q_streaming_hourly_counts,
-        "streaming_dedup_keys": q_streaming_dedup_keys,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_enriched_counts": q_streaming_enriched_counts,
-        # -- LLM dedup / similarity / clustering ---------------------------
-        "dedup_exact": q_dedup_exact,
-        "minhash_dedup": q_minhash_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "containment_pairs": q_containment_pairs,
-        "split_contamination": q_split_contamination,
-        "neardup_groups": q_neardup_groups,
-        "semdedup_pairs": q_semdedup_pairs,
-        "kmeans_step": q_kmeans_step,
-        "ann_topk_brute": q_ann_topk_brute,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_pandas": q_ann_topk_pandas,
-        # -- text analysis --------------------------------------------------
-        "text_profile": q_text_profile,
-        "corpus_clean": q_corpus_clean,
-        "pii_redact": q_pii_redact,
-        "tfidf_topterms": q_tfidf_topterms,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        # -- chunking / packing / sampling / split --------------------------
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "hash_sample": q_hash_sample,
-        "train_test_split": q_train_test_split,
-        # -- multimodal + time-series gap fill ------------------------------
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "hourly_gap_fill": q_hourly_gap_fill,
-        # ==== position 51+: redundant variants of round-1-green families ===
-        "pricing_summary": q_pricing_summary,
-        "region_revenue": q_region_revenue,
-        "customers_no_pending": q_customers_no_pending,
-        "segment_fulfilled": q_segment_fulfilled,
-        "custkeys_not_users": q_custkeys_not_users,
-        "intersect_ids": q_intersect_ids,
+        # ==== positions 1-38: never driver-checked before round 3 =========
         "click_purchase_common_users": q_click_purchase_common_users,
-        "top_customers_per_nation": q_top_customers_per_nation,
-        "events_daily": q_events_daily,
-        "session_windows": q_session_windows,
-        "late_orders": q_late_orders,
-        "orders_by_month": q_orders_by_month,
-        "cheapest_order_per_customer": q_cheapest_order_per_customer,
-        "pivot_event_counts": q_pivot_event_counts,
-        "word_topk": q_word_topk,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "repetition_profile": q_repetition_profile,
         "conditional_agg": q_conditional_agg,
         "big_orders_having": q_big_orders_having,
         "rich_idle_customers": q_rich_idle_customers,
@@ -2275,6 +2234,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "semdedup_auto": q_semdedup_auto,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        # ==== positions 39-50: changed or new in round 3 ==================
+        "approx_stats": q_approx_stats,
+        "embedding_neardup": q_embedding_neardup,
+        "gap_fill_15min": q_gap_fill_15min,
+        "add_fields": q_add_fields,
+        "validate_ko_errors": q_validate_ko_errors,
+        "validate_ok_ids": q_validate_ok_ids,
+        "minhash_dedup": q_minhash_dedup,
+        "multimodal_features": q_multimodal_features,
+        "neardup_groups": q_neardup_groups,
+        "containment_pairs": q_containment_pairs,
+        "split_contamination": q_split_contamination,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # ==== position 51+: driver-green in r1/r2 at unchanged semantics ==
+        "events_gap_stats": q_events_gap_stats,
+        "events_sessionize": q_events_sessionize,
+        "json_props": q_json_props,
+        "simhash": q_simhash,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "union_tags": q_union_tags,
+        "top_orders": q_top_orders,
+        "customer_order_counts": q_customer_order_counts,
+        "percentile_by_priority": q_percentile_by_priority,
+        "cube_lineitem": q_cube_lineitem,
+        "order_rollup": q_order_rollup,
+        "grouping_sets": q_grouping_sets,
+        "running_total": q_running_total,
+        "shipping_priority": q_shipping_priority,
+        "asof_view_before_purchase": q_asof_view_before_purchase,
+        "range_clicks_in_error_window": q_range_clicks_in_error_window,
+        "salted_join_revenue": q_salted_join_revenue,
+        "click_minus_purchase_users": q_click_minus_purchase_users,
+        "streaming_hourly_counts": q_streaming_hourly_counts,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_enriched_counts": q_streaming_enriched_counts,
+        "dedup_exact": q_dedup_exact,
+        "semdedup_pairs": q_semdedup_pairs,
+        "kmeans_step": q_kmeans_step,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "text_profile": q_text_profile,
+        "corpus_clean": q_corpus_clean,
+        "pii_redact": q_pii_redact,
+        "tfidf_topterms": q_tfidf_topterms,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "hash_sample": q_hash_sample,
+        "train_test_split": q_train_test_split,
+        "multimodal_frames": q_multimodal_frames,
+        "hourly_gap_fill": q_hourly_gap_fill,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "customers_no_pending": q_customers_no_pending,
+        "segment_fulfilled": q_segment_fulfilled,
+        "custkeys_not_users": q_custkeys_not_users,
+        "intersect_ids": q_intersect_ids,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_daily": q_events_daily,
+        "session_windows": q_session_windows,
+        "late_orders": q_late_orders,
+        "orders_by_month": q_orders_by_month,
+        "cheapest_order_per_customer": q_cheapest_order_per_customer,
+        "pivot_event_counts": q_pivot_event_counts,
+        "word_topk": q_word_topk,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "repetition_profile": q_repetition_profile,
     }
 
 
@@ -3731,8 +3762,30 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.bucket_ts
     """
 
-    # multimodal_features: mapInPandas plumbing — intentionally no SQL oracle
-    # (driver records rows-only check).
+    # gap_fill_15min: DuckDB time_bucket's sub-day origin (2000-01-01) is
+    # epoch-divisible by 900s, so it reproduces Spark's epoch-floor bucket.
+    sql["gap_fill_15min"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   time_bucket(INTERVAL '15 minutes', ts) AS h, value
+            FROM events WHERE event_type = 'purchase' AND user_id < 10),
+        obs AS (
+            SELECT user_id, h, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM ev GROUP BY user_id, h),
+        bounds AS (
+            SELECT user_id, min(h) AS lo, max(h) AS hi FROM ev GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket_ts
+            FROM bounds)
+        SELECT g.user_id, g.bucket_ts,
+               COALESCE(o.n_events, 0) AS n_events,
+               round(COALESCE(o.sum_value, 0), 6) AS sum_value
+        FROM grid g
+        LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.bucket_ts
+    """
+
     return sql
 
 

@@ -84,6 +84,40 @@ def dry_run(metadata) -> int:
     return 0
 
 
+def run_dag_cli(args) -> int:
+    """Run the gated DAG lifecycle from a declarative document (the CLI
+    analog of the reference's Airflow chain, motor_policy_pipeline_dag.py:
+    154-162). Exit 0 on success, 1 with the red gate reported on failure;
+    either way the shared run log lands at the document's log_path."""
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        GateFailure,
+        run_dag_config,
+    )
+
+    # same ${VAR} environment substitution as metadata documents, so the
+    # DAG's own paths (manifest, log_path, gate paths) are parameterizable
+    from metadata_driven_data_pipeline_spark.config import load_config
+
+    dag = load_config(args.dag)
+    spark = get_spark(app_name=dag.get("pipeline_name", "dag"))
+    try:
+        try:
+            log = run_dag_config(spark, dag, run_id=args.run_id)
+            print(json.dumps({
+                "run_id": log["run_id"], "status": log["status"],
+                "stages": [s["stage"] for s in log["stages"]],
+            }))
+            return 0
+        except GateFailure as e:
+            print(json.dumps({
+                "status": "failed", "failed_stage": e.stage,
+                "failed_gate": e.gate_name,
+            }))
+            return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="metadata_driven_data_pipeline_spark")
     p.add_argument("--metadata", default=None, help="metadata JSON path")
@@ -97,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="validate + compile the metadata and print the plan "
                         "(topological transform order, sink wiring) without "
                         "starting Spark or executing anything")
+    p.add_argument("--dag", default=None,
+                   help="run the full gated lifecycle (init -> pre-gates -> "
+                        "engine -> post-gates -> finalize) from a DAG JSON "
+                        "document; see examples/dag_motor.json")
     p.add_argument("--run-id", default=None)
     p.add_argument("--manifest", default=None, help="manifest JSON path (high watermark)")
     p.add_argument("--pipeline-name", default="pipeline")
@@ -105,8 +143,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.query:
         return run_query(args)
+    if args.dag:
+        return run_dag_cli(args)
     if not args.metadata:
-        p.error("--metadata is required unless --query is given")
+        p.error("--metadata is required unless --query or --dag is given")
 
     # load_metadata applies ${VAR} environment substitution (parity:
     # config_loader.py's expandvars), so paths can be parameterized.

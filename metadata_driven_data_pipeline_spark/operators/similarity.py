@@ -476,11 +476,19 @@ def lsh_bucket_topk(
     q_base = queries.select(
         F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv")
     ).withColumn("__qsig", rh_signature(F.col("__qv"), dim, bits))
-    # multiprobe: also probe buckets at Hamming distance 1 (flip each bit)
+    # multiprobe: also probe buckets at Hamming distance <= multiprobe
+    # (level 1 = flip each bit; level 2 adds every bit pair — the standard
+    # probe-sequence ordering for sign LSH)
     probes = [F.col("__qsig")]
     if multiprobe >= 1:
         probes += [
             F.col("__qsig").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+        ]
+    if multiprobe >= 2:
+        probes += [
+            F.col("__qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bits)
+            for j in range(i + 1, bits)
         ]
     q = q_base.withColumn("__probe", F.explode(F.array(*probes)))
 

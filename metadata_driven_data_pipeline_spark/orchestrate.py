@@ -75,6 +75,8 @@ def _adopt_external_stages(log: RunLog, log_path: str | None) -> None:
             doc = json.load(f)
     except (json.JSONDecodeError, OSError):
         return  # partial write / unreadable: in-memory doc wins
+    if doc.get("run_id") != log.doc.get("run_id"):
+        return  # stale file from a previous run: never adopt its stages
     seen = {
         (s.get("stage"), s.get("started_at")) for s in log.doc["stages"]
     }
@@ -261,6 +263,88 @@ def pytest_gate(
         return {"pytest_exit": proc.returncode}
 
     return gate
+
+
+def _gate_from_spec(
+    spec: dict[str, Any], run_id: str, log_path: str | None
+) -> tuple[str, Gate]:
+    """Compile one declarative gate spec into a (name, gate) pair.
+
+    Supported shapes (mirroring the reference DAG's BashOperator gates,
+    ``motor_policy_pipeline_dag.py:84-93,130-141``):
+
+    - ``{"name": ..., "pytest": [<pytest args>], "stage_name": ...,
+       "cwd": ...}`` — a :func:`pytest_gate` subprocess sharing the run
+      log (give it a distinct ``stage_name``; ``finalize`` is forced off —
+      under a DAG the final status is the DAG's).
+    - ``{"name": ..., "require_path": <path>}`` — passes iff the path
+      exists (the cheap existence pre-check shape).
+    """
+    name = spec.get("name") or "gate"
+    if "pytest" in spec:
+        return name, pytest_gate(
+            list(spec["pytest"]),
+            run_id=run_id,
+            log_path=log_path,
+            stage_name=spec.get("stage_name") or f"{name}.pytest",
+            finalize=False,
+            cwd=spec.get("cwd"),
+        )
+    if "require_path" in spec:
+        path = spec["require_path"]
+
+        def exists_gate() -> dict[str, Any] | bool:
+            return {"path": path} if os.path.exists(path) else False
+
+        return name, exists_gate
+    raise ValueError(
+        f"gate spec {name!r} needs 'pytest' or 'require_path': {spec!r}"
+    )
+
+
+def run_dag_config(
+    spark: SparkSession,
+    dag: dict[str, Any],
+    *,
+    run_id: str | None = None,
+    metadata: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Execute :func:`run_dag` from a declarative DAG document — the CLI
+    runbook surface (``python -m metadata_driven_data_pipeline_spark
+    --dag examples/dag_motor.json``; see ``examples/README.md``).
+
+    Document fields: ``pipeline_name``, ``metadata`` (path to a metadata
+    JSON, unless an inline ``metadata`` dict is passed), ``manifest``,
+    ``log_path``, ``pre_gates`` / ``post_gates`` (lists of gate specs, see
+    :func:`_gate_from_spec`). Returns the finalized run-log document;
+    raises :class:`GateFailure` at the first red gate exactly like
+    :func:`run_dag`.
+    """
+    from metadata_driven_data_pipeline_spark.config import load_metadata
+
+    rid = run_id or os.environ.get("RUN_ID") or uuid.uuid4().hex[:16]
+    if metadata is None:
+        meta_path = dag.get("metadata")
+        if not meta_path:
+            raise ValueError("DAG document needs a 'metadata' path")
+        metadata = load_metadata(meta_path)
+    log_path = dag.get("log_path")
+    return run_dag(
+        spark,
+        metadata,
+        run_id=rid,
+        manifest_path=dag.get("manifest"),
+        pipeline_name=dag.get("pipeline_name", "pipeline"),
+        log_path=log_path,
+        pre_gates=[
+            _gate_from_spec(s, rid, log_path)
+            for s in dag.get("pre_gates", [])
+        ],
+        post_gates=[
+            _gate_from_spec(s, rid, log_path)
+            for s in dag.get("post_gates", [])
+        ],
+    )
 
 
 # -- pytest session hooks (reference tests/conftest.py:72-136 parity) -------

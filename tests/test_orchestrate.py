@@ -331,3 +331,50 @@ def test_failed_gate_stage_records_sub_stage(spark, tmp_path):
     assert dag_stage["sub_stages"][-1]["status"] == "failed"
     # the subprocess's own failed test stage also survived the final flush
     assert "pre_pipeline_tests.pytest" in _stages(doc)
+
+
+def test_dag_cli_runbook_end_to_end(tmp_path):
+    """The examples/dag_motor.json runbook drives the full gated lifecycle
+    from the CLI (subprocess, own SparkSession): a red pre-gate (missing
+    input dir) blocks the engine with exit 1; after generating input, the
+    run succeeds with the full stage chain in the shared run log."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DATA_ROOT=root)
+
+    def run_cli():
+        return subprocess.run(
+            [_sys.executable, "-m", "metadata_driven_data_pipeline_spark",
+             "--dag", "examples/dag_motor.json"],
+            cwd=repo, env=env, capture_output=True, text=True,
+        )
+
+    # 1. no input yet -> pre-gate red, engine blocked
+    proc = run_cli()
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["status"] == "failed"
+    assert out["failed_stage"] == "pre_pipeline_tests"
+    assert out["failed_gate"] == "input_exists"
+    with open(f"{root}/run_log.json") as f:
+        doc = json.load(f)
+    assert "spark_pipeline" not in _stages(doc)
+    assert not os.path.exists(f"{root}/ok-consolidated")
+
+    # 2. generate batches -> green end-to-end with post-gate satisfied
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    proc = run_cli()
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["status"] == "success"
+    assert "spark_pipeline" in out["stages"]
+    with open(f"{root}/run_log.json") as f:
+        doc = json.load(f)
+    assert _stages(doc) == [
+        "init_run", "pre_pipeline_tests", "spark_pipeline",
+        "post_pipeline_tests",
+    ]
+    assert doc["status"] == "success"

@@ -55,9 +55,33 @@ def test_custom_agg_zero_filled(spark):
     assert [r["total"] for r in out] == [2.5, 0.0, 1.5]
 
 
-def test_non_hour_step_rejected(spark):
-    with pytest.raises(NotImplementedError):
-        gap_fill(_ev(spark, []), "user_id", "ts", step="5 minutes")
+def test_arbitrary_step_15min(spark):
+    """Generalized step: 15-minute epoch-aligned buckets, gaps filled."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 7), 2.0),   # 00:00 bucket
+        (1, dt.datetime(2024, 1, 1, 0, 50), 3.0),  # 00:45 bucket
+    ]
+    out = gap_fill(
+        _ev(spark, rows), "user_id", "ts", step="15 minutes"
+    ).orderBy("bucket_ts").collect()
+    buckets = [r["bucket_ts"].minute for r in out]
+    assert buckets == [0, 15, 30, 45]  # contiguous grid incl. empty buckets
+    assert [r["n_events"] for r in out] == [1, 0, 0, 1]
+
+
+def test_variable_unit_steps_parse(spark):
+    from metadata_driven_data_pipeline_spark.operators.timeseries import (
+        step_seconds,
+    )
+
+    assert step_seconds("15 minutes") == 900
+    assert step_seconds("1 hour") == 3600
+    assert step_seconds("2 days") == 172800
+    assert step_seconds("hour") == 3600
+    with pytest.raises(ValueError):
+        step_seconds("1 month")  # variable-length units have no fixed grid
+    with pytest.raises(ValueError):
+        step_seconds("0 hours")
 
 
 def test_span_cap_degrades_to_observed_only(spark):

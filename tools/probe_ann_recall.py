@@ -1,0 +1,125 @@
+"""ANN recall@k harness (VERDICT r2 item 7; BASELINE.md methodology).
+
+Measures what a 100 TB ANN deployment is actually judged on — RECALL, not
+just oracle-exactness of the happy path: for a replicated corpus (sf0.1
+embeddings × mult, perturbed copies, same scheme as probe_semdedup.py),
+compare `ann_topk_lsh` (random-hyperplane buckets + multiprobe) and
+`ann_topk_ivf` (coarse-cell inverted file, n_probe cells) against the
+exact `brute_force_topk` ground truth across their quality knobs.
+
+recall@k = |approx ∩ exact| / |exact| over (query_id, vec_id) pairs,
+averaged across queries. Cosine ties at the boundary are broken by vec_id
+in both paths, so the intersection is well-defined.
+
+Usage: python tools/probe_ann_recall.py [mult] [n_queries] [k]
+       (defaults: 20 → ~41k vectors, 25 queries, k=5)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators import similarity as sim
+from metadata_driven_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIM = 64
+
+
+def replicated(spark, mult: int):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = base.count()
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    return (
+        base.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("copy") * (i + F.lit(1)) % 97).cast("float") * 1e-4,
+            ).alias("embedding"),
+        )
+    )
+
+
+def topk_set(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    per_q = [
+        len(approx.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+        if hits
+    ]
+    return sum(per_q) / len(per_q) if per_q else 0.0
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    spark = get_spark(app_name="probe-ann-recall", shuffle_partitions=32)
+    emb = replicated(spark, mult).persist()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries).persist()
+    queries.count()
+    print(f"corpus n={n}, dim={DIM}, queries={n_queries}, k={k}")
+
+    t0 = time.time()
+    exact = topk_set(sim.brute_force_topk(emb, queries, k=k))
+    t_brute = time.time() - t0
+    print(f"brute-force ground truth: {t_brute:.1f}s")
+
+    results = []
+    for bits, multiprobe in [(8, 0), (8, 1), (8, 2), (10, 1), (12, 1)]:
+        t0 = time.time()
+        approx = topk_set(
+            sim.lsh_bucket_topk(
+                emb, queries, dim=DIM, k=k, bits=bits, multiprobe=multiprobe
+            )
+        )
+        results.append(
+            {
+                "variant": "lsh",
+                "params": {"bits": bits, "multiprobe": multiprobe},
+                "recall_at_k": round(recall(approx, exact), 4),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    for n_cells, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)]:
+        t0 = time.time()
+        approx = topk_set(
+            sim.ivf_topk(
+                emb, queries, dim=DIM, k=k, n_cells=n_cells, n_probe=n_probe
+            )
+        )
+        results.append(
+            {
+                "variant": "ivf",
+                "params": {"n_cells": n_cells, "n_probe": n_probe},
+                "recall_at_k": round(recall(approx, exact), 4),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    print(json.dumps({"brute_wall_sec": round(t_brute, 1), "results": results}))
+
+
+if __name__ == "__main__":
+    main()
