@@ -122,3 +122,45 @@ def test_np_band_signatures_match_jvm_form(spark, embeddings):
         ).collect()
     }
     assert jvm == arrow
+
+
+def _recall(approx_rows, exact_rows):
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx_rows:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    per_q = [len(ap.get(q, set()) & s) / len(s) for q, s in ex.items() if s]
+    return sum(per_q) / len(per_q)
+
+
+def test_multitable_lsh_recall_floor(spark, embeddings):
+    """Documented quality contract (BASELINE.md ANN recall table): 8-bit
+    sign LSH with Hamming<=2 multiprobe and 16 OR'd tables must reach
+    recall@5 >= 0.9 against brute force on GENUINE moderate-cosine
+    neighbors (no replicated near-copies; measured 0.92 at sf0.001,
+    0.976 at sf0.1). Deterministic: seed-derived planes, no RNG."""
+    qs = embeddings.filter("vec_id < 10")
+    exact = S.brute_force_topk(embeddings, qs, k=5).collect()
+    approx = S.lsh_bucket_topk(
+        embeddings, qs, dim=64, k=5, bits=8, multiprobe=2, tables=16
+    ).collect()
+    assert _recall(approx, exact) >= 0.9
+
+
+def test_trained_ivf_beats_random_centroids(spark, embeddings, queries):
+    """train_ivf_centroids (Lloyd's, deterministic seeding) must beat the
+    pseudo-random coarse quantizer at the same probe budget — the reason
+    a 100 TB IVF deployment trains its cells."""
+    exact = S.brute_force_topk(embeddings, queries, k=5).collect()
+    cents = S.train_ivf_centroids(embeddings, dim=64, n_cells=8)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    trained = S.ivf_topk(
+        embeddings, queries, dim=64, k=5, n_cells=8, n_probe=2,
+        centroids=cents,
+    ).collect()
+    random_c = S.ivf_topk(
+        embeddings, queries, dim=64, k=5, n_cells=8, n_probe=2
+    ).collect()
+    assert _recall(trained, exact) >= _recall(random_c, exact)
+    assert _recall(trained, exact) >= 0.5

@@ -84,34 +84,55 @@ def main() -> None:
     print(f"brute-force ground truth: {t_brute:.1f}s")
 
     results = []
-    for bits, multiprobe in [(8, 0), (8, 1), (8, 2), (10, 1), (12, 1)]:
+    for bits, multiprobe, tables in [
+        (8, 0, 1), (8, 1, 1), (8, 2, 1),
+        (8, 1, 4), (8, 1, 8), (8, 2, 8), (10, 1, 8), (8, 1, 16),
+    ]:
         t0 = time.time()
         approx = topk_set(
             sim.lsh_bucket_topk(
-                emb, queries, dim=DIM, k=k, bits=bits, multiprobe=multiprobe
+                emb, queries, dim=DIM, k=k, bits=bits,
+                multiprobe=multiprobe, tables=tables,
             )
         )
         results.append(
             {
                 "variant": "lsh",
-                "params": {"bits": bits, "multiprobe": multiprobe},
+                "params": {"bits": bits, "multiprobe": multiprobe,
+                           "tables": tables},
                 "recall_at_k": round(recall(approx, exact), 4),
                 "wall_sec": round(time.time() - t0, 1),
             }
         )
         print(json.dumps(results[-1]))
 
-    for n_cells, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)]:
+    trained: dict[int, list[list[float]]] = {}
+    for n_cells, n_probe, centroids in [
+        (8, 1, "random"), (8, 2, "random"), (8, 4, "random"),
+        (16, 2, "random"), (16, 4, "random"),
+        (8, 2, "trained"), (16, 2, "trained"), (16, 4, "trained"),
+    ]:
+        cents = None
+        if centroids == "trained":
+            if n_cells not in trained:
+                t0 = time.time()
+                trained[n_cells] = sim.train_ivf_centroids(
+                    emb, dim=DIM, n_cells=n_cells
+                )
+                print(f"trained {n_cells} cells in {time.time()-t0:.1f}s")
+            cents = trained[n_cells]
         t0 = time.time()
         approx = topk_set(
             sim.ivf_topk(
-                emb, queries, dim=DIM, k=k, n_cells=n_cells, n_probe=n_probe
+                emb, queries, dim=DIM, k=k, n_cells=n_cells,
+                n_probe=n_probe, centroids=cents,
             )
         )
         results.append(
             {
                 "variant": "ivf",
-                "params": {"n_cells": n_cells, "n_probe": n_probe},
+                "params": {"n_cells": n_cells, "n_probe": n_probe,
+                           "centroids": centroids},
                 "recall_at_k": round(recall(approx, exact), 4),
                 "wall_sec": round(time.time() - t0, 1),
             }
