@@ -11,8 +11,9 @@ trade-off:
 - **MinHash + LSH**: shingle → k independent min-hashes → band into b
   buckets → candidate pairs are rows sharing a (band, band-hash) bucket →
   verify with true Jaccard. Avoids the O(n²) cross join: the only shuffles
-  are the explode-by-band groupBys. Hashes are md5-derived 60-bit ints so
-  a SQL oracle (duckdb) reproduces them exactly.
+  are the explode-by-band groupBys. Two base-hash lanes (``hash_fn``):
+  md5-derived ints a SQL oracle (duckdb) reproduces exactly (default), or
+  codegen'd ``xxhash64`` for production throughput (see ``_base_hash``).
 - **SimHash**: 64-bit sign-sum sketch of token hashes; near-dups differ in
   few bits. Bucketed by the 16-bit prefix for candidate generation.
 - **n-gram Jaccard**: exact Jaccard over word shingles via explode +
@@ -128,6 +129,25 @@ def _hash60(s: Column) -> Column:
 MERSENNE31 = 2147483647  # 2^31 - 1, the universal-hash modulus
 
 
+def _base_hash(s: Column, hash_fn: str) -> Column:
+    """31-bit base hash per shingle under the chosen lane.
+
+    - ``"md5"`` (default): hex-md5 → 60-bit int → mod 2^31-1. An ANSI-SQL
+      oracle (DuckDB) reproduces it exactly — the CORRECTNESS lane.
+    - ``"xxhash64"``: Spark's codegen'd 64-bit xxHash, no hex round-trip —
+      measured materially faster per shingle (BASELINE.md round 3); the
+      recommended 100 TB PRODUCTION lane when no cross-engine oracle needs
+      to replay the hashes. Same quality (uniform 31-bit keys), different
+      (engine-internal) hash family, so dedup DECISIONS match in
+      distribution, not bit-for-bit.
+    """
+    if hash_fn == "md5":
+        return _hash60(s) % F.lit(MERSENNE31)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+
+
 def _perm_consts(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for the i-th linear permutation
     h_i(x) = (a*x + b) mod 2^31-1.  Fixed arithmetic (Knuth multiplier),
@@ -137,14 +157,17 @@ def _perm_consts(i: int) -> tuple[int, int]:
     return a, b
 
 
-def shingle_hashes(shingles: Column) -> Column:
-    """One 31-bit base hash per shingle (a SINGLE md5 pass over the doc).
+def shingle_hashes(shingles: Column, hash_fn: str = "md5") -> Column:
+    """One 31-bit base hash per shingle (a SINGLE hash pass over the doc).
     All k min-hashes are derived from this array by cheap linear
     permutations — the classic universal-hashing MinHash construction —
-    instead of k independent md5 passes (~k× less hashing work).
+    instead of k independent hash passes (~k× less hashing work).
+
+    ``hash_fn``: ``"md5"`` (oracle-reproducible default) or ``"xxhash64"``
+    (codegen'd production lane) — see :func:`_base_hash`.
 
     31-bit range keeps a*x+b < 2^62, overflow-free in 64-bit SQL ints."""
-    return F.transform(shingles, lambda s: _hash60(s) % F.lit(MERSENNE31))
+    return F.transform(shingles, lambda s: _base_hash(s, hash_fn))
 
 
 def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
@@ -170,19 +193,23 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
     return F.array(*mins)
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+def minhash_from_shingles(
+    shingles: Column, num_hashes: int = 16, hash_fn: str = "md5"
+) -> Column:
     """Single-expression form over a materialized shingle array. Convenient,
     but the k terms each embed the base-hash pass (no CSE inside
     higher-order functions) — hot paths should project
     :func:`shingle_hashes` into its own column and call
     :func:`minhash_from_hashes`."""
-    return minhash_from_hashes(shingle_hashes(shingles), num_hashes)
+    return minhash_from_hashes(shingle_hashes(shingles, hash_fn), num_hashes)
 
 
-def minhash_signature(text: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(
+    text: Column, num_hashes: int = 16, hash_fn: str = "md5"
+) -> Column:
     """Fully-inlined form (shingling + hashing inlined per hash — ad-hoc
     use only; see :func:`minhash_from_hashes` for the hot-path shape)."""
-    return minhash_from_shingles(word_shingles(text), num_hashes)
+    return minhash_from_shingles(word_shingles(text), num_hashes, hash_fn)
 
 
 def minhash_lsh_candidates(
@@ -191,6 +218,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -209,7 +237,9 @@ def minhash_lsh_candidates(
     # keeps the projection boundary)
     sig = (
         base.select("__id", word_shingles(F.col("__text")).alias("__shingles"))
-        .select("__id", shingle_hashes(F.col("__shingles")).alias("__hashes"))
+        .select(
+            "__id", shingle_hashes(F.col("__shingles"), hash_fn).alias("__hashes")
+        )
         .select(
             "__id",
             minhash_from_hashes(F.col("__hashes"), num_hashes).alias("__sig"),
@@ -362,6 +392,7 @@ def minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full fuzzy-dedup: LSH candidates → exact Jaccard verify
     (:func:`jaccard_verify_pairs` — per-pair array intersection, linear in
@@ -377,7 +408,7 @@ def minhash_dedup(
     from pyspark import StorageLevel
 
     candidates = _track_persist(
-        minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+        minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, hash_fn)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verified = jaccard_verify_pairs(

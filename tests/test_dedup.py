@@ -243,3 +243,17 @@ def test_persist_registry_release(spark, near_dup_docs):
     assert released == len(handles)
     assert D.persisted_handles() == []
     assert all(not h.storageLevel.useMemory for h in handles)
+
+
+def test_minhash_xxhash64_lane(spark, near_dup_docs):
+    """The codegen'd xxhash64 production lane must make the same dedup
+    decisions on clear dups as the oracle-reproducible md5 lane (different
+    hash family, same uniform-key quality)."""
+    out = D.minhash_dedup(
+        near_dup_docs, jaccard_threshold=0.5, hash_fn="xxhash64"
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 4 in ids
+    assert 2 not in ids and 5 not in ids
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.shingle_hashes(F.col("x"), hash_fn="sha1")
