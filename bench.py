@@ -93,7 +93,9 @@ def main() -> None:
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rep_totals: list[float] = []
     for _ in range(reps):
+        t_rep = time.time()
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -101,6 +103,7 @@ def main() -> None:
         # operators that persist() self-join intermediates (minhash, semdedup)
         # would otherwise accumulate cached blocks across reps
         spark.catalog.clearCache()
+        rep_totals.append(round(time.time() - t_rep, 3))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -123,6 +126,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "spread": spread,
+                "rep_totals": rep_totals,
+                "value_min_sum": round(
+                    sum(min(xs) for xs in samples.values()), 3
+                ),
             }
         )
     )
