@@ -433,6 +433,7 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
             num_hashes=int(params.get("numHashes", 16)),
             bands=int(params.get("bands", 4)),
             jaccard_threshold=float(params.get("jaccardThreshold", 0.8)),
+            hash_fn=params.get("hashFn", "md5"),
         )
     elif mode == "keep_best":
         quality = (
@@ -469,6 +470,39 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
         )
     else:
         raise ValueError(f"unknown text_analyze mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
+def _t_embedding_dedup(
+    catalog: Catalog, params: dict, ctx: dict
+) -> dict[str, DataFrame]:
+    """Embedding-cosine near-dup as a metadata transform — the
+    candidates→verify path (banded sign-LSH candidates, exact cosine
+    verify; dedup.embedding_neardup_pairs). ``mode``: ``pairs`` emits
+    (id_a, id_b, cosine) rows ≥ ``threshold``; ``dedup`` removes the
+    higher-id member of every verified pair (same greedy survivor rule as
+    minhash_dedup)."""
+    from . import dedup as dd
+
+    df = _get(catalog, params["input"])
+    id_col = params.get("idCol", "vec_id")
+    kwargs = dict(
+        emb_col=params.get("embCol", "embedding"),
+        id_col=id_col,
+        threshold=float(params.get("threshold", 0.95)),
+        dim=int(params["dim"]) if "dim" in params else None,
+        bits=int(params.get("bits", 14)),
+        bands=int(params.get("bands", 32)),
+    )
+    pairs = dd.embedding_neardup_pairs(df, **kwargs)
+    mode = params.get("mode", "pairs")
+    if mode == "pairs":
+        out = pairs
+    elif mode == "dedup":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = df.join(losers, id_col, "left_anti")
+    else:
+        raise ValueError(f"unknown embedding_dedup mode: {mode!r}")
     return {ctx["name"]: out}
 
 
@@ -524,6 +558,7 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "sample": _t_sample,
     "text_dedup": _t_text_dedup,
     "text_analyze": _t_text_analyze,
+    "embedding_dedup": _t_embedding_dedup,
 }
 
 

@@ -279,3 +279,68 @@ def test_text_analyze_transform(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "n_bigrams", "n_distinct",
                                 "entropy_bits"}
     assert out.count() == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_embedding_dedup_transform_modes(spark, tmp_path):
+    """embedding_dedup transform: 'pairs' emits verified cosine pairs,
+    'dedup' removes the higher-id member of each pair — the declarative
+    form of the candidates→verify near-dup path."""
+    from metadata_driven_data_pipeline_spark.operators import dedup as dd
+
+    src = [{"name": "embeddings", "path": f"{SF}/embeddings.parquet",
+            "format": "parquet"}]
+    pairs_out = _run(
+        spark,
+        str(tmp_path / "p"),
+        sources=src,
+        transformations=[
+            {"name": "pairs", "type": "embedding_dedup",
+             "params": {"input": "embeddings", "mode": "pairs",
+                        "threshold": 0.8, "dim": 64}},
+        ],
+        sink_input="pairs",
+    )
+    assert set(pairs_out.columns) == {"id_a", "id_b", "cosine"}
+    got = {(r["id_a"], r["id_b"]) for r in pairs_out.collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dd._verify_all_pairs(emb, threshold=0.8).collect()
+    }
+    assert got == truth  # recall 1.0 + exact precision through the engine
+
+    dedup_out = _run(
+        spark,
+        str(tmp_path / "d"),
+        sources=src,
+        transformations=[
+            {"name": "survivors", "type": "embedding_dedup",
+             "params": {"input": "embeddings", "mode": "dedup",
+                        "threshold": 0.8, "dim": 64}},
+        ],
+        sink_input="survivors",
+    )
+    survivor_ids = {r["vec_id"] for r in dedup_out.select("vec_id").collect()}
+    losers = {b for _, b in truth}
+    assert survivor_ids == (
+        {r["vec_id"] for r in emb.select("vec_id").collect()} - losers
+    )
+
+
+def test_text_dedup_xxhash_lane_via_metadata(spark, tmp_path):
+    """hashFn is drivable from the metadata document (production lane)."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "deduped", "type": "text_dedup",
+             "params": {"input": "documents", "mode": "minhash",
+                        "hashFn": "xxhash64"}},
+        ],
+        sink_input="deduped",
+    )
+    assert 0 < out.count() <= spark.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
