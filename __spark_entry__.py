@@ -2151,6 +2151,87 @@ def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→agg revenue forecast — one year of
+    shipments, a discount band, small quantities; SUM(price·discount).
+    The no-join baseline every engine must push fully into the scan
+    (PushedFilters on date/discount/quantity, 2-column read schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * F.col("l_discount").cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp→lineitem adaptation: a part's suppliers
+    are those who shipped it): how many DISTINCT suppliers serve each
+    (brand, type-prefix, size) part segment, excluding suppliers in
+    deficit (negative acctbal — the 'complaints' NOT IN analog). Anti
+    join on the excluded-supplier set + distinct-count aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 6).alias("p_type_prefix"),
+            "p_size",
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand", "p_type_prefix", "p_size",
+        )
+        .limit(40)
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed orders whose TOTAL line
+    quantity exceeds a threshold — IN-subquery over a HAVING aggregate,
+    then a customer×orders×lineitem 3-way join re-aggregated per order,
+    top 20 by price. The big-orderkey set is tiny after HAVING, so the
+    semi join broadcasts; only one wide shuffle (per-order quantity agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 100)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def q_gap_fill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap fill at a sub-hour step (15 minutes): certifies the generalized
     resample surface (epoch-aligned bucket floor + parameterized sequence
@@ -2306,6 +2387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "repetition_profile": q_repetition_profile,
+        # round-3 additions completing the TPC-H shape set (Q6/Q16/Q18);
+        # position 51+ this round — rotate into the window next round
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "part_supplier_variety": q_part_supplier_variety,
+        "large_volume_customers": q_large_volume_customers,
     }
 
 
@@ -3760,6 +3846,48 @@ def oracle_sql() -> dict[str, str]:
                round(COALESCE(o.sum_value, 0), 6) AS sum_value
         FROM grid g
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.bucket_ts
+    """
+
+    sql["forecast_revenue_change"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sql["part_supplier_variety"] = """
+        SELECT p_brand,
+               substring(p_type, 1, 6) AS p_type_prefix,
+               p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, substring(p_type, 1, 6), p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size
+        LIMIT 40
+    """
+
+    sql["large_volume_customers"] = """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
     """
 
     # gap_fill_15min: DuckDB time_bucket's sub-day origin (2000-01-01) is
