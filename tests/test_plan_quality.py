@@ -2,9 +2,10 @@
 
 Locks in the plan properties audited in PLANS.md: headline queries must
 keep compiling to the plans we'd want on a 1000-executor cluster —
-no cartesian products anywhere, broadcast-nested-loop joins only in the
-two whitelisted places (a 1-row scalar-subquery broadcast and the explicit
-brute-force verifier), pruned parquet scans, and pushed-down filters.
+no cartesian products anywhere, broadcast-nested-loop joins only for the
+whitelisted 1-row scalar-subquery broadcast (the O(n^2) brute-force
+verifier left the public embedding path in round 3, so it is no longer
+whitelisted), pruned parquet scans, and pushed-down filters.
 Static (AQE-off) plans are asserted: AQE only improves on them at runtime.
 """
 
@@ -23,8 +24,10 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ whitelist: rich_idle_customers broadcasts a single-row aggregate
-# (scalar subquery); embedding_neardup IS the documented brute-force verifier.
-BNLJ_OK = {"rich_idle_customers", "embedding_neardup"}
+# (scalar subquery). embedding_neardup is deliberately NOT whitelisted any
+# more: its public path is candidates->verify (equi joins only) and a BNLJ
+# reappearing there is exactly the regression this guard exists to catch.
+BNLJ_OK = {"rich_idle_customers"}
 
 AUDITED = [
     "pricing_summary",
@@ -40,6 +43,7 @@ AUDITED = [
     "embedding_neardup",
     "ann_topk_lsh",
     "corpus_clean",
+    "forecast_revenue_change",
 ]
 
 
@@ -91,6 +95,18 @@ def test_filters_pushed_to_scans(plans):
     assert "l_shipdate" in scan["pushed"]
     cscan = next(s for s in plans["shipping_priority"]["scans"] if s["table"] == "customer")
     assert "c_mktsegment" in cscan["pushed"]
+
+
+def test_q6_fully_pushed_down(plans):
+    """Q6 is the pushdown benchmark: every predicate must reach the scan
+    and the read schema must carry only the 4 referenced columns."""
+    scan = next(
+        s for s in plans["forecast_revenue_change"]["scans"]
+        if s["table"] == "lineitem"
+    )
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan["pushed"]
+    assert scan["n_cols"] <= 4
 
 
 def test_codegen_covers_plans(plans):
