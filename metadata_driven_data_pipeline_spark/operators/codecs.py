@@ -11,6 +11,9 @@ into real bytes→pixels/samples work that runs (and is tested) in-sandbox:
   through one ``zlib`` stream.
 - :func:`wav_decode` / :func:`wav_encode` — PCM WAV via the ``wave``
   module; 8/16/32-bit widths normalized to float in [-1, 1].
+- :func:`avi_decode` / :func:`avi_encode` — uncompressed-DIB AVI via a
+  plain RIFF chunk walk (``struct`` only): frame blobs + fps metadata,
+  enough for real video frame sampling without a codec library.
 
 Decoders return ``None`` for anything they don't understand (wrong magic,
 unsupported bit depth, truncated stream) — callers map that to a
@@ -202,3 +205,76 @@ def wav_encode(
         wf.setframerate(framerate)
         wf.writeframes(pcm)
     return buf.getvalue()
+
+
+# --- AVI (RIFF) with uncompressed DIB frames --------------------------------
+
+def avi_decode(payload: bytes, max_frames: int | None = None) -> dict | None:
+    """Parse an uncompressed-DIB AVI (RIFF container): returns
+    ``{"width", "height", "us_per_frame", "n_frames", "frames": [bytes]}``
+    with raw frame byte blobs from the ``00db`` movi chunks, or None for
+    anything that is not such an AVI. Compressed codecs (``00dc`` with a
+    non-DIB fourcc) are rejected — no codec work here, just the RIFF walk.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    width = height = us_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> bool:
+        nonlocal width, height, us_per_frame
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = pos + 8
+            if body + size > len(buf):
+                return False
+            if fourcc == b"LIST":
+                walk(buf, body + 4, body + size)
+            elif fourcc == b"avih" and size >= 40:
+                us_per_frame, = struct.unpack("<I", buf[body : body + 4])
+                width, height = struct.unpack(
+                    "<II", buf[body + 32 : body + 40]
+                )
+            elif fourcc in (b"00db", b"00dc"):
+                if max_frames is None or len(frames) < max_frames:
+                    frames.append(buf[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+        return True
+
+    try:
+        if not walk(payload, 12, len(payload)):
+            return None
+    except struct.error:
+        return None
+    if width is None or us_per_frame in (None, 0) or not frames:
+        return None
+    return {
+        "width": int(width),
+        "height": int(height),
+        "us_per_frame": int(us_per_frame),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def avi_encode(
+    frames: list[bytes], width: int, height: int, us_per_frame: int = 40000
+) -> bytes:
+    """Assemble raw frame byte blobs into a minimal uncompressed AVI
+    (RIFF → hdrl(avih) → movi(00db...)). Enough container structure for
+    :func:`avi_decode` and any RIFF-aware tool to walk it."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<10I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

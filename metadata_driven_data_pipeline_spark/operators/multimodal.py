@@ -10,11 +10,12 @@ LLM-pipeline extension surface (not in the reference). The contract:
 - decode is REAL even in this container: Pillow / soundfile are preferred
   when importable (broad format coverage), and a pure-stdlib lane
   (``operators/codecs.py``: PNG via zlib/struct, PCM WAV via ``wave``)
-  decodes actual bytes otherwise, so ``extract_features(fake=False)`` and
-  ``resize_images`` run end-to-end in-sandbox. ``fake=True`` keeps the
+  decodes actual bytes otherwise, so ``extract_features(fake=False)``,
+  ``resize_images`` and ``frame_sample(fake=False)`` (uncompressed-DIB
+  AVI via a stdlib RIFF walk) run end-to-end in-sandbox — no decode
+  stage is environment-stubbed anymore. ``fake=True`` keeps the
   md5-derived deterministic vectors whose values an ANSI-SQL oracle can
   reproduce (real pixel math is not expressible in the DuckDB oracle).
-  Only video ``frame_sample`` remains stubbed (no stdlib video codec).
 
 Scale notes: binary payloads dominate row size; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a task's Arrow batch of
@@ -219,11 +220,16 @@ def frame_sample(
     every_ms: int = 1000,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame.
 
-    Real implementation needs a video codec; the fake path emits
-    ``duration_ms / every_ms`` deterministic frame fingerprints so the
-    row-expansion shape (1 row in → N rows out via mapInPandas) is tested.
+    ``fake=True`` emits ``duration_ms / every_ms`` deterministic
+    fingerprints (ANSI-SQL-reproducible — the oracle lane) exercising the
+    1 row in → N rows out ``mapInPandas`` expansion. ``fake=False``
+    decodes REAL video bytes: uncompressed-DIB AVI via the stdlib RIFF
+    walk (``operators/codecs.py:avi_decode``) — one frame every
+    ``every_ms`` by the container's fps, fingerprint = md5 of the raw
+    frame blob; payloads that aren't such an AVI yield no rows (callers
+    can anti-join to find them).
     """
     out_schema = T.StructType(
         [
@@ -233,15 +239,37 @@ def frame_sample(
         ]
     )
 
+    def _real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_driven_data_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                vid = codecs.avi_decode(bytes(payload))
+                if vid is None:
+                    continue
+                step = max(1, int(every_ms * 1000 / vid["us_per_frame"]))
+                for j, fi in enumerate(range(0, vid["n_frames"], step)):
+                    ids.append(media_id)
+                    idxs.append(j)
+                    fps.append(hashlib.md5(vid["frames"][fi]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_fingerprint": pd.Series(fps, dtype=object),
+                }
+            )
+
+    if not fake:
+        return df.mapInPandas(_real_op, out_schema)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "Real frame sampling requires a video codec; "
-                    "run with fake=True for plumbing tests"
-                )
             if len(pdf) == 0:
                 continue
             # vectorized 1→N expansion: np.repeat on the row index, one

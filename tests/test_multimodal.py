@@ -273,3 +273,45 @@ def test_real_decoder_always_available():
     _, png = _gradient_png(4, 4)
     feat = decoder(png)
     assert feat is not None and len(feat) == 16
+
+
+class TestAviCodec:
+    def test_roundtrip(self):
+        frames = [bytes([i]) * 64 for i in range(10)]
+        payload = codecs.avi_encode(frames, width=8, height=8,
+                                    us_per_frame=40000)
+        vid = codecs.avi_decode(payload)
+        assert vid is not None
+        assert (vid["width"], vid["height"]) == (8, 8)
+        assert vid["us_per_frame"] == 40000
+        assert vid["n_frames"] == 10 and vid["frames"] == frames
+
+    def test_rejects_non_avi(self):
+        assert codecs.avi_decode(b"RIFF....WAVE") is None
+        assert codecs.avi_decode(b"not riff at all") is None
+
+
+def test_frame_sample_real_avi(spark):
+    """fake=False decodes a REAL AVI container: 10 frames at 25 fps
+    (40ms/frame), sampled every 120ms -> frames 0,3,6,9; fingerprints are
+    md5 of the raw frame blobs. Non-AVI payloads yield no rows."""
+    frames = [bytes([i]) * 192 for i in range(10)]
+    payload = codecs.avi_encode(frames, width=8, height=8,
+                                us_per_frame=40000)
+    rows = [
+        Row(media_id=1, payload=payload,
+            meta=Row(mime_type="video/avi", width=8, height=8,
+                     duration_ms=400)),
+        Row(media_id=2, payload=b"not a video",
+            meta=Row(mime_type="text/plain", width=None, height=None,
+                     duration_ms=None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.frame_sample(df, every_ms=120, fake=False).collect()
+    assert all(r["media_id"] == 1 for r in out)
+    got = {r["frame_idx"]: r["frame_fingerprint"] for r in out}
+    import hashlib
+    assert got == {
+        j: hashlib.md5(frames[fi]).hexdigest()
+        for j, fi in enumerate(range(0, 10, 3))
+    }
