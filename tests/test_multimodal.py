@@ -315,3 +315,49 @@ def test_frame_sample_real_avi(spark):
         j: hashlib.md5(frames[fi]).hexdigest()
         for j, fi in enumerate(range(0, 10, 3))
     }
+
+
+# ---- property-based codec roundtrips (hypothesis) --------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = codecs.png_decode(codecs.png_encode(pixels))
+    assert out is not None and out.shape == (h, w, ch)
+    assert (out == pixels).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 500), seed=st.integers(0, 2**31 - 1),
+    sampwidth=st.sampled_from([2, 4]),
+)
+def test_wav_roundtrip_property(n, seed, sampwidth):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1, 1, size=n)
+    out = codecs.wav_decode(codecs.wav_encode(samples, sampwidth=sampwidth))
+    assert out is not None and len(out) == n
+    tol = 1.5 / 32767 if sampwidth == 2 else 1.5 / 2147483647
+    assert np.abs(out - samples).max() <= tol
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(1, 12), frame_len=st.integers(1, 64),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(n_frames, frame_len, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, frame_len, dtype=np.uint8).tobytes()
+              for _ in range(n_frames)]
+    vid = codecs.avi_decode(codecs.avi_encode(frames, 4, 4))
+    assert vid is not None and vid["frames"] == frames

@@ -300,3 +300,52 @@ def test_stateful_micro_units_overflow_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="OverflowError|micro-units"):
         q.awaitTermination()
+
+
+def test_stateful_totals_rocksdb_state_store(spark, tmp_path):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state-store provider — the backend a 100 TB deployment uses so state
+    is bounded by local disk, not executor heap. Same results as the
+    default HDFS-backed store."""
+    from metadata_driven_data_pipeline_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    write_batch(f"{src}/b1", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 5.0},
+    ])
+    write_batch(f"{src}/b2", [
+        {"event_id": 3, "ts": "2024-01-01T01:00:00", "user_id": 1, "value": 7.0},
+    ])
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*/part.jsonl")
+        )
+        q = (
+            running_totals(stream, key_col="user_id", value_col="value")
+            .writeStream.format("memory").queryName("rt_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        latest = {}
+        for r in spark.sql("SELECT * FROM rt_rocks").collect():
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert latest[1] == (2, 17.0)
+        assert latest[2] == (1, 5.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
