@@ -1363,6 +1363,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing (50/30/20 over three sources): the
+    binding domain is kept whole, the others down-sample deterministically
+    so output proportions hit the target — the pre-training data-mixing
+    pass, as a broadcast-join + map-side hash filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.domain_mix(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 re-derived): per-rule
+    boolean flags + the conjunction keep decision, pure JVM projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.gopher_rules(docs, min_words=30).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "gopher_keep",
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup (ExactSubstr-style, Lee et al. 2021):
+    16-token spans, globally-first occurrence survives, docs reassembled
+    from surviving spans. Output carries md5(dedup_text) so the full
+    rewritten corpus is value-checked without hashing megabytes of text
+    through the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.span_dedup(docs, span_tokens=16)
+    return out.select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Additional relational shapes: unpivot, percent_rank/cume_dist, exact
 # moment-based correlation statistics
@@ -2392,6 +2434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,
         "part_supplier_variety": q_part_supplier_variety,
         "large_volume_customers": q_large_volume_customers,
+        # round-3 training-data-curation additions (position 51+ this
+        # round — rotate into the window next round)
+        "domain_mix": q_domain_mix,
+        "gopher_filter": q_gopher_filter,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -3429,6 +3476,99 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {draw('split', 'doc_id')} < 200000 THEN 'validation'
                     ELSE 'train' END AS split
         FROM documents
+    """
+
+    sql["domain_mix"] = f"""
+        WITH c AS (
+            SELECT source AS dom, COUNT(*) AS n,
+                   CASE CAST(source AS VARCHAR)
+                        WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                        WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                        WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                   END AS w
+            FROM documents GROUP BY source),
+        wd AS (SELECT dom, n, w FROM c WHERE w IS NOT NULL),
+        s AS (SELECT min(n / w) AS scale FROM wd),
+        f AS (SELECT dom,
+                     least(CAST(1.0 AS DOUBLE), w * scale / n) AS frac
+              FROM wd CROSS JOIN s)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN f ON CAST(d.source AS VARCHAR) = f.dom
+        WHERE {draw('mix', 'd.doc_id')} <
+              CAST(floor(f.frac * 1000000 + 0.5) AS BIGINT)
+    """
+
+    gtoks = _sql_toks("text")
+    gltoks = _sql_toks("lower(text)")
+    gstops = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+    sql["gopher_filter"] = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {gtoks} AS toks,
+                   {gltoks} AS ltoks,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CASE WHEN len(toks) > 0 THEN
+                        list_sum(list_transform(toks, w -> length(w)))
+                        / CAST(len(toks) AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS mean_wl,
+                   CASE WHEN len(toks) > 0 THEN
+                        n_sym / CAST(len(toks) AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS sym_ratio,
+                   CASE WHEN len(toks) > 0 THEN
+                        len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                        / CAST(len(toks) AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+                   len(list_filter(ltoks, w -> w IN ({gstops}))) AS stop_hits
+            FROM s)
+        SELECT doc_id,
+               n_words >= 30 AND n_words <= 100000 AS rule_word_count,
+               mean_wl >= 3.0 AND mean_wl <= 10.0 AS rule_mean_word_len,
+               sym_ratio <= 0.1 AS rule_symbol_ratio,
+               alpha_ratio >= 0.8 AS rule_alpha_words,
+               stop_hits >= 2 AS rule_stopwords,
+               (n_words >= 30 AND n_words <= 100000)
+               AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+               AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
+               AND stop_hits >= 2 AS gopher_keep
+        FROM m
+    """
+
+    sql["span_dedup"] = f"""
+        WITH s AS (
+            SELECT doc_id, {gtoks} AS toks FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''),
+        c AS (
+            SELECT doc_id, toks,
+                   CAST(ceil(len(toks) / 16.0) AS BIGINT) AS n_spans
+            FROM s),
+        e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, n_spans)) AS span_idx
+            FROM c),
+        sp AS (
+            SELECT doc_id, span_idx,
+                   array_to_string(
+                       list_slice(toks, span_idx * 16 + 1, span_idx * 16 + 16),
+                       ' ') AS span_text
+            FROM e),
+        k AS (
+            SELECT doc_id, span_idx, span_text,
+                   ROW_NUMBER() OVER (PARTITION BY span_text
+                                      ORDER BY doc_id, span_idx) AS rn
+            FROM sp),
+        reb AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   array_to_string(list(span_text ORDER BY span_idx), ' ')
+                       AS dedup_text
+            FROM k WHERE rn = 1 GROUP BY doc_id)
+        SELECT c.doc_id, c.n_spans,
+               COALESCE(reb.n_kept, 0) AS n_kept,
+               md5(COALESCE(reb.dedup_text, '')) AS dedup_md5
+        FROM c LEFT JOIN reb ON c.doc_id = reb.doc_id
     """
 
     sql["pack_sequences"] = """

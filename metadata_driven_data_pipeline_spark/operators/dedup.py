@@ -797,3 +797,103 @@ def containment_verify_pairs(
         (F.col("containment_a") >= threshold)
         | (F.col("containment_b") >= threshold)
     )
+
+
+# --- span-granular exact dedup (ExactSubstr-style) ---------------------------
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Sub-document exact dedup: drop duplicated ``span_tokens``-token spans,
+    keeping only their globally-first occurrence, and reassemble each doc
+    from its surviving spans.
+
+    Document-level dedup (``exact_dedup`` / ``minhash_dedup``) misses the
+    dominant duplication mode in web corpora: the *same boilerplate span*
+    (header, license text, navigation, quoted excerpt) repeated inside
+    otherwise-distinct documents. Suffix-array ExactSubstr dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better") removes any repeated ≥k-token substring; a suffix array over
+    100 TB is not a Spark-shaped computation, so this operator implements
+    the scalable approximation used in MassiveText-style pipelines:
+    fixed-width non-overlapping token windows as the dedup granule.
+
+    Semantics (fully deterministic → SQL-oracle-able):
+    - tokenize (whitespace), split into ceil(n/k) non-overlapping spans;
+      the last span may be short.
+    - a span's key is its exact token sequence (joined by single spaces);
+      the *winner* for a key is the lexicographically-smallest
+      (id, span_idx) that produced it.
+    - every non-winner occurrence is dropped; docs are reassembled from
+      surviving spans in original order. Docs whose spans all survive are
+      returned verbatim (modulo whitespace normalization to single spaces).
+
+    Scale shape: one explode (rows ×ceil(n/k), but each carries only k
+    tokens — total data stays ~n), one hash shuffle on the span key for the
+    winner agg, one hash shuffle on ``id_col`` for reassembly. Linear in
+    corpus size; no self-join, no candidate explosion. At 100 TB, shuffle
+    md5(span) instead of the span text to cut shuffle bytes (the key is
+    exact either way); kept as text here so the oracle and the operator
+    share the same visible key.
+
+    Returns: (id_col, n_spans, n_kept, dedup_text).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = span_tokens
+    n_spans = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil(n / F.lit(k)).cast("int")
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # guard: sequence(0, -1) would generate a DESCENDING [0, -1]
+            F.when(n_spans <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+                )
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    # winner per span key = lexicographically-smallest (id, span_idx):
+    # map-side-combinable min over a struct — no window over the full corpus
+    winners = spans.groupBy("span_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("__w")
+    )
+    kept = (
+        spans.join(winners, "span_text")
+        .filter(
+            (F.col("__w")[id_col] == F.col(id_col))
+            & (F.col("__w")["span_idx"] == F.col("span_idx"))
+        )
+        .select(id_col, "span_idx", "span_text")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ),
+                lambda s: s["span_text"],
+            ),
+        ).alias("dedup_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.when(F.size(tokens(F.col(text_col))) <= 0, F.lit(0))
+        .otherwise(F.ceil(F.size(tokens(F.col(text_col))) / F.lit(k)))
+        .cast("int")
+        .alias("n_spans"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )

@@ -73,6 +73,66 @@ def stratified_hash_sample(
     return df.filter(hash_draw(F.col(key_col), salt) < threshold)
 
 
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mixture with maximal
+    retention — the pre-training data-mixing pass (e.g. "40% web, 30%
+    code, 30% books" over a crawl whose natural proportions differ).
+
+    Given target weights ``{domain: w}`` (need not sum to 1; they are
+    normalized by use), the binding domain is the one with the smallest
+    ``n_i / w_i`` — it is kept in full, and every other domain is
+    down-sampled deterministically to ``w_i * scale / n_i`` where
+    ``scale = min_i(n_i / w_i)``, so the output proportions equal the
+    target weights and no domain is over-drawn. Domains absent from
+    ``weights`` are dropped. Membership is a pure function of the row key
+    (same md5 draw as :func:`hash_sample`): stable under repartitioning,
+    retries, and incremental re-ingestion.
+
+    Scale shape: one map-side-combinable count per domain (k rows), a
+    broadcast join of the k-row fraction table back onto the corpus, and a
+    map-side filter — no full shuffle of the data. The k-row aggregate is
+    the only global coordination, exactly like the k-centroid collect in
+    clustering.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive values")
+    w_expr2 = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        w_expr2 = F.when(
+            F.col("__dom").cast("string") == value, F.lit(float(w))
+        ).otherwise(w_expr2)
+    counts = (
+        df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", w_expr2)
+        .filter(F.col("__w").isNotNull())
+    )
+    scale = counts.agg(
+        F.min(F.col("__n") / F.col("__w")).alias("__scale")
+    )
+    fracs = counts.crossJoin(F.broadcast(scale)).select(
+        "__dom",
+        F.least(
+            F.lit(1.0), F.col("__w") * F.col("__scale") / F.col("__n")
+        ).alias("__frac"),
+    )
+    thresh = F.floor(F.col("__frac") * _BUCKETS + F.lit(0.5)).cast("bigint")
+    return (
+        df.join(
+            F.broadcast(fracs),
+            df[domain_col].cast("string") == F.col("__dom").cast("string"),
+        )
+        .filter(hash_draw(F.col(key_col), salt) < thresh)
+        .drop("__dom", "__frac")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

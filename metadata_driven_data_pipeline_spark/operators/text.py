@@ -398,6 +398,83 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-rule stopword set (Rae et al. 2021 §A1.1: "the, be, to, of, and,
+# that, have, with" — the published required-word list, re-typed from the
+# paper, no external code).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, §A1.1),
+    re-derived from the published rule list as deterministic Column
+    expressions — the standard pre-training quality gate alongside
+    C4-style cleaning.
+
+    Adds one boolean per rule plus the conjunction ``gopher_keep``:
+
+    - ``rule_word_count``: word count in [min_words, max_words]
+    - ``rule_mean_word_len``: mean word length in
+      [min_mean_word_len, max_mean_word_len]
+    - ``rule_symbol_ratio``: (# of '#' or ellipsis) / words ≤
+      max_symbol_ratio
+    - ``rule_alpha_words``: ≥ min_alpha_word_ratio of words contain at
+      least one alphabetic character
+    - ``rule_stopwords``: ≥ min_stopword_hits occurrences of the paper's
+      required-word list (the, be, to, of, and, that, have, with)
+
+    Flags rather than a filter so callers can audit per-rule rejection
+    rates (the number a 100 TB curation run actually monitors) and compose
+    their own keep predicate; ``df.filter("gopher_keep")`` is the paper's
+    conjunction.
+
+    Scale shape: pure projection — per-row expressions, JVM codegen, no
+    shuffle, no UDFs; linear and embarrassingly parallel at any corpus
+    size.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    # mean word length over words (chars exclude separators)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_words > 0, word_chars / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, alpha_words / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(tokens(F.lower(t)), GOPHER_STOPWORDS)
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return df.withColumns({**rules, "gopher_keep": keep})
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -257,3 +257,42 @@ def test_minhash_xxhash64_lane(spark, near_dup_docs):
     assert 2 not in ids and 5 not in ids
     with pytest.raises(ValueError, match="hash_fn"):
         D.shingle_hashes(F.col("x"), hash_fn="sha1")
+
+
+class TestSpanDedup:
+    def test_repeated_span_dropped_from_later_doc(self, spark):
+        span = " ".join(f"w{i}" for i in range(8))  # one 8-token span
+        unique = " ".join(f"u{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=span), Row(doc_id=2, text=span + " " + unique)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in D.span_dedup(df, span_tokens=8).collect()}
+        # doc 1 wins the shared span; doc 2 keeps only its unique span
+        assert out[1].n_spans == 1 and out[1].n_kept == 1
+        assert out[1].dedup_text == span
+        assert out[2].n_spans == 2 and out[2].n_kept == 1
+        assert out[2].dedup_text == unique
+
+    def test_within_doc_repetition_collapsed(self, spark):
+        span = " ".join(f"w{i}" for i in range(4))
+        df = spark.createDataFrame(
+            [Row(doc_id=7, text=" ".join([span] * 3))], "doc_id long, text string"
+        )
+        r = D.span_dedup(df, span_tokens=4).collect()[0]
+        assert r.n_spans == 3 and r.n_kept == 1 and r.dedup_text == span
+
+    def test_short_tail_span_kept_independently(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e")], "doc_id long, text string"
+        )
+        r = D.span_dedup(df, span_tokens=4).collect()[0]
+        assert r.n_spans == 2 and r.n_kept == 2
+        assert r.dedup_text == "a b c d e"
+
+    def test_empty_text_zero_spans(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="  ")], "doc_id long, text string"
+        )
+        r = D.span_dedup(df, span_tokens=4).collect()[0]
+        assert r.n_spans == 0 and r.n_kept == 0 and r.dedup_text == ""

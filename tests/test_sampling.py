@@ -106,3 +106,43 @@ class TestPackSequences:
         # 50 docs x 60 tokens per shard, budget 120 -> 2 docs per pack, 25 packs
         assert all(r.n == 2 for r in per)
         assert len(per) == 50
+
+
+class TestDomainMix:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # skewed natural mixture: 600 web, 300 code, 100 books, 50 junk
+        rows = (
+            [(i, "web") for i in range(600)]
+            + [(600 + i, "code") for i in range(300)]
+            + [(900 + i, "books") for i in range(100)]
+            + [(1000 + i, "junk") for i in range(50)]
+        )
+        return spark.createDataFrame(rows, ["doc_id", "domain"])
+
+    def test_binding_domain_kept_whole_and_target_hit(self, corpus):
+        # target 50/25/25: books is binding (100/0.25=400 < 600/0.5, 300/0.25)
+        out = smp.domain_mix(
+            corpus, "doc_id", "domain", {"web": 0.5, "code": 0.25, "books": 0.25}
+        )
+        counts = {
+            r.domain: r.n
+            for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["books"] == 100  # binding domain: kept in full
+        assert "junk" not in counts  # unweighted domains dropped
+        # others hit the target rate within hash-draw noise
+        assert abs(counts["web"] - 200) < 40
+        assert abs(counts["code"] - 100) < 30
+
+    def test_deterministic(self, corpus):
+        w = {"web": 0.5, "code": 0.25, "books": 0.25}
+        a = sorted(r.doc_id for r in smp.domain_mix(corpus, "doc_id", "domain", w).collect())
+        b = sorted(r.doc_id for r in smp.domain_mix(corpus, "doc_id", "domain", w).collect())
+        assert a == b and len(a) > 0
+
+    def test_rejects_bad_weights(self, corpus):
+        with pytest.raises(ValueError):
+            smp.domain_mix(corpus, "doc_id", "domain", {})
+        with pytest.raises(ValueError):
+            smp.domain_mix(corpus, "doc_id", "domain", {"web": -1.0})

@@ -208,3 +208,43 @@ class TestBigramEntropy:
             assert out[d]["entropy_bits"] is None
         # diversity ordering: unique-bigram doc > repetitive doc
         assert out[1]["entropy_bits"] > out[2]["entropy_bits"]
+
+
+class TestGopherRules:
+    def rules(self, spark, text, **kw):
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        return X.gopher_rules(df, **kw).collect()[0]
+
+    def test_good_doc_passes_all(self, spark):
+        text = " ".join(
+            ["the quick brown fox jumps over and that have with lazy dog to of be"] * 5
+        )
+        r = self.rules(spark, text, min_words=30)
+        assert r.rule_word_count and r.rule_mean_word_len
+        assert r.rule_symbol_ratio and r.rule_alpha_words and r.rule_stopwords
+        assert r.gopher_keep
+
+    def test_short_doc_fails_word_count_only(self, spark):
+        r = self.rules(spark, "the cat and that have with be of", min_words=30)
+        assert not r.rule_word_count and not r.gopher_keep
+        assert r.rule_stopwords  # other rules still evaluated independently
+
+    def test_symbol_spam_fails_symbol_ratio(self, spark):
+        text = "the data and that have with " + "# " * 10
+        r = self.rules(spark, text, min_words=5)
+        assert not r.rule_symbol_ratio and not r.gopher_keep
+
+    def test_numeric_soup_fails_alpha_words(self, spark):
+        text = "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 and"
+        r = self.rules(spark, text, min_words=5)
+        assert not r.rule_alpha_words
+
+    def test_no_stopwords_fails_stopword_rule(self, spark):
+        text = " ".join(f"tok{i}" for i in range(40))
+        r = self.rules(spark, text, min_words=30)
+        assert not r.rule_stopwords and not r.gopher_keep
+
+    def test_degenerate_long_words_fail_mean_word_len(self, spark):
+        text = " ".join(["supercalifragilistic"] * 40) + " the of"
+        r = self.rules(spark, text, min_words=30)
+        assert not r.rule_mean_word_len
