@@ -1389,6 +1389,29 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qclf_weights(d: int = 64) -> list[float]:
+    """Deterministic micro-logit weight vector (stand-in for a trained
+    model; the formula is reproduced inline by the SQL oracle)."""
+    return [
+        (((j * 2654435761 + 12345) % 2000001) - 1000000) / 1e6
+        for j in range(d)
+    ]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: hashed bag-of-words linear classifier
+    (64 buckets, integer micro-logit accumulation, logit-space threshold) —
+    the trained-classifier curation stage as a pure map-side projection."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_classifier(docs, _qclf_weights(), bias=0.05, threshold=0.0)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "logit",
+        "keep",
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact span dedup (ExactSubstr-style, Lee et al. 2021):
     16-token spans, globally-first occurrence survives, docs reassembled
@@ -2439,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "gopher_filter": q_gopher_filter,
         "span_dedup": q_span_dedup,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3569,6 +3593,33 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(reb.n_kept, 0) AS n_kept,
                md5(COALESCE(reb.dedup_text, '')) AS dedup_md5
         FROM c LEFT JOIN reb ON c.doc_id = reb.doc_id
+    """
+
+    # hashed-BoW linear classifier: bucket = h60('qclf:'||tok) % 64,
+    # weight formula mirrors _qclf_weights; BIGINT micro-logit sum is
+    # order-independent, so list_sum matches Spark's F.aggregate exactly
+    qclf_h = _sql_h60("'qclf:' || t")
+    qclf_w = (
+        f"(((({qclf_h} % 64) * 2654435761 + 12345) % 2000001) - 1000000)"
+    )
+    sql["quality_classifier"] = f"""
+        WITH s AS (
+            SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
+            FROM documents),
+        m AS (
+            SELECT doc_id, len(toks) AS n,
+                   list_sum(list_transform(toks, t -> {qclf_w})) AS micro
+            FROM s),
+        r AS (
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CASE WHEN n > 0 THEN
+                        round(CAST(micro AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * 1000000.0) + 0.05, 6)
+                   END AS logit
+            FROM m)
+        SELECT doc_id, n_tokens, logit,
+               COALESCE(logit >= 0.0, FALSE) AS keep
+        FROM r
     """
 
     sql["pack_sequences"] = """

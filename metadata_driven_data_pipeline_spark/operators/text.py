@@ -398,6 +398,75 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    salt: str = "qclf",
+) -> DataFrame:
+    """Model-based quality filtering: score each document with a linear
+    classifier over hashed bag-of-words features — the "trained quality
+    classifier" stage of GPT-3/LLaMA-class pipelines (a logistic model
+    scoring pages against a high-quality reference corpus), re-expressed
+    as a pure Spark projection.
+
+    Features are the classic hashing trick: token t maps to bucket
+    ``h(salt:t) mod len(weights)``; the document's mean bucket weight plus
+    ``bias`` is its logit. The sigmoid is monotone, so ``keep`` thresholds
+    in logit space (``threshold`` is a logit; 0.0 ≡ probability 0.5) —
+    no transcendental functions, which keeps the output bit-identical
+    across engines (``exp`` may differ in the last ulp between libm
+    implementations).
+
+    Exactness: weights are snapped to integer micro-logits (1e-6) and
+    summed as BIGINTs — integer addition is order-independent, so the
+    score does not depend on partitioning or summation tree. The only
+    float ops are two IEEE-deterministic divisions/additions at the end.
+
+    Scale shape: pure map-side projection (broadcast-free: the weight
+    vector is a literal array compiled into the plan — fine up to ~100k
+    buckets; use a broadcast join on bucket for larger vocabularies).
+    Returns ``df`` + (n_tokens, logit, keep).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    d = len(weights)
+    micro = [int(round(w * 1_000_000)) for w in weights]
+    w_arr = F.array(*[F.lit(m).cast("bigint") for m in micro])
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+
+    def bucket(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), t)), 1, 15), 16, 10
+        ).cast("bigint")
+        return h % F.lit(d)
+
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.element_at(w_arr, (bucket(t) + 1).cast("int")),
+    )
+    logit = F.when(
+        n > 0,
+        F.round(
+            total.cast("double") / (n.cast("double") * F.lit(1e6))
+            + F.lit(float(bias)),
+            6,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "logit": logit,
+            "keep": F.coalesce(logit >= F.lit(float(threshold)), F.lit(False)),
+        }
+    )
+
+
 # Gopher-rule stopword set (Rae et al. 2021 §A1.1: "the, be, to, of, and,
 # that, have, with" — the published required-word list, re-typed from the
 # paper, no external code).

@@ -248,3 +248,48 @@ class TestGopherRules:
         text = " ".join(["supercalifragilistic"] * 40) + " the of"
         r = self.rules(spark, text, min_words=30)
         assert not r.rule_mean_word_len
+
+
+class TestQualityClassifier:
+    def test_integer_micro_accumulation_and_threshold(self, spark):
+        # weights chosen so 'good' tokens score +1.0 logit, 'bad' -1.0
+        # (single-bucket model: every token hashes somewhere in [0, d);
+        # use d=1 so the doc logit equals the lone weight)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta gamma")], "doc_id long, text string"
+        )
+        up = X.quality_classifier(df, [1.0], threshold=0.5).collect()[0]
+        down = X.quality_classifier(df, [-1.0], threshold=0.5).collect()[0]
+        assert up.logit == 1.0 and up.keep
+        assert down.logit == -1.0 and not down.keep
+
+    def test_bias_shifts_logit(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="x y")], "doc_id long, text string"
+        )
+        r = X.quality_classifier(df, [0.25], bias=0.5).collect()[0]
+        assert r.logit == 0.75 and r.keep
+
+    def test_empty_text_null_logit_not_kept(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="  ")], "doc_id long, text string"
+        )
+        r = X.quality_classifier(df, [1.0]).collect()[0]
+        assert r.logit is None and r.keep is False
+
+    def test_score_partitioning_invariant(self, spark):
+        rows = [Row(doc_id=i, text=f"tok{i} tok{i+1} the and of") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w = [((j * 7919) % 2001 - 1000) / 1000 for j in range(64)]
+        a = {r.doc_id: r.logit for r in X.quality_classifier(df, w).collect()}
+        b = {
+            r.doc_id: r.logit
+            for r in X.quality_classifier(df.repartition(13), w).collect()
+        }
+        assert a == b
+
+    def test_rejects_empty_weights(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            X.quality_classifier(df, [])
