@@ -406,6 +406,7 @@ def quality_classifier(
     id_col: str = "doc_id",
     threshold: float = 0.0,
     salt: str = "qclf",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Model-based quality filtering: score each document with a linear
     classifier over hashed bag-of-words features — the "trained quality
@@ -430,9 +431,18 @@ def quality_classifier(
     vector is a literal array compiled into the plan — fine up to ~100k
     buckets; use a broadcast join on bucket for larger vocabularies).
     Returns ``df`` + (n_tokens, logit, keep).
+
+    ``hash_fn``: ``"md5"`` (default) is the oracle-reproducible lane
+    (DuckDB computes the identical bucket); ``"xxhash64"`` is the
+    codegen'd production lane — same design split as the minhash
+    ``hash_fn`` (operators/dedup.py::_base_hash): a different hash family
+    assigns tokens to different buckets, so scores match a *model trained
+    under the same hashing*, not the md5 lane bit-for-bit.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
     d = len(weights)
     micro = [int(round(w * 1_000_000)) for w in weights]
     w_arr = F.array(*[F.lit(m).cast("bigint") for m in micro])
@@ -440,8 +450,11 @@ def quality_classifier(
     n = F.size(toks)
 
     def bucket(t: Column) -> Column:
+        salted = F.concat(F.lit(salt + ":"), t)
+        if hash_fn == "xxhash64":
+            return F.pmod(F.xxhash64(salted), F.lit(d))
         h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), t)), 1, 15), 16, 10
+            F.substring(F.md5(salted), 1, 15), 16, 10
         ).cast("bigint")
         return h % F.lit(d)
 

@@ -293,3 +293,16 @@ class TestQualityClassifier:
         import pytest as _pt
         with _pt.raises(ValueError):
             X.quality_classifier(df, [])
+
+    def test_xxhash64_lane_same_shape_different_family(self, spark):
+        rows = [Row(doc_id=i, text=f"tok{i} the and of data") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w = [((j * 7919) % 2001 - 1000) / 1000 for j in range(64)]
+        a = X.quality_classifier(df, w, hash_fn="md5").collect()
+        b = X.quality_classifier(df, w, hash_fn="xxhash64").collect()
+        assert len(a) == len(b) == 20
+        # both lanes produce finite logits for every doc
+        assert all(r.logit is not None for r in a + b)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="hash_fn"):
+            X.quality_classifier(df, w, hash_fn="sha1")
