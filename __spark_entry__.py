@@ -1389,6 +1389,40 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index incremental dedup: docs from sources src10..src19
+    arrive as the NEW batch and are deduped within-batch, then anti-joined
+    against the fingerprint index built from src0..src9 — O(batch) work
+    plus a fingerprint-only probe, never a whole-corpus re-dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen_docs = docs.filter(src_num < 10)
+    new_batch = docs.filter(src_num >= 10)
+    index = seen_docs.select(
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    out = dd.incremental_dedup(new_batch, index)
+    return out.select("doc_id", "fingerprint")
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic corpus views: OLD drops
+    doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
+    doc_id % 3 == 0 — yielding all four statuses
+    (added/removed/changed/unchanged) from one table."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.corpus_diff(old, new)
+
+
 def _qclf_weights(d: int = 64) -> list[float]:
     """Deterministic micro-logit weight vector (stand-in for a trained
     model; the formula is reproduced inline by the SQL oracle)."""
@@ -2463,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "span_dedup": q_span_dedup,
         "quality_classifier": q_quality_classifier,
+        "incremental_dedup": q_incremental_dedup,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -3620,6 +3656,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, logit,
                COALESCE(logit >= 0.0, FALSE) AS keep
         FROM r
+    """
+
+    nrm = _sql_norm("text")
+    sql["incremental_dedup"] = f"""
+        WITH srcnum AS (
+            SELECT *, CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                      AS sn
+            FROM documents),
+        seen AS (SELECT DISTINCT md5({nrm}) AS fingerprint
+                 FROM srcnum WHERE sn < 10),
+        batch AS (
+            SELECT doc_id, md5({nrm}) AS fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY md5({nrm})
+                                      ORDER BY doc_id) AS rn
+            FROM srcnum WHERE sn >= 10)
+        SELECT doc_id, fingerprint
+        FROM batch ANTI JOIN seen USING (fingerprint)
+        WHERE rn = 1
+    """
+
+    sql["corpus_diff"] = f"""
+        WITH old AS (
+            SELECT doc_id, md5({nrm}) AS fp FROM documents
+            WHERE doc_id % 7 != 0),
+        new AS (
+            SELECT doc_id,
+                   md5({_sql_norm("CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END")})
+                       AS fp
+            FROM documents WHERE doc_id % 5 != 0)
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.fp IS NULL THEN 'added'
+                    WHEN new.fp IS NULL THEN 'removed'
+                    WHEN old.fp = new.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     """
 
     sql["pack_sequences"] = """

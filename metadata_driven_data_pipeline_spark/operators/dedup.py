@@ -43,7 +43,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators.partitioning import widen
-from metadata_driven_data_pipeline_spark.operators.text import normalize_text, tokens
+from metadata_driven_data_pipeline_spark.operators.text import (
+    fingerprint_md5,
+    normalize_text,
+    tokens,
+)
 
 
 # --- persist-handle registry -------------------------------------------------
@@ -797,6 +801,79 @@ def containment_verify_pairs(
         (F.col("containment_a") >= threshold)
         | (F.col("containment_b") >= threshold)
     )
+
+
+# --- incremental curation ----------------------------------------------------
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus fingerprint index —
+    the realistic 100 TB ingestion flow: a whole-corpus re-dedup per batch
+    is O(corpus) every day, while this is O(batch) + one semi-join probe
+    into the (small, fingerprint-only) index.
+
+    Two stages, both exact:
+    1. within-batch: keep the lowest-``id_col`` row per fingerprint
+       (same rule as :func:`exact_dedup`);
+    2. cross-corpus: LEFT ANTI join against ``seen_fingerprints``
+       (one ``fp_col`` column) — any doc whose content is already indexed
+       is dropped.
+
+    Returns surviving rows of ``new_df`` plus their ``fp_col`` (callers
+    append it to the index, keeping the next batch's probe exact).
+
+    Scale shape: one hash shuffle of (fingerprint, id) for the window,
+    one anti join — broadcast when the index fits (~16 bytes/doc), SMJ
+    otherwise; the index never carries text.
+    """
+    key = (
+        F.md5(normalize_text(F.col(text_col)))
+        if normalize
+        else F.md5(F.col(text_col))
+    )
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    within = (
+        new_df.withColumn(fp_col, key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    seen = seen_fingerprints.select(fp_col).distinct()
+    return within.join(seen, fp_col, "left_anti")
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff by content fingerprint: one row per doc id present in
+    either snapshot, with status ``added`` (id only in new), ``removed``
+    (id only in old), ``changed`` (both, different normalized content) or
+    ``unchanged`` — the audit step between two curation runs (what did
+    this pipeline change, and how much?).
+
+    Scale shape: both sides reduce to (id, fingerprint) projections before
+    the full-outer join — one shuffle each on ``id_col``, no text moves.
+    """
+    fp = fingerprint_md5(F.col(text_col))
+    o = old_df.select(F.col(id_col), fp.alias("__fp_old"))
+    n = new_df.select(F.col(id_col), fp.alias("__fp_new"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"))
 
 
 # --- span-granular exact dedup (ExactSubstr-style) ---------------------------

@@ -296,3 +296,69 @@ class TestSpanDedup:
         )
         r = D.span_dedup(df, span_tokens=4).collect()[0]
         assert r.n_spans == 0 and r.n_kept == 0 and r.dedup_text == ""
+
+
+class TestIncrementalDedup:
+    def test_within_batch_then_index_probe(self, spark):
+        seen = spark.createDataFrame(
+            [Row(doc_id=1, text="already indexed content")],
+            "doc_id long, text string",
+        )
+        index = seen.select(
+            F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
+                "fingerprint"
+            )
+        )
+        batch = spark.createDataFrame(
+            [
+                Row(doc_id=10, text="already indexed content"),   # in index
+                Row(doc_id=11, text="fresh content"),
+                Row(doc_id=12, text="fresh content"),              # batch dup
+                Row(doc_id=13, text="other fresh content"),
+            ],
+            "doc_id long, text string",
+        )
+        out = D.incremental_dedup(batch, index).collect()
+        ids = sorted(r.doc_id for r in out)
+        assert ids == [11, 13]  # 10 dropped by index, 12 by within-batch
+        assert all(r.fingerprint is not None for r in out)
+
+    def test_empty_index_reduces_to_exact_dedup(self, spark):
+        index = spark.createDataFrame([], "fingerprint string")
+        batch = spark.createDataFrame(
+            [Row(doc_id=1, text="x"), Row(doc_id=2, text="x")],
+            "doc_id long, text string",
+        )
+        ids = sorted(r.doc_id for r in D.incremental_dedup(batch, index).collect())
+        assert ids == [1]
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="same"),
+                Row(doc_id=2, text="before"),
+                Row(doc_id=3, text="gone"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="same"),
+                Row(doc_id=2, text="after"),
+                Row(doc_id=4, text="brand new"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.status for r in D.corpus_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_whitespace_change_is_unchanged(self, spark):
+        old = spark.createDataFrame(
+            [Row(doc_id=1, text="a  b")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [Row(doc_id=1, text="A b ")], "doc_id long, text string"
+        )
+        assert D.corpus_diff(old, new).collect()[0].status == "unchanged"
