@@ -412,9 +412,12 @@ def _t_semdedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFram
 
 def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     """Corpus dedup as a metadata transform. ``mode``: ``exact`` (content
-    fingerprint), ``minhash`` (LSH→verify, keep lowest id), or
-    ``keep_best`` (near-dup groups, keep highest-quality member; quality
-    defaults to text length, or any SQL expression via ``qualityExpr``)."""
+    fingerprint), ``minhash`` (LSH→verify, keep lowest id), ``keep_best``
+    (near-dup groups, keep highest-quality member; quality defaults to
+    text length, or any SQL expression via ``qualityExpr``), ``span``
+    (sub-document fixed-width span dedup, ExactSubstr-style), or
+    ``incremental`` (within-batch dedup + anti-join probe against the
+    fingerprint index named by ``indexInput``)."""
     from . import dedup as dd
     from .clustering import neardup_keep_best
 
@@ -445,6 +448,18 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
             bands=int(params.get("bands", 4)),
             jaccard_threshold=float(params.get("jaccardThreshold", 0.8)),
         )
+    elif mode == "span":
+        out = dd.span_dedup(
+            df, text_col=text_col, id_col=id_col,
+            span_tokens=int(params.get("spanTokens", 32)),
+        )
+    elif mode == "incremental":
+        out = dd.incremental_dedup(
+            df, _get(catalog, params["indexInput"]),
+            text_col=text_col, id_col=id_col,
+            fp_col=params.get("fpCol", "fingerprint"),
+            normalize=bool(params.get("normalize", True)),
+        )
     else:
         raise ValueError(f"unknown text_dedup mode: {mode!r}")
     return {ctx["name"]: out}
@@ -452,7 +467,10 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
 
 def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     """Text-analysis transforms: ``profile`` (lang-id + quality + token
-    counts), ``entropy`` (bigram Shannon entropy), ``pii_redact``."""
+    counts), ``entropy`` (bigram Shannon entropy), ``pii_redact``,
+    ``gopher`` (published Gopher rule flags + keep), or ``classifier``
+    (hashed bag-of-words linear model; ``weights`` list + optional
+    ``bias``/``threshold``/``hashFn``)."""
     from . import text as tx
 
     df = _get(catalog, params["input"])
@@ -467,6 +485,20 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
         out = df.withColumn(
             params.get("outputCol", text_col),
             tx.redact_pii(F.col(text_col)),
+        )
+    elif mode == "gopher":
+        out = tx.gopher_rules(
+            df, text_col=text_col,
+            min_words=int(params.get("minWords", 50)),
+            max_words=int(params.get("maxWords", 100_000)),
+        )
+    elif mode == "classifier":
+        out = tx.quality_classifier(
+            df, [float(w) for w in params["weights"]],
+            bias=float(params.get("bias", 0.0)),
+            text_col=text_col, id_col=id_col,
+            threshold=float(params.get("threshold", 0.0)),
+            hash_fn=params.get("hashFn", "md5"),
         )
     else:
         raise ValueError(f"unknown text_analyze mode: {mode!r}")
@@ -507,7 +539,12 @@ def _t_embedding_dedup(
 
 
 def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
-    from .sampling import hash_sample, stratified_hash_sample, train_test_split
+    from .sampling import (
+        domain_mix,
+        hash_sample,
+        stratified_hash_sample,
+        train_test_split,
+    )
 
     df = _get(catalog, params["input"])
     mode = params.get("mode", "hash")
@@ -530,8 +567,30 @@ def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
             validation_fraction=float(params.get("validationFraction", 0.0)),
             salt=params.get("salt", "split"),
         )
+    elif mode == "domain_mix":
+        out = domain_mix(
+            df, params["keyCol"], params["domainCol"],
+            {str(k): float(v) for k, v in params["weights"].items()},
+            salt=params.get("salt", "mix"),
+        )
     else:
         raise ValueError(f"unknown sample mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
+def _t_corpus_diff(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Snapshot diff between two named relations (``oldInput`` vs
+    ``input``): per-id status added/removed/changed/unchanged by content
+    fingerprint — the audit step between two curation runs."""
+    from . import dedup as dd
+
+    new = _get(catalog, params["input"])
+    old = _get(catalog, params["oldInput"])
+    out = dd.corpus_diff(
+        old, new,
+        text_col=params.get("textCol", "text"),
+        id_col=params.get("idCol", "doc_id"),
+    )
     return {ctx["name"]: out}
 
 
@@ -559,6 +618,7 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "text_dedup": _t_text_dedup,
     "text_analyze": _t_text_analyze,
     "embedding_dedup": _t_embedding_dedup,
+    "corpus_diff": _t_corpus_diff,
 }
 
 

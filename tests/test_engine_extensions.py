@@ -344,3 +344,89 @@ def test_text_dedup_xxhash_lane_via_metadata(spark, tmp_path):
     assert 0 < out.count() <= spark.read.parquet(
         f"{SF}/documents.parquet"
     ).count()
+
+
+def test_span_and_incremental_dedup_transforms(spark, tmp_path):
+    """Round-3 curation modes through the engine: span-granular dedup and
+    batch-vs-index incremental dedup declared in metadata."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "spans", "type": "text_dedup",
+             "params": {"input": "documents", "mode": "span",
+                        "spanTokens": 16}},
+        ],
+        sink_input="spans",
+    )
+    assert {"doc_id", "n_spans", "n_kept", "dedup_text"} <= set(out.columns)
+    assert out.count() == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+    out2 = _run(
+        spark,
+        str(tmp_path / "inc"),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "seen", "type": "sql",
+             "params": {"statement":
+                        "SELECT md5(regexp_replace(trim(lower(text)), "
+                        "'\\\\s+', ' ')) AS fingerprint "
+                        "FROM documents WHERE doc_id < 250"}},
+            {"name": "batch", "type": "sql",
+             "params": {"statement":
+                        "SELECT doc_id, text FROM documents"}},
+            {"name": "fresh", "type": "text_dedup",
+             "params": {"input": "batch", "mode": "incremental",
+                        "indexInput": "seen"}},
+        ],
+        sink_input="fresh",
+    )
+    ids = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids and all(i >= 250 for i in ids)  # indexed docs all dropped
+
+
+def test_gopher_and_classifier_transforms(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "gated", "type": "text_analyze",
+             "params": {"input": "documents", "mode": "gopher",
+                        "minWords": 30}},
+            {"name": "kept", "type": "filter",
+             "params": {"input": "gated", "condition": "gopher_keep"}},
+            {"name": "scored", "type": "text_analyze",
+             "params": {"input": "kept", "mode": "classifier",
+                        "weights": [0.5, -0.5, 0.25, -0.25],
+                        "threshold": -1.0}},
+        ],
+        sink_input="scored",
+    )
+    assert {"logit", "keep", "gopher_keep"} <= set(out.columns)
+    assert 0 < out.count() <= 500
+
+
+def test_domain_mix_and_corpus_diff_transforms(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "mixed", "type": "sample",
+             "params": {"input": "documents", "mode": "domain_mix",
+                        "keyCol": "doc_id", "domainCol": "source",
+                        "weights": {"src0": 0.5, "src1": 0.5}}},
+            {"name": "diff", "type": "corpus_diff",
+             "params": {"input": "mixed", "oldInput": "documents"}},
+        ],
+        sink_input="diff",
+    )
+    statuses = {r["status"] for r in out.select("status").distinct().collect()}
+    # mixed is a subset of documents: nothing added/changed, some removed
+    assert "removed" in statuses and statuses <= {"removed", "unchanged"}
