@@ -1389,6 +1389,15 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style filter: every doc scored by cross-entropy under a
+    bigram LM estimated from the doc_id < 400 reference slice; OOV bigram
+    occurrences counted separately (no silent smoothing)."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 400)
+    return tx.lm_cross_entropy(docs, lm_df=ref)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-index incremental dedup: docs from sources src10..src19
     arrive as the NEW batch and are deduped within-batch, then anti-joined
@@ -2499,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "incremental_dedup": q_incremental_dedup,
         "corpus_diff": q_corpus_diff,
+        "lm_cross_entropy": q_lm_cross_entropy,
     }
 
 
@@ -3656,6 +3666,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, logit,
                COALESCE(logit >= 0.0, FALSE) AS keep
         FROM r
+    """
+
+    sql["lm_cross_entropy"] = f"""
+        WITH s AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                         list_transform(range(0, len(toks) - 1),
+                             i -> array_to_string(
+                                 list_slice(toks, i + 1, i + 2), ' '))
+                     ELSE []::VARCHAR[] END) AS gram
+              FROM s),
+        ref AS (SELECT gram, COUNT(*) AS cref FROM g
+                WHERE doc_id < 400 GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM g
+                WHERE doc_id < 400),
+        dc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        j AS (SELECT dc.doc_id, dc.c, ref.cref
+              FROM dc LEFT JOIN ref USING (gram)),
+        pd AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(SUM(CASE WHEN cref IS NULL THEN c ELSE 0 END)
+                           AS BIGINT) AS n_oov,
+                      SUM(CASE WHEN cref IS NOT NULL
+                               THEN CAST(c AS DOUBLE) * log2(cref)
+                               ELSE 0.0 END) AS s
+               FROM j GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+               COALESCE(pd.n_oov, 0) AS n_oov,
+               CASE WHEN COALESCE(pd.n_bigrams, 0) > COALESCE(pd.n_oov, 0)
+                    THEN round((SELECT log2(ctot) FROM tot)
+                               - pd.s / CAST(pd.n_bigrams - pd.n_oov
+                                             AS DOUBLE), 6)
+               END AS cross_entropy_bits
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     """
 
     nrm = _sql_norm("text")

@@ -296,6 +296,85 @@ def bigram_entropy(
     )
 
 
+def lm_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_df: DataFrame | None = None,
+) -> DataFrame:
+    """Perplexity-style quality filter (CCNet-style): score each document
+    by its cross-entropy under a bigram language model estimated from a
+    reference corpus — documents far from the reference distribution
+    (very high bits: junk/rare-gram soup; very low: boilerplate) are the
+    filter targets. ``lm_df`` is the reference corpus (defaults to ``df``
+    itself — self-perplexity).
+
+    ``H(doc) = log2(C_total) − (Σ_g c_doc(g)·log2(C_ref(g))) / T_doc``
+    where ``C_ref(g)`` are reference bigram counts — algebraically the
+    mean negative log2 model probability, but expressed so every ``log2``
+    argument is an *integer count* (the same determinism trick as
+    :func:`bigram_entropy`; no probability division before the log).
+    Bigrams unseen in the reference contribute ``log2(0)``→ the row is
+    dropped by the inner join; their count is reported as ``n_oov`` so
+    callers can smooth/filter explicitly rather than silently.
+
+    Scale shape: two hash aggregates (reference gram counts; doc gram
+    counts), one equi-join on gram (SMJ at scale — the gram relation is
+    corpus-sized), one per-doc aggregate, plus a 1-row broadcast for
+    ``C_total``. No Python, no window over the corpus.
+    """
+    ref = lm_df if lm_df is not None else df
+    ref_grams = ref.select(
+        F.explode(bigrams(tokens(normalize_text(F.col(text_col))))).alias(
+            "__gram"
+        )
+    )
+    lm = ref_grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cref"))
+    total = ref_grams.groupBy().agg(F.count(F.lit(1)).alias("__ctot"))
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(bigrams(tokens(normalize_text(F.col(text_col))))).alias(
+            "__gram"
+        ),
+    )
+    doc_counts = doc_grams.groupBy(id_col, "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    scored = doc_counts.join(lm, "__gram", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.sum(F.when(F.col("__cref").isNull(), F.col("__c")).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.sum(
+            F.when(
+                F.col("__cref").isNotNull(),
+                F.col("__c").cast("double") * F.log2("__cref"),
+            ).otherwise(0.0)
+        ).alias("__s"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0))
+                > F.coalesce(F.col("n_oov"), F.lit(0)),
+                F.round(
+                    F.log2("__ctot")
+                    - F.col("__s")
+                    / (F.col("n_bigrams") - F.col("n_oov")).cast("double"),
+                    6,
+                ),
+            ).alias("cross_entropy_bits"),
+        )
+    )
+
+
 def tfidf_topterms(
     df: DataFrame,
     text_col: str = "text",

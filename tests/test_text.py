@@ -306,3 +306,49 @@ class TestQualityClassifier:
         import pytest as _pt
         with _pt.raises(ValueError, match="hash_fn"):
             X.quality_classifier(df, w, hash_fn="sha1")
+
+
+class TestLmCrossEntropy:
+    def test_self_perplexity_common_text_scores_lower(self, spark):
+        common = "the cat sat on the mat"
+        rows = [Row(doc_id=i, text=common) for i in range(10)] + [
+            Row(doc_id=99, text="zyx wvu tsr qpo nml kji")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in X.lm_cross_entropy(df).collect()}
+        # the repeated doc's bigrams dominate the corpus LM -> low bits;
+        # the singleton's bigrams are rare -> high bits
+        assert out[0].cross_entropy_bits < out[99].cross_entropy_bits
+        assert out[0].n_oov == 0 and out[99].n_oov == 0
+
+    def test_oov_counted_not_smoothed(self, spark):
+        ref = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [Row(doc_id=2, text="a b x y")], "doc_id long, text string"
+        )
+        r = X.lm_cross_entropy(score, lm_df=ref).collect()[0]
+        # grams: "a b" (in ref), "b x", "x y" (OOV)
+        assert r.n_bigrams == 3 and r.n_oov == 2
+        assert r.cross_entropy_bits is not None
+
+    def test_all_oov_null_score(self, spark):
+        ref = spark.createDataFrame(
+            [Row(doc_id=1, text="p q r")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [Row(doc_id=2, text="x y z")], "doc_id long, text string"
+        )
+        r = X.lm_cross_entropy(score, lm_df=ref).collect()[0]
+        assert r.n_oov == r.n_bigrams == 2
+        assert r.cross_entropy_bits is None
+
+    def test_short_doc_zero_bigrams(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="word"), Row(doc_id=2, text="two words here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in X.lm_cross_entropy(df).collect()}
+        assert out[1].n_bigrams == 0 and out[1].cross_entropy_bits is None
+        assert out[2].n_bigrams == 2
