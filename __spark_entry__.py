@@ -1389,6 +1389,27 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding store (FAISS-SQ8 style):
+    per-vector scale + code checksum + reconstruction max-error, all
+    deterministic so the oracle reproduces codes bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(emb)
+    deq = sim.dequantize_embeddings(q)
+    v = sim.dvec(F.col("embedding"))
+    err = F.array_max(
+        F.zip_with(v, F.col("embedding_hat"), lambda a, b: F.abs(a - b))
+    )
+    return deq.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r6"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))
+        ).alias("codes_md5"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style filter: every doc scored by cross-entropy under a
     bigram LM estimated from the doc_id < 400 reference slice; OOV bigram
@@ -2509,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "corpus_diff": q_corpus_diff,
         "lm_cross_entropy": q_lm_cross_entropy,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -3666,6 +3688,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, logit,
                COALESCE(logit >= 0.0, FALSE) AS keep
         FROM r
+    """
+
+    sql["quantize_embeddings"] = """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS scale
+            FROM v),
+        q AS (
+            SELECT vec_id, e, scale,
+                   CASE WHEN scale > 0 THEN
+                        list_transform(e,
+                            x -> CAST(round(x / scale * 127.0, 0) AS INT))
+                   ELSE list_transform(e, x -> 0) END AS codes
+            FROM s)
+        SELECT vec_id,
+               round(scale, 6) AS scale_r6,
+               md5(array_to_string(codes, ',')) AS codes_md5,
+               round(list_max(list_transform(range(1, len(e) + 1),
+                   i -> abs(e[i] - codes[i] * scale / 127.0))), 6)
+                   AS max_abs_err
+        FROM q
     """
 
     sql["lm_cross_entropy"] = f"""

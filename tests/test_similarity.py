@@ -164,3 +164,36 @@ def test_trained_ivf_beats_random_centroids(spark, embeddings, queries):
     ).collect()
     assert _recall(trained, exact) >= _recall(random_c, exact)
     assert _recall(trained, exact) >= 0.5
+
+
+class TestScalarQuantization:
+    def test_roundtrip_error_bounded_by_half_step(self, spark, embeddings):
+        q = S.quantize_embeddings(embeddings)
+        deq = S.dequantize_embeddings(q)
+        v = S.dvec(F.col("embedding"))
+        err = F.array_max(
+            F.zip_with(v, F.col("embedding_hat"), lambda a, b: F.abs(a - b))
+        )
+        bad = deq.filter(err > F.col("scale") / 254.0 + 1e-12).count()
+        assert bad == 0
+
+    def test_codes_in_int8_range_and_zero_vector_safe(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+        assert out[1].scale == 0.0 and out[1].codes == [0, 0, 0, 0]
+        assert out[2].codes == [64, -127, 32, 127]
+        assert all(-127 <= c <= 127 for c in out[2].codes)
+
+    def test_quantized_topk_preserves_neighbors(self, spark, embeddings, queries):
+        exact = S.brute_force_topk(embeddings, queries, k=5)
+        deq = S.dequantize_embeddings(S.quantize_embeddings(embeddings)).select(
+            "vec_id", F.col("embedding_hat").cast("array<float>").alias("embedding")
+        )
+        approx = S.brute_force_topk(deq, queries, k=5)
+        ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.9, recall
