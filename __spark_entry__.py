@@ -1389,6 +1389,42 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with curation inline: a documents file
+    stream flows through the Gopher word-count/stopword gate, then
+    stateful exact dedup on the content fingerprint (dropDuplicates on
+    md5(normalized text)) — the curation funnel running under the
+    streaming engine. Only the fingerprint column is emitted: WHICH
+    duplicate row survives depends on processing order, but the surviving
+    fingerprint set does not, so the output equals the batch
+    gate + SELECT DISTINCT fingerprint oracle."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_to_memory,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_curate_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+    gated = tx.gopher_rules(stream, min_words=30).filter(
+        F.col("rule_word_count") & F.col("rule_stopwords")
+    )
+    deduped = (
+        gated.withColumn("fingerprint", F.md5(tx.normalize_text(F.col("text"))))
+        .dropDuplicates(["fingerprint"])
+        .select("fingerprint")
+    )
+    name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding store (FAISS-SQ8 style):
     per-vector scale + code checksum + reconstruction max-error, all
@@ -2531,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "lm_cross_entropy": q_lm_cross_entropy,
         "quantize_embeddings": q_quantize_embeddings,
+        "streaming_curated_ingest": q_streaming_curated_ingest,
     }
 
 
@@ -3688,6 +3725,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, logit,
                COALESCE(logit >= 0.0, FALSE) AS keep
         FROM r
+    """
+
+    gf_toks = _sql_toks("text")
+    gf_ltoks = _sql_toks("lower(text)")
+    gf_stops = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+    sql["streaming_curated_ingest"] = f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   len({gf_toks}) AS n_words,
+                   len(list_filter({gf_ltoks}, w -> w IN ({gf_stops})))
+                       AS stop_hits
+            FROM documents),
+        gated AS (
+            SELECT doc_id, text FROM s
+            WHERE n_words >= 30 AND n_words <= 100000 AND stop_hits >= 2)
+        SELECT DISTINCT md5({_sql_norm('text')}) AS fingerprint FROM gated
     """
 
     sql["quantize_embeddings"] = """
