@@ -776,3 +776,167 @@ def dequantize_embeddings(
             lambda c: c.cast("double") * F.col(scale_col) / F.lit(127.0),
         ),
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+def slice_subvectors(
+    df: DataFrame,
+    m: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "subvec",
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors of length
+    ``dim // m`` — (id, subspace, subvec) rows. Pure narrow op."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = dvec(F.col(vec_col))
+    slices = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice(v, s * sub + 1, sub).alias(out_col),
+        )
+        for s in range(m)
+    ])
+    return df.select(F.col(id_col), F.explode(slices).alias("__e")).select(
+        id_col, F.col("__e.subspace").alias("subspace"),
+        F.col(f"__e.{out_col}").alias(out_col),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: each vector becomes ``m`` small codes,
+    one per subspace, each the nearest codebook centroid of that subspace
+    (squared L2, ties to the lowest code) — the FAISS-PQ compression rung
+    above int8 SQ (``quantize_embeddings``): with k=16 codebooks a 64-dim
+    float32 vector compresses 64x (256 bytes -> 8 half-byte codes).
+
+    ``codebooks``: (subspace, code, centroid array<double> of dim/m).
+
+    Returns (id_col, codes array<int> in subspace order, dist2 — the total
+    quantization distortion, folded in subspace order so the double sum is
+    deterministic).
+
+    Scale shape: explode to m rows/vector (narrow), one broadcast join
+    against the m*k-row codebook, per-(vector, subspace) argmin via
+    map-side-combinable min-struct agg, then one hash agg on id — the
+    kmeans_assign plan with a subspace key; the vector table shuffles
+    once, k never multiplies the shuffle.
+    """
+    from .clustering import _sq_l2
+
+    sub = slice_subvectors(emb, m, dim, vec_col=vec_col, id_col=id_col)
+    cb = codebooks.select(
+        "subspace", F.col("code"), dvec(F.col("centroid")).alias("__c")
+    )
+    scored = sub.join(F.broadcast(cb), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        _sq_l2(F.col("subvec"), F.col("__c")).alias("__d2"),
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__b")
+    )
+    per_vec = best.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("subspace", F.col("__b.code").alias("code"),
+                         F.col("__b.__d2").alias("d2"))
+            )
+        ).alias("__s")
+    )
+    return per_vec.select(
+        id_col,
+        F.transform(F.col("__s"), lambda x: x["code"]).alias("codes"),
+        F.aggregate(
+            F.col("__s"), F.lit(0.0), lambda acc, x: acc + x["d2"]
+        ).alias("dist2"),
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace Lloyd's training of PQ codebooks.
+
+    Init: the subvectors of the ``k`` lowest-id vectors (code = rank).
+    Each iteration reassigns every subvector to its nearest code and
+    recomputes centroids as subspace-wise means (empty codes keep their
+    centroid). Runs ``iters`` rounds; only the m*k codebook rows ever
+    reach the driver — the vector table is touched by broadcast-join
+    scans, mirroring ``kmeans_fit``.
+    """
+    from .clustering import _sq_l2
+
+    sub = slice_subvectors(emb, m, dim, vec_col=vec_col, id_col=id_col)
+    sub = sub.persist()
+    w = Window.orderBy(id_col)
+    seed_ids = (
+        emb.select(id_col).orderBy(id_col).limit(k)
+        .select(F.col(id_col), (F.row_number().over(w) - 1).alias("code"))
+    )
+    cb = (
+        sub.join(seed_ids, id_col)
+        .select("subspace", "code", F.col("subvec").alias("centroid"))
+    )
+    sub_dim = dim // m
+    for _ in range(iters):
+        cbb = cb.select(
+            "subspace", "code", dvec(F.col("centroid")).alias("__c")
+        )
+        assigned = (
+            sub.join(F.broadcast(cbb), "subspace")
+            .select(
+                id_col, "subspace", "code", "subvec",
+                _sq_l2(F.col("subvec"), F.col("__c")).alias("__d2"),
+            )
+            .groupBy(id_col, "subspace")
+            .agg(
+                F.min(F.struct("__d2", "code", "subvec")).alias("__b")
+            )
+            .select(
+                "subspace",
+                F.col("__b.code").alias("code"),
+                F.col("__b.subvec").alias("subvec"),
+            )
+        )
+        means = assigned.groupBy("subspace", "code").agg(
+            F.array(*[
+                F.avg(F.col("subvec")[i]) for i in range(sub_dim)
+            ]).alias("new_centroid")
+        )
+        cb = (
+            cb.join(means, ["subspace", "code"], "left")
+            .select(
+                "subspace", "code",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+        )
+        # materialize the m*k codebook rows on the driver each round:
+        # truncates the per-iteration join lineage (kmeans_fit contract —
+        # only centroids cross the driver, never the vector table)
+        rows = cb.collect()
+        cb = emb.sparkSession.createDataFrame(
+            [(r["subspace"], r["code"], [float(x) for x in r["centroid"]])
+             for r in rows],
+            "subspace int, code int, centroid array<double>",
+        )
+    sub.unpersist()
+    return cb

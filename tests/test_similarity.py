@@ -197,3 +197,47 @@ class TestScalarQuantization:
         ap = {(r.query_id, r.vec_id) for r in approx.collect()}
         recall = len(ex & ap) / len(ex)
         assert recall >= 0.9, recall
+
+
+class TestProductQuantization:
+    def _init_cb(self, embeddings):
+        return S.slice_subvectors(
+            embeddings.filter("vec_id < 16"), m=8, dim=64
+        ).select(
+            "subspace",
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("subvec").alias("centroid"),
+        )
+
+    def test_codes_shape_and_range(self, spark, embeddings):
+        out = S.pq_encode(embeddings, self._init_cb(embeddings), m=8, dim=64)
+        rows = out.collect()
+        assert len(rows) == embeddings.count()
+        assert all(len(r.codes) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+    def test_seed_vectors_encode_to_themselves_with_zero_distortion(
+        self, spark, embeddings
+    ):
+        out = S.pq_encode(embeddings, self._init_cb(embeddings), m=8, dim=64)
+        seeds = {r.vec_id: r for r in out.filter("vec_id < 16").collect()}
+        for vid, r in seeds.items():
+            assert r.codes == [vid] * 8
+            assert r.dist2 == 0.0
+
+    def test_lloyd_training_reduces_distortion(self, spark, embeddings):
+        init = self._init_cb(embeddings)
+        trained = S.train_pq_codebooks(embeddings, m=8, dim=64, k=16, iters=2)
+        d0 = (
+            S.pq_encode(embeddings, init, m=8, dim=64)
+            .agg(F.sum("dist2")).collect()[0][0]
+        )
+        d1 = (
+            S.pq_encode(embeddings, trained, m=8, dim=64)
+            .agg(F.sum("dist2")).collect()[0][0]
+        )
+        assert d1 < d0, (d0, d1)
+
+    def test_dim_not_divisible_raises(self, spark, embeddings):
+        with pytest.raises(ValueError, match="divisible"):
+            S.slice_subvectors(embeddings, m=7, dim=64)
