@@ -1412,6 +1412,30 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: queries (vec_id < 5) stay full-precision,
+    the corpus is only its 8 codes; per-query distance tables assemble
+    exact PQ-reconstruction distances — the FAISS search path over
+    compressed storage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = sim.slice_subvectors(
+        emb.filter(F.col("vec_id") < 16), m=8, dim=EMB_DIM
+    ).select(
+        "subspace",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("subvec").alias("centroid"),
+    )
+    codes = sim.pq_encode(emb, cb, m=8, dim=EMB_DIM).select("vec_id", "codes")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_adc_topk(codes, cb, queries, m=8, dim=EMB_DIM, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist2", 6).alias("adc_dist2"),
+        "rank",
+    )
+
+
 def q_streaming_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus ingestion with curation inline: a documents file
     stream flows through the Gopher word-count/stopword gate, then
@@ -2594,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "streaming_curated_ingest": q_streaming_curated_ingest,
         "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -3786,6 +3811,55 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(codes, ',')) AS codes_md5,
                round(list_sum(ds), 6) AS dist2
         FROM f
+    """
+
+    sql["pq_adc_topk"] = """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        sp AS (
+            SELECT vec_id, t.s AS subspace,
+                   list_slice(e, t.s * 8 + 1, t.s * 8 + 8) AS subvec
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) t),
+        cb AS (
+            SELECT subspace, CAST(vec_id AS INT) AS code,
+                   subvec AS centroid
+            FROM sp WHERE vec_id < 16),
+        d AS (
+            SELECT sp.vec_id, sp.subspace, cb.code,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (sp.subvec[i] - cb.centroid[i])
+                            * (sp.subvec[i] - cb.centroid[i]))) AS d2
+            FROM sp JOIN cb USING (subspace)),
+        codes AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT vec_id, subspace, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY d2, code) AS rn
+                FROM d) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, subspace, subvec FROM sp
+              WHERE vec_id < 5),
+        pd AS (
+            SELECT q.qid, c.vec_id, q.subspace,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (q.subvec[i] - cb.centroid[i])
+                            * (q.subvec[i] - cb.centroid[i]))) AS pd2
+            FROM q
+            JOIN codes c ON q.subspace = c.subspace
+            JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code),
+        tot AS (
+            SELECT qid, vec_id,
+                   list_sum(list(pd2 ORDER BY subspace)) AS adc
+            FROM pd GROUP BY 1, 2),
+        r AS (
+            SELECT qid AS query_id, vec_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adc, vec_id) AS rank
+            FROM tot)
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist2,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
     """
 
     gf_toks = _sql_toks("text")

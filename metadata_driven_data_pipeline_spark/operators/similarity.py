@@ -940,3 +940,70 @@ def train_pq_codebooks(
         )
     sub.unpersist()
     return cb
+
+
+def pq_adc_topk(
+    emb_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ-compressed vectors: queries stay
+    full-precision, the corpus is only its codes — the FAISS ADC search
+    path, where ``d(q, x) ≈ Σ_s ||q_s − centroid[s][code_s(x)]||²`` is
+    assembled from a per-query distance table instead of reconstructing
+    corpus vectors.
+
+    ``emb_codes``: (id_col, codes array<int>) from :func:`pq_encode`.
+    Returns (query_id, vec_id, adc_dist2, rank) — exactly the squared L2
+    between the query and the PQ reconstruction (same subspace-order fold
+    as pq_encode, so an oracle reproduces it bit-for-bit).
+
+    Scale shape: the distance TABLE side is tiny — |queries| × m × k rows
+    (one per query/subspace/code) built by a broadcast join of query
+    subvectors against codebooks, then broadcast again onto the exploded
+    corpus codes: per corpus row the join fans out to its m (subspace,
+    code) entries and a map-side-combinable struct-min/fold aggregates
+    them back — the corpus shuffles once on id, never on pairs.
+    """
+    from .clustering import _sq_l2
+
+    qsub = slice_subvectors(
+        queries, m, dim, vec_col=vec_col, id_col=query_id_col
+    ).withColumnRenamed(query_id_col, "__qid")
+    cb = codebooks.select(
+        "subspace", "code", dvec(F.col("centroid")).alias("__c")
+    )
+    # distance table: (query, subspace, code) -> partial d2
+    table = qsub.join(F.broadcast(cb), "subspace").select(
+        "__qid", "subspace", "code",
+        _sq_l2(F.col("subvec"), F.col("__c")).alias("__pd2"),
+    )
+    corpus = emb_codes.select(
+        F.col(id_col),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    scored = corpus.join(F.broadcast(table), ["subspace", "code"]).groupBy(
+        "__qid", id_col
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("subspace", "__pd2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__pd2"],
+        ).alias("adc_dist2")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), id_col, "adc_dist2", "rank"
+        )
+    )

@@ -241,3 +241,50 @@ class TestProductQuantization:
     def test_dim_not_divisible_raises(self, spark, embeddings):
         with pytest.raises(ValueError, match="divisible"):
             S.slice_subvectors(embeddings, m=7, dim=64)
+
+    def test_adc_equals_reconstruction_distance(self, spark, embeddings):
+        cb = self._init_cb(embeddings)
+        codes = S.pq_encode(embeddings, cb, m=8, dim=64).select(
+            "vec_id", "codes"
+        )
+        queries = embeddings.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        adc = S.pq_adc_topk(codes, cb, queries, m=8, dim=64, k=5)
+        # reconstruct each corpus vector from its codes and compute the
+        # same distance directly: ADC must equal it (same per-subspace sum)
+        recon = (
+            codes.select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+            .join(cb, ["subspace", "code"])
+        )
+        qsub = S.slice_subvectors(
+            queries, m=8, dim=64, id_col="query_id"
+        ).withColumnRenamed("query_id", "qid")
+        from metadata_driven_data_pipeline_spark.operators.clustering import _sq_l2
+        direct = (
+            qsub.join(recon, "subspace")
+            .select(
+                "qid", "vec_id", "subspace",
+                _sq_l2(F.col("subvec"), S.dvec(F.col("centroid"))).alias("pd2"),
+            )
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("pd2").alias("d2"))
+        )
+        joined = adc.join(
+            direct,
+            (adc.query_id == direct.qid) & (adc.vec_id == direct.vec_id),
+        ).select(F.abs(F.col("adc_dist2") - F.col("d2")).alias("gap"))
+        assert joined.agg(F.max("gap")).collect()[0][0] < 1e-9
+
+    def test_adc_rank1_is_self_for_seed_queries(self, spark, embeddings):
+        cb = self._init_cb(embeddings)
+        codes = S.pq_encode(embeddings, cb, m=8, dim=64).select("vec_id", "codes")
+        queries = embeddings.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top1 = {
+            r.query_id: r.vec_id
+            for r in S.pq_adc_topk(codes, cb, queries, m=8, dim=64, k=1).collect()
+        }
+        # seed vectors quantize to themselves -> ADC distance 0 to self
+        assert top1 == {0: 0, 1: 1, 2: 2}
