@@ -1007,3 +1007,106 @@ def pq_adc_topk(
             F.col("__qid").alias(query_id_col), id_col, "adc_dist2", "rank"
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF+PQ search — the composition that actually runs at 100 TB
+    (FAISS ``IndexIVFPQ``): the corpus is coarse-partitioned into IVF
+    cells AND stored only as PQ codes; a query prunes to its ``n_probe``
+    cells, then ADC-scores the surviving codes from a per-query distance
+    table. Search cost ≈ (n_probe/n_cells) · corpus codes, storage ≈
+    m bytes/vector — both knobs independent.
+
+    Returns (query_id, vec_id, adc_dist2, rank), ADC = exact distance to
+    the PQ reconstruction (same fold as :func:`pq_adc_topk`; recall vs
+    full-precision search is bounded by quantization distortion plus cell
+    pruning, both measured in tests).
+
+    Scale shape: index build = one cell-assign projection + one PQ encode
+    (each one corpus pass); at query time the probed-cell filter is a
+    broadcast semi-join (partition-pruned read when the index is written
+    partitioned by ``__cell``), ADC scoring shuffles candidate ids once.
+    """
+    from .clustering import _sq_l2
+
+    cents = centroids or ivf_centroids(dim, n_cells)
+    idx = ivf_build_index(
+        corpus, dim, n_cells=len(cents), id_col=id_col, emb_col=emb_col,
+        centroids=cents,
+    ).select(id_col, "__cell")
+    codes = pq_encode(
+        corpus, codebooks, m, dim, id_col=id_col, vec_col=emb_col
+    ).select(id_col, "codes")
+    index = idx.join(codes, id_col)
+
+    ncells = len(cents)
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(ncells - 1)),
+        lambda i: F.struct(
+            (-F.get(F.col("__d"), i)).alias("nd"), i.alias("i")
+        ),
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            dvec(F.col(emb_col)).alias("__qv"),
+        )
+        .withColumn("__d", _centroid_dots(F.col("__qv"), cents))
+        .withColumn(
+            "__probe_s", F.explode(F.slice(F.array_sort(entries), 1, n_probe))
+        )
+        .select("__qid", F.col("__probe_s.i").alias("__probe"))
+    )
+    qsub = slice_subvectors(
+        queries, m, dim, vec_col=emb_col, id_col=query_id_col
+    ).withColumnRenamed(query_id_col, "__qid")
+    cb = codebooks.select(
+        "subspace", "code", dvec(F.col("centroid")).alias("__c")
+    )
+    table = qsub.join(F.broadcast(cb), "subspace").select(
+        "__qid", "subspace", "code",
+        _sq_l2(F.col("subvec"), F.col("__c")).alias("__pd2"),
+    )
+    cand = (
+        index.join(F.broadcast(probes), F.col("__cell") == F.col("__probe"))
+        .select("__qid", id_col, "codes")
+        .dropDuplicates(["__qid", id_col])
+    )
+    scored = (
+        cand.select(
+            "__qid", F.col(id_col),
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+        .join(F.broadcast(table), ["__qid", "subspace", "code"])
+        .groupBy("__qid", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("subspace", "__pd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__pd2"],
+            ).alias("adc_dist2")
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), id_col, "adc_dist2", "rank"
+        )
+    )

@@ -288,3 +288,39 @@ class TestProductQuantization:
         }
         # seed vectors quantize to themselves -> ADC distance 0 to self
         assert top1 == {0: 0, 1: 1, 2: 2}
+
+    def test_ivf_pq_with_all_cells_equals_pure_adc(self, spark, embeddings):
+        cb = self._init_cb(embeddings)
+        codes = S.pq_encode(embeddings, cb, m=8, dim=64).select("vec_id", "codes")
+        queries = embeddings.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        full = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.pq_adc_topk(codes, cb, queries, m=8, dim=64, k=5).collect()
+        }
+        ivf_all = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.ivf_pq_topk(
+                embeddings, cb, queries, dim=64, m=8, k=5,
+                n_cells=8, n_probe=8,
+            ).collect()
+        }
+        assert ivf_all == full  # probing every cell = no pruning
+
+    def test_ivf_pq_pruned_rank1_is_self(self, spark, embeddings):
+        cb = self._init_cb(embeddings)
+        queries = embeddings.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top1 = {
+            r.query_id: (r.vec_id, r.adc_dist2)
+            for r in S.ivf_pq_topk(
+                embeddings, cb, queries, dim=64, m=8, k=1,
+                n_cells=8, n_probe=2,
+            ).collect()
+        }
+        # a query's own cell is always its best probe; seed vectors
+        # quantize to themselves -> self at distance 0
+        for qid, (vid, d) in top1.items():
+            assert vid == qid and d == 0.0
