@@ -1517,6 +1517,18 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-reference corpus drift: KL(P‖Q) in bits between the
+    unigram distributions of the doc_id >= 250 batch (P) and the
+    doc_id < 250 reference (Q), with off-vocabulary mass reported
+    separately — the per-ingestion drift monitor."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_kl_divergence(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+    )
+
+
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style filter: every doc scored by cross-entropy under a
     bigram LM estimated from the doc_id < 400 reference slice; OOV bigram
@@ -2645,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "token_kl_divergence": q_token_kl_divergence,
     }
 
 
@@ -3991,6 +4004,39 @@ def oracle_sql() -> dict[str, str]:
                    i -> abs(e[i] - codes[i] * scale / 127.0))), 6)
                    AS max_abs_err
         FROM q
+    """
+
+    sql["token_kl_divergence"] = f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest({_sql_toks(_sql_norm('text'))}) AS t
+            FROM documents),
+        p AS (SELECT t, COUNT(*) AS cp FROM tk WHERE doc_id >= 250
+              GROUP BY 1),
+        q AS (SELECT t, COUNT(*) AS cq FROM tk WHERE doc_id < 250
+              GROUP BY 1),
+        j AS (SELECT p.t AS pt, q.t AS qt, cp, cq
+              FROM p FULL OUTER JOIN q ON p.t = q.t),
+        a AS (SELECT
+                  CAST(SUM(CASE WHEN qt IS NOT NULL THEN cp END) AS BIGINT)
+                      AS np_sh,
+                  CAST(SUM(CASE WHEN pt IS NOT NULL THEN cq END) AS BIGINT)
+                      AS nq_sh,
+                  CAST(SUM(cp) AS BIGINT) AS np_all,
+                  CAST(SUM(cq) AS BIGINT) AS nq_all,
+                  CAST(COUNT(CASE WHEN pt IS NOT NULL AND qt IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_shared,
+                  SUM(CASE WHEN qt IS NOT NULL
+                           THEN CAST(cp AS DOUBLE) * (log2(cp) - log2(cq))
+                      END) AS s
+              FROM j)
+        SELECT round(s / np_sh - log2(np_sh) + log2(nq_sh), 6) AS kl_bits,
+               n_shared,
+               round((np_all - np_sh) / CAST(np_all AS DOUBLE), 6)
+                   AS p_only_mass,
+               round((nq_all - nq_sh) / CAST(nq_all AS DOUBLE), 6)
+                   AS q_only_mass
+        FROM a
     """
 
     sql["lm_cross_entropy"] = f"""

@@ -688,3 +688,76 @@ def chunk_documents(
         F.size(chunk).alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+def token_kl_divergence(
+    df_p: DataFrame,
+    df_q: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift monitor: KL(P‖Q) in bits between the unigram token
+    distributions of two corpus snapshots (P = current, Q = reference) —
+    the number a 100 TB ingestion pipeline tracks per batch to catch
+    upstream distribution shifts (new spam pattern, crawler change,
+    domain mix drift) before they reach training.
+
+    KL is computed over the SHARED vocabulary and decomposed so every
+    ``log2`` argument is an integer count (the engine-wide determinism
+    trick): with ``c_p/c_q`` per-token counts and ``N_p/N_q`` totals
+    restricted to shared tokens,
+    ``KL = Σ (c_p/N_p)·(log2 c_p − log2 c_q) − log2 N_p + log2 N_q``.
+    Mass outside the shared vocabulary is reported as ``p_only_mass`` /
+    ``q_only_mass`` fractions (KL would be infinite there; a monitor
+    wants the mass, not the infinity).
+
+    Returns ONE row: (kl_bits, n_shared, p_only_mass, q_only_mass).
+
+    Scale shape: two token-count aggregates (map-side combinable), one
+    full-outer join on token (vocabulary-sized, not corpus-sized), one
+    global fold. Nothing driver-side.
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(tokens(normalize_text(F.col(text_col)))).alias("__t")
+            )
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    p = counts(df_p, "__cp")
+    q = counts(df_q, "__cq")
+    j = p.join(q, "__t", "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("__cq").isNotNull(), F.col("__cp"))).alias("np_sh"),
+        F.sum(F.when(F.col("__cp").isNotNull(), F.col("__cq"))).alias("nq_sh"),
+        F.sum("__cp").alias("np_all"),
+        F.sum("__cq").alias("nq_all"),
+        F.count(
+            F.when(F.col("__cp").isNotNull() & F.col("__cq").isNotNull(), 1)
+        ).alias("n_shared"),
+        F.sum(
+            F.when(
+                F.col("__cq").isNotNull(),
+                F.col("__cp").cast("double")
+                * (F.log2("__cp") - F.log2("__cq")),
+            )
+        ).alias("__s"),
+    )
+    return agg.select(
+        F.round(
+            F.col("__s") / F.col("np_sh")
+            - F.log2("np_sh")
+            + F.log2("nq_sh"),
+            6,
+        ).alias("kl_bits"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.round(
+            (F.col("np_all") - F.col("np_sh")) / F.col("np_all").cast("double"),
+            6,
+        ).alias("p_only_mass"),
+        F.round(
+            (F.col("nq_all") - F.col("nq_sh")) / F.col("nq_all").cast("double"),
+            6,
+        ).alias("q_only_mass"),
+    )

@@ -352,3 +352,35 @@ class TestLmCrossEntropy:
         out = {r.doc_id: r for r in X.lm_cross_entropy(df).collect()}
         assert out[1].n_bigrams == 0 and out[1].cross_entropy_bits is None
         assert out[2].n_bigrams == 2
+
+
+class TestTokenKlDivergence:
+    def test_identical_corpora_zero_kl(self, spark):
+        rows = [Row(doc_id=i, text="alpha beta gamma delta") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = X.token_kl_divergence(df, df).collect()[0]
+        assert r.kl_bits == 0.0
+        assert r.p_only_mass == 0.0 and r.q_only_mass == 0.0
+
+    def test_shifted_distribution_positive_kl(self, spark):
+        p = spark.createDataFrame(
+            [Row(doc_id=1, text="a a a a b")], "doc_id long, text string"
+        )
+        q = spark.createDataFrame(
+            [Row(doc_id=1, text="a b b b b")], "doc_id long, text string"
+        )
+        r = X.token_kl_divergence(p, q).collect()[0]
+        assert r.kl_bits > 0 and r.n_shared == 2
+
+    def test_off_vocabulary_mass_reported(self, spark):
+        p = spark.createDataFrame(
+            [Row(doc_id=1, text="a b newtoken newtoken")],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [Row(doc_id=1, text="a b oldtoken")], "doc_id long, text string"
+        )
+        r = X.token_kl_divergence(p, q).collect()[0]
+        assert r.p_only_mass == 0.5       # 2 of 4 P tokens unseen in Q
+        assert abs(r.q_only_mass - 1 / 3) < 1e-6
+        assert r.n_shared == 2
