@@ -139,6 +139,70 @@ def main() -> None:
         )
         print(json.dumps(results[-1]))
 
+    # --- IVF+PQ: recall of the compressed-search composition ------------
+    # ground truth switches to exact squared-L2 (ADC's metric): the
+    # comparison must not conflate metric mismatch with quantization loss
+    from metadata_driven_data_pipeline_spark.operators.clustering import _sq_l2
+    from pyspark.sql import Window
+
+    q_named = queries.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qd = q_named.select(
+        "query_id", sim.dvec(F.col("embedding")).alias("__qv")
+    )
+    cd = emb.select("vec_id", sim.dvec(F.col("embedding")).alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("vec_id").asc()
+    )
+    t0 = time.time()
+    exact_l2 = topk_set(
+        cd.join(F.broadcast(qd))
+        .select("query_id", "vec_id",
+                _sq_l2(F.col("__qv"), F.col("__cv")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    print(f"brute L2 ground truth: {time.time()-t0:.1f}s")
+
+    init_cb = sim.slice_subvectors(
+        emb.filter(F.col("vec_id") < 16), m=8, dim=DIM
+    ).select(
+        "subspace", F.col("vec_id").cast("int").alias("code"),
+        F.col("subvec").alias("centroid"),
+    ).persist()
+    t0 = time.time()
+    trained_cb = sim.train_pq_codebooks(emb, m=8, dim=DIM, k=16, iters=2)
+    trained_cb = trained_cb.persist()
+    print(f"trained PQ codebooks in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    trained_cb64 = sim.train_pq_codebooks(
+        emb, m=8, dim=DIM, k=64, iters=2
+    ).persist()
+    print(f"trained k=64 PQ codebooks in {time.time()-t0:.1f}s")
+    for cb_name, cb in [
+        ("init", init_cb), ("trained", trained_cb),
+        ("trained_k64", trained_cb64),
+    ]:
+        for n_cells, n_probe in [(8, 2), (8, 4), (16, 4)]:
+            t0 = time.time()
+            approx = topk_set(
+                sim.ivf_pq_topk(
+                    emb, cb, q_named, dim=DIM, m=8, k=k,
+                    n_cells=n_cells, n_probe=n_probe,
+                )
+            )
+            results.append(
+                {
+                    "variant": "ivf_pq",
+                    "params": {"n_cells": n_cells, "n_probe": n_probe,
+                               "codebooks": cb_name},
+                    "recall_at_k": round(recall(approx, exact_l2), 4),
+                    "wall_sec": round(time.time() - t0, 1),
+                }
+            )
+            print(json.dumps(results[-1]))
+
     print(json.dumps({"brute_wall_sec": round(t_brute, 1), "results": results}))
 
 
