@@ -1517,6 +1517,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor (vec_id < 5), top-5 corpus
+    vectors with cosine in [0.1, 0.5) — informative negatives below the
+    near-dup band, the contrastive-training sampling rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), lo=0.1, hi=0.5, k=5
+    )
+
+
 def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-reference corpus drift: KL(P‖Q) in bits between the
     unigram distributions of the doc_id >= 250 batch (P) and the
@@ -2658,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "token_kl_divergence": q_token_kl_divergence,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3177,6 +3188,24 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_cosine64('a.embedding', 'b.embedding')} AS cosine
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.8
+    """
+
+    sql["hard_negatives"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qemb
+                   FROM embeddings WHERE vec_id < 5),
+             scored AS (
+                 SELECT q.query_id, e.vec_id,
+                        {_sql_cosine64('q.qemb', 'e.embedding')} AS cosine
+                 FROM embeddings e JOIN q ON q.query_id != e.vec_id),
+             banded AS (
+                 SELECT * FROM scored
+                 WHERE cosine >= 0.1 AND cosine < 0.5),
+             ranked AS (
+                 SELECT query_id, vec_id, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                 FROM banded)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
     """
 
     sql["ann_topk_brute"] = f"""

@@ -1110,3 +1110,55 @@ def ivf_pq_topk(
             F.col("__qid").alias(query_id_col), id_col, "adc_dist2", "rank"
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lo: float = 0.5,
+    hi: float = 0.9,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the top-k most similar corpus vectors whose cosine falls in
+    ``[lo, hi)`` — similar enough to be informative negatives, capped
+    below the near-duplicate band so positives never leak into the
+    negative set (the standard dual-threshold mining rule).
+
+    Exact band scan (brute cosine + band filter + per-anchor top-k
+    window); at corpus scale generate candidates with
+    :func:`lsh_bucket_topk` (multi-table + multiprobe reaches the
+    moderate-cosine band, measured in BASELINE.md) and apply the same
+    band predicate — the band filter composes with any candidate source.
+
+    Returns (query_id, vec_id, cosine, rank), rank 1..k by cosine desc
+    within the band, ties by corpus id.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = widen(corpus).select(
+        F.col(id_col), dvec(F.col(emb_col)).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    ).select(
+        "query_id",
+        id_col,
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cosine"),
+    ).filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

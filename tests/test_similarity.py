@@ -324,3 +324,38 @@ class TestProductQuantization:
         # quantize to themselves -> self at distance 0
         for qid, (vid, d) in top1.items():
             assert vid == qid and d == 0.0
+
+
+class TestHardNegatives:
+    def test_band_respected_and_ranked(self, spark, embeddings, queries):
+        out = S.hard_negatives(embeddings, queries, lo=0.1, hi=0.5, k=5)
+        rows = out.collect()
+        assert rows and all(0.1 <= r.cosine < 0.5 for r in rows)
+        # per-query ranks are dense 1..n and cosine-descending
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert all(
+                rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1)
+            )
+
+    def test_near_dup_band_excluded(self, spark):
+        # anchor + a near-duplicate (cos ~1) + a moderate neighbor
+        base = [1.0] * 8
+        near = [1.0] * 7 + [1.01]
+        mixed = [1.0] * 4 + [-1.0] * 4  # cos = 0 to anchor
+        tilted = [1.0] * 6 + [0.0, 0.0]  # cos ~0.866
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, mixed), (3, tilted)],
+            "vec_id long, embedding array<float>",
+        )
+        out = S.hard_negatives(
+            df, df.filter("vec_id = 0"), lo=0.5, hi=0.99, k=5
+        ).collect()
+        ids = {r.vec_id for r in out}
+        assert 1 not in ids      # near-dup above hi: excluded
+        assert 2 not in ids      # below lo: excluded
+        assert ids == {3}
