@@ -578,6 +578,45 @@ def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
     return {ctx["name"]: out}
 
 
+def _t_embedding_index(
+    catalog: Catalog, params: dict, ctx: dict
+) -> dict[str, DataFrame]:
+    """Embedding index-build transforms — the compression/search ladder as
+    metadata. ``mode``: ``quantize`` (int8 SQ), ``pq_encode`` (codes from
+    the ``codebooks`` relation, or trained inline when ``trainK`` is
+    given), ``ivf_build`` (coarse-cell assignment for partitioned write).
+    """
+    from . import similarity as sim
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "quantize")
+    id_col = params.get("idCol", "vec_id")
+    emb_col = params.get("embCol", "embedding")
+    if mode == "quantize":
+        out = sim.quantize_embeddings(df, emb_col=emb_col, id_col=id_col)
+    elif mode == "pq_encode":
+        m = int(params.get("m", 8))
+        dim = int(params["dim"])
+        if "codebooks" in params:
+            cb = _get(catalog, params["codebooks"])
+        else:
+            cb = sim.train_pq_codebooks(
+                df, m=m, dim=dim, k=int(params.get("trainK", 16)),
+                iters=int(params.get("iters", 2)),
+                id_col=id_col, vec_col=emb_col,
+            )
+        out = sim.pq_encode(df, cb, m=m, dim=dim, id_col=id_col, vec_col=emb_col)
+    elif mode == "ivf_build":
+        out = sim.ivf_build_index(
+            df, dim=int(params["dim"]),
+            n_cells=int(params.get("nCells", 8)),
+            id_col=id_col, emb_col=emb_col,
+        )
+    else:
+        raise ValueError(f"unknown embedding_index mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
 def _t_corpus_diff(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     """Snapshot diff between two named relations (``oldInput`` vs
     ``input``): per-id status added/removed/changed/unchanged by content
@@ -618,6 +657,7 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "text_dedup": _t_text_dedup,
     "text_analyze": _t_text_analyze,
     "embedding_dedup": _t_embedding_dedup,
+    "embedding_index": _t_embedding_index,
     "corpus_diff": _t_corpus_diff,
 }
 

@@ -430,3 +430,54 @@ def test_domain_mix_and_corpus_diff_transforms(spark, tmp_path):
     statuses = {r["status"] for r in out.select("status").distinct().collect()}
     # mixed is a subset of documents: nothing added/changed, some removed
     assert "removed" in statuses and statuses <= {"removed", "unchanged"}
+
+
+def test_embedding_index_transform_modes(spark, tmp_path):
+    """The index-build ladder (SQ8 / PQ / IVF cells) declared in metadata."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "embeddings", "path": f"{SF}/embeddings.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "sq", "type": "embedding_index",
+             "params": {"input": "embeddings", "mode": "quantize"}},
+        ],
+        sink_input="sq",
+    )
+    assert {"vec_id", "scale", "codes"} <= set(out.columns)
+
+    out2 = _run(
+        spark,
+        str(tmp_path / "pq"),
+        sources=[{"name": "embeddings", "path": f"{SF}/embeddings.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "pq", "type": "embedding_index",
+             "params": {"input": "embeddings", "mode": "pq_encode",
+                        "dim": 64, "m": 8, "trainK": 8, "iters": 1}},
+        ],
+        sink_input="pq",
+    )
+    rows = out2.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+
+    out3 = _run(
+        spark,
+        str(tmp_path / "ivf"),
+        sources=[{"name": "embeddings", "path": f"{SF}/embeddings.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "cells", "type": "embedding_index",
+             "params": {"input": "embeddings", "mode": "ivf_build",
+                        "dim": 64, "nCells": 8}},
+            {"name": "cell_counts", "type": "sql",
+             "params": {"statement":
+                        "SELECT __cell, COUNT(*) AS n FROM cells "
+                        "GROUP BY __cell"}},
+        ],
+        sink_input="cell_counts",
+    )
+    cells = {r["__cell"] for r in out3.collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
