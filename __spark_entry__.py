@@ -1517,6 +1517,24 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization to ids: frequency-ranked vocabulary (min_count=3,
+    id 0 reserved for UNK) built from the corpus, every document encoded
+    to its id sequence — per-doc token/UNK counts + md5 of the id
+    sequence, so the entire encoded corpus is value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(docs, min_count=3)
+    enc = tx.encode_with_vocab(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.md5(
+            F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor (vec_id < 5), top-5 corpus
     vectors with cosine in [0.1, 0.5) — informative negatives below the
@@ -2669,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "token_kl_divergence": q_token_kl_divergence,
         "hard_negatives": q_hard_negatives,
+        "vocab_encode": q_vocab_encode,
     }
 
 
@@ -4033,6 +4052,37 @@ def oracle_sql() -> dict[str, str]:
                    i -> abs(e[i] - codes[i] * scale / 127.0))), 6)
                    AS max_abs_err
         FROM q
+    """
+
+    sql["vocab_encode"] = f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS token
+            FROM (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
+                  FROM documents)),
+        vc AS (
+            SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1
+            HAVING COUNT(*) >= 3),
+        vocab AS (
+            SELECT token,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                       AS token_id
+            FROM vc),
+        enc AS (
+            SELECT tk.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unk,
+                   list(COALESCE(v.token_id, 0) ORDER BY tk.pos) AS ids
+            FROM tk LEFT JOIN vocab v ON tk.token = v.token
+            GROUP BY tk.doc_id)
+        SELECT d.doc_id,
+               COALESCE(enc.n_tokens, 0) AS n_tokens,
+               COALESCE(enc.n_unk, 0) AS n_unk,
+               md5(COALESCE(array_to_string(enc.ids, ','), ''))
+                   AS ids_md5
+        FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
     """
 
     sql["token_kl_divergence"] = f"""

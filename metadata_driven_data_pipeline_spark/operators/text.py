@@ -761,3 +761,91 @@ def token_kl_divergence(
             6,
         ).alias("q_only_mass"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    num_special: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary for id-encoding: (token, token_id, count), ids
+    assigned by frequency rank (count desc, token asc — total order),
+    starting at ``num_special`` so low ids stay reserved for specials
+    (id 0 = UNK by default). Tokens under ``min_count`` are dropped —
+    they become UNK at encode time, the standard frequency cutoff.
+
+    Scale shape: one token-count aggregate + one vocabulary-sized window
+    for rank assignment (the window runs over the vocab relation, not
+    the corpus). At web scale cut with ``min_count`` first so the ranked
+    relation is the kept vocabulary only.
+    """
+    counts = (
+        df.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.select(
+        "token",
+        (F.row_number().over(w) + num_special - 1).alias("token_id"),
+        "count",
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode each document's token stream to an id sequence using a
+    vocabulary from :func:`build_vocab` — OOV tokens map to ``unk_id``
+    explicitly (never dropped: sequence positions must survive encoding).
+
+    Returns (id_col, n_tokens, n_unk, ids array<int> in document order).
+
+    Scale shape: explode with position → broadcast (vocabulary) join →
+    re-assemble via sorted collect per doc. Two shuffles (the join keeps
+    the corpus side map-side when the vocab broadcasts; the groupBy on
+    doc id is the only corpus shuffle).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias(
+            "__pos", "token"
+        ),
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    encoded = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("token_id").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_unk"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "__pos",
+                        F.coalesce("token_id", F.lit(unk_id)).alias("tid"),
+                    )
+                )
+            ),
+            lambda s: s["tid"].cast("int"),
+        ).alias("ids"),
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+        )
+    )

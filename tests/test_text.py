@@ -384,3 +384,29 @@ class TestTokenKlDivergence:
         assert r.p_only_mass == 0.5       # 2 of 4 P tokens unseen in Q
         assert abs(r.q_only_mass - 1 / 3) < 1e-6
         assert r.n_shared == 2
+
+
+class TestVocabEncode:
+    def test_frequency_ranked_ids_and_min_count(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="b b b a a c")], "doc_id long, text string"
+        )
+        vocab = {r.token: r.token_id for r in X.build_vocab(df, min_count=2).collect()}
+        assert vocab == {"b": 1, "a": 2}  # c dropped; ids start at 1 (0=UNK)
+
+    def test_encode_preserves_positions_and_counts_unk(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="b a c b")], "doc_id long, text string"
+        )
+        vocab = X.build_vocab(df, min_count=2)  # only b kept
+        r = X.encode_with_vocab(df, vocab).collect()[0]
+        assert r.ids == [1, 0, 0, 1]  # a, c -> UNK at their positions
+        assert r.n_tokens == 4 and r.n_unk == 2
+
+    def test_tie_break_alphabetical(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="zeta alpha zeta alpha")],
+            "doc_id long, text string",
+        )
+        vocab = {r.token: r.token_id for r in X.build_vocab(df).collect()}
+        assert vocab == {"alpha": 1, "zeta": 2}  # equal counts: token asc
