@@ -468,9 +468,11 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
 def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
     """Text-analysis transforms: ``profile`` (lang-id + quality + token
     counts), ``entropy`` (bigram Shannon entropy), ``pii_redact``,
-    ``gopher`` (published Gopher rule flags + keep), or ``classifier``
+    ``gopher`` (published Gopher rule flags + keep), ``classifier``
     (hashed bag-of-words linear model; ``weights`` list + optional
-    ``bias``/``threshold``/``hashFn``)."""
+    ``bias``/``threshold``/``hashFn``), ``vocab`` (frequency-ranked
+    vocabulary build), or ``encode`` (token-to-id sequences via the
+    vocabulary relation named by ``vocabInput``)."""
     from . import text as tx
 
     df = _get(catalog, params["input"])
@@ -499,6 +501,18 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
             text_col=text_col, id_col=id_col,
             threshold=float(params.get("threshold", 0.0)),
             hash_fn=params.get("hashFn", "md5"),
+        )
+    elif mode == "vocab":
+        out = tx.build_vocab(
+            df, text_col=text_col,
+            min_count=int(params.get("minCount", 1)),
+            num_special=int(params.get("numSpecial", 1)),
+        )
+    elif mode == "encode":
+        out = tx.encode_with_vocab(
+            df, _get(catalog, params["vocabInput"]),
+            text_col=text_col, id_col=id_col,
+            unk_id=int(params.get("unkId", 0)),
         )
     else:
         raise ValueError(f"unknown text_analyze mode: {mode!r}")

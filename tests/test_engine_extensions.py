@@ -481,3 +481,27 @@ def test_embedding_index_transform_modes(spark, tmp_path):
     )
     cells = {r["__cell"] for r in out3.collect()}
     assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_vocab_and_encode_transforms(spark, tmp_path):
+    """Declarative tokenize-to-ids: vocabulary build + id encoding chained
+    in metadata."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "vocab", "type": "text_analyze",
+             "params": {"input": "documents", "mode": "vocab",
+                        "minCount": 3}},
+            {"name": "encoded", "type": "text_analyze",
+             "params": {"input": "documents", "mode": "encode",
+                        "vocabInput": "vocab"}},
+        ],
+        sink_input="encoded",
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r["n_tokens"] == len(r["ids"]) for r in rows)
+    assert all(r["n_unk"] <= r["n_tokens"] for r in rows)
