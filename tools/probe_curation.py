@@ -74,6 +74,21 @@ def run(docs, tag):
         "domain_mix",
         smp.domain_mix(docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}),
     )
+    # incremental dedup: first half of ids is the index, second half the batch
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    index = docs.filter(F.col("doc_id") < mid).select(
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    out["incremental_dedup"] = timed(
+        "incremental_dedup",
+        dd.incremental_dedup(docs.filter(F.col("doc_id") >= mid), index),
+    )
+    vocab = tx.build_vocab(docs, min_count=3)
+    out["vocab_encode"] = timed(
+        "vocab_encode",
+        tx.encode_with_vocab(docs, vocab).select("doc_id", "n_unk"),
+        force_all_columns=True,
+    )
     return out
 
 
