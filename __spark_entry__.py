@@ -1468,7 +1468,13 @@ def q_streaming_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming engine. Only the fingerprint column is emitted: WHICH
     duplicate row survives depends on processing order, but the surviving
     fingerprint set does not, so the output equals the batch
-    gate + SELECT DISTINCT fingerprint oracle."""
+    gate + SELECT DISTINCT fingerprint oracle.
+
+    State bound: plain dropDuplicates keeps every fingerprint forever —
+    exact global dedup, state = 16 bytes x distinct docs (RocksDB-backed
+    at scale, like streaming/stateful.py). When the dedup horizon can be
+    bounded, production uses dropDuplicatesWithinWatermark (certified by
+    streaming_dedup_keys) to cap state by time instead."""
     import tempfile
     import uuid
 
