@@ -1523,6 +1523,13 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style retrieval (rational idf — IEEE-exact cross-engine):
+    top-10 documents for the query {key, spark, table}."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.keyword_search(docs, ["key", "spark", "table"], k=10)
+
+
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenization to ids: frequency-ranked vocabulary (min_count=3,
     id 0 reserved for UNK) built from the corpus, every document encoded
@@ -2697,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kl_divergence": q_token_kl_divergence,
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
+        "keyword_search": q_keyword_search,
     }
 
 
@@ -4061,6 +4069,54 @@ def oracle_sql() -> dict[str, str]:
                    i -> abs(e[i] - codes[i] * scale / 127.0))), 6)
                    AS max_abs_err
         FROM q
+    """
+
+    # BM25 oracle: floating-point literals via repr() so both engines
+    # parse the identical double; expression grouping mirrors the Spark
+    # fold ((0 + t_key) + t_spark) + t_table and ((idf*tf)*k1p1)/denom
+    _kw_terms = ["key", "spark", "table"]
+    _k1, _b = 1.2, 0.75
+    _kw_tf = {
+        t: f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        for t in _kw_terms
+    }
+    _kw_df = {
+        t: (f"SUM(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0 "
+            "THEN 1 ELSE 0 END)")
+        for t in _kw_terms
+    }
+    _kw_denom_tail = (
+        f"{_k1!r} * ({1.0 - _b!r} + {_b!r} "
+        "* CAST(dl AS DOUBLE) / avgdl)"
+    )
+    _kw_score = "0.0"
+    for i, t in enumerate(_kw_terms):
+        term_expr = (
+            f"((CAST(n + 1 AS DOUBLE) / CAST(df{i} + 1 AS DOUBLE) "
+            f"* {_kw_tf[t]}) * {_k1 + 1.0!r}) "
+            f"/ ({_kw_tf[t]} + {_kw_denom_tail})"
+        )
+        _kw_score = f"({_kw_score} + {term_expr})"
+    sql["keyword_search"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks
+            FROM documents),
+        d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        st AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {", ".join(f"{_kw_df[t]} AS df{i}"
+                              for i, t in enumerate(_kw_terms))}
+            FROM d2),
+        s AS (
+            SELECT doc_id, round({_kw_score}, 6) AS score
+            FROM d2 CROSS JOIN st),
+        r AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+            FROM s WHERE score > 0)
+        SELECT doc_id, score, rank FROM r WHERE rank <= 10
     """
 
     sql["vocab_encode"] = f"""

@@ -849,3 +849,84 @@ def encode_with_vocab(
             F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
         )
     )
+
+
+def keyword_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-style keyword retrieval over the corpus — the exploration
+    query a curation team runs constantly ("show me docs about X") and
+    the standard relevance baseline for data-selection recipes.
+
+    Scoring is classic BM25 with a RATIONAL idf substitute
+    ``(N + 1) / (df_t + 1)`` instead of the log form (same policy as
+    ``tfidf_topterms``: only IEEE +,*,/ — correctly rounded, so an
+    independent SQL engine reproduces scores bit-for-bit; the log-idf
+    ordering is monotone in the rational one for df < N). Terms are
+    scored in sorted order so the float sum folds identically everywhere.
+
+    Returns the top-``k`` (id_col, score, rank), score desc, ties by id.
+
+    Scale shape: ONE corpus aggregate computes every term's document
+    frequency and the average doc length (map-side combinable, tiny
+    1-row result broadcast back), then scoring is a pure projection and
+    top-k is a single global sort limited to k — no shuffle carries more
+    than the corpus scan itself.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokens(normalize_text(F.col(text_col)))
+    dl = F.size(toks)
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    base = df.select(F.col(id_col), toks.alias("__toks"), dl.alias("__dl"))
+    def term_eq(term: str):
+        # closure factory, NOT a default-arg lambda: F.filter treats a
+        # 2-arg lambda as (element, index) — same pitfall as _stopword_hits
+        def pred(x: Column) -> Column:
+            return x == term
+
+        return pred
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        # exact integer sum then ONE division: engine-internal avg() may
+        # accumulate in floating point with partition-order-dependent sums
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum(
+                (F.size(F.filter(F.col("__toks"), term_eq(term))) > 0)
+                .cast("long")
+            ).alias(f"__df_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, term in enumerate(terms):
+        tf_c = F.size(F.filter(F.col("__toks"), term_eq(term))).cast("double")
+        idf = (F.col("__n") + 1).cast("double") / (
+            F.col(f"__df_{i}") + 1
+        ).cast("double")
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+        )
+        score = score + idf * tf_c * F.lit(k1 + 1.0) / denom
+    ranked = (
+        scored.select(id_col, F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w))

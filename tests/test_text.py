@@ -410,3 +410,33 @@ class TestVocabEncode:
         )
         vocab = {r.token: r.token_id for r in X.build_vocab(df).collect()}
         assert vocab == {"alpha": 1, "zeta": 2}  # equal counts: token asc
+
+
+class TestKeywordSearch:
+    def test_relevance_ordering(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spark spark spark engine"),
+                Row(doc_id=2, text="spark engine"),
+                Row(doc_id=3, text="completely unrelated words here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = X.keyword_search(df, ["spark"], k=5).collect()
+        ids = [r.doc_id for r in out]
+        assert ids[0] == 1          # highest tf first
+        assert 3 not in ids          # zero-score docs dropped
+        assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+    def test_rare_term_outweighs_common(self, spark):
+        rows = [Row(doc_id=i, text="common filler words") for i in range(20)]
+        rows += [Row(doc_id=100, text="common rareterm filler")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = X.keyword_search(df, ["common", "rareterm"], k=3).collect()
+        assert out[0].doc_id == 100  # idf boost for the rare term
+
+    def test_empty_query_raises(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            X.keyword_search(df, [])
