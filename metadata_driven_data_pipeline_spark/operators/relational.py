@@ -471,8 +471,9 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
     ``gopher`` (published Gopher rule flags + keep), ``classifier``
     (hashed bag-of-words linear model; ``weights`` list + optional
     ``bias``/``threshold``/``hashFn``), ``vocab`` (frequency-ranked
-    vocabulary build), or ``encode`` (token-to-id sequences via the
-    vocabulary relation named by ``vocabInput``)."""
+    vocabulary build), ``encode`` (token-to-id sequences via the
+    vocabulary relation named by ``vocabInput``), or ``search``
+    (BM25-style keyword retrieval over ``terms``)."""
     from . import text as tx
 
     df = _get(catalog, params["input"])
@@ -513,6 +514,14 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
             df, _get(catalog, params["vocabInput"]),
             text_col=text_col, id_col=id_col,
             unk_id=int(params.get("unkId", 0)),
+        )
+    elif mode == "search":
+        out = tx.keyword_search(
+            df, [str(t) for t in params["terms"]],
+            k=int(params.get("k", 10)),
+            k1=float(params.get("k1", 1.2)),
+            b=float(params.get("b", 0.75)),
+            text_col=text_col, id_col=id_col,
         )
     else:
         raise ValueError(f"unknown text_analyze mode: {mode!r}")

@@ -505,3 +505,23 @@ def test_vocab_and_encode_transforms(spark, tmp_path):
     assert len(rows) == 500
     assert all(r["n_tokens"] == len(r["ids"]) for r in rows)
     assert all(r["n_unk"] <= r["n_tokens"] for r in rows)
+
+
+def test_keyword_search_transform(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "hits", "type": "text_analyze",
+             "params": {"input": "documents", "mode": "search",
+                        "terms": ["spark", "table"], "k": 5}},
+        ],
+        sink_input="hits",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert 0 < len(rows) <= 5
+    assert all(r["score"] > 0 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

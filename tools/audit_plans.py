@@ -103,6 +103,8 @@ AUDITED = [
     "ivf_pq_topk",
     "token_kl_divergence",
     "hard_negatives",
+    "vocab_encode",
+    "keyword_search",
 ]
 
 
