@@ -3,17 +3,32 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": sec, ...}, "sf": <sf>, ...,
+   "curation": {...}, "curation_total": <sec>}
 
 Each query is materialized with the `noop` sink — full distributed
 execution (scan → shuffle → sink) with zero driver-side collection, so
 the number measures the plan, not the driver.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-per-query MEDIAN, so a transient load spike on the host doesn't read as a
-regression (round-1's 50.7 s vs the 34.2 s machine-quiet baseline was
-load noise; medians make that distinction measurable). `value` is the sum
-of medians; `reps` and per-query min/max spread are included for audit.
+Methodology (round-4 revision, per the r3 verdict: the recorded headline
+swung 29% on cold-start + machine load while value_min_sum stayed flat):
+- ONE full UNTIMED warm-up rep over every measured query first (JIT,
+  parquet footer caches, codegen) — cold-start no longer lands in rep 1's
+  samples.
+- then $SPARK_GRAFT_BENCH_REPS timed reps (default 3); per-query MEDIAN
+  is reported, min/max spread + per-rep totals included for audit, and
+  `value_min_sum` (sum of per-query minima) is the load-insensitive
+  lower envelope.
+
+Two series:
+- HEADLINE: the round-1 27-query set, unchanged for round-over-round
+  comparability (BASELINE.md series).
+- CURATION: the round-3 curation/search/PQ surface, previously untracked
+  round-over-round (r3 verdict item 3). Reported under "curation"/
+  "curation_total" in the same JSON line.
+
+`python bench.py --curation` runs only the curation series (for quick
+iteration); the default run emits both.
 """
 
 from __future__ import annotations
@@ -63,10 +78,67 @@ HEADLINE = [
     "hourly_gap_fill",
 ]
 
+# Round-3 curation/search/quantization surface — deliberately outside
+# HEADLINE (series comparability) but tracked per-round from round 4 on.
+CURATION = [
+    "span_dedup",
+    "gopher_filter",
+    "quality_classifier",
+    "vocab_encode",
+    "keyword_search",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def run_series(
+    spark: SparkSession, names: list[str], sf_dir: str, reps: int
+) -> dict:
+    qs = entrymod.queries()
+
+    def one_rep(measure: bool) -> float:
+        t_rep = time.time()
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if measure:
+                samples[name].append(time.time() - t0)
+        # operators that persist() self-join intermediates (minhash,
+        # semdedup) would otherwise accumulate cached blocks across reps
+        spark.catalog.clearCache()
+        return round(time.time() - t_rep, 3)
+
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    warmup_total = one_rep(measure=False)
+    rep_totals = [one_rep(measure=True) for _ in range(reps)]
+
+    timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: [round(min(xs), 3), round(max(xs), 3)]
+        for name, xs in samples.items()
+    }
+    return {
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "spread": spread,
+        "rep_totals": rep_totals,
+        "warmup_total": warmup_total,
+        "min_sum": round(sum(min(xs) for xs in samples.values()), 3),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    curation_only = "--curation" in sys.argv
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -86,50 +158,47 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    # Warm-up: JIT + parquet footer caches, not measured.
-    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if curation_only:
+        cur = run_series(spark, CURATION, sf_dir, reps)
+        print(
+            json.dumps(
+                {
+                    "metric": "curation_queries_total_wall_clock",
+                    "value": cur["total"],
+                    "unit": "sec",
+                    "queries": cur["queries"],
+                    "sf": sf,
+                    "reps": reps,
+                    "spread": cur["spread"],
+                    "rep_totals": cur["rep_totals"],
+                    "value_min_sum": cur["min_sum"],
+                }
+            )
+        )
+        spark.stop()
+        return
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    rep_totals: list[float] = []
-    for _ in range(reps):
-        t_rep = time.time()
-        for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.time() - t0)
-        # operators that persist() self-join intermediates (minhash, semdedup)
-        # would otherwise accumulate cached blocks across reps
-        spark.catalog.clearCache()
-        rep_totals.append(round(time.time() - t_rep, 3))
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
-    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
-    spread = {
-        name: [round(min(xs), 3), round(max(xs), 3)]
-        for name, xs in samples.items()
-    }
-    total = round(sum(timings.values()), 3)
+    head = run_series(spark, HEADLINE, sf_dir, reps)
+    cur = run_series(spark, CURATION, sf_dir, reps)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": total,
+                "value": head["total"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": head["queries"],
                 "sf": sf,
                 "reps": reps,
-                "spread": spread,
-                "rep_totals": rep_totals,
-                "value_min_sum": round(
-                    sum(min(xs) for xs in samples.values()), 3
-                ),
+                "spread": head["spread"],
+                "rep_totals": head["rep_totals"],
+                "warmup_total": head["warmup_total"],
+                "value_min_sum": head["min_sum"],
+                "curation": cur["queries"],
+                "curation_total": cur["total"],
+                "curation_spread": cur["spread"],
+                "curation_min_sum": cur["min_sum"],
             }
         )
     )

@@ -106,6 +106,7 @@ def neardup_groups(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH → exact-Jaccard verify → connected components: every
     document that participates in a verified near-dup pair, labeled with its
@@ -121,10 +122,15 @@ def neardup_groups(
     from . import dedup as dd
 
     candidates = dd.minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands
+        df, text_col, id_col, num_hashes, bands, hash_fn
     )
     verified = dd.jaccard_verify_pairs(
-        df, candidates, text_col, id_col, threshold=jaccard_threshold
+        df, candidates, text_col, id_col, threshold=jaccard_threshold,
+        # hash_fn="xxhash64" selects the production lane END-TO-END: the
+        # verify stage then intersects 8-byte shingle hashes instead of
+        # shingle text — the dominant cost on adversarial dup graphs
+        # (BASELINE.md round-4 verify-lane table); md5 = oracle lane
+        shingle_hash="xxhash64" if hash_fn == "xxhash64" else None,
     )
     return connected_components(
         verified, out_id=id_col, group_col="group_id"

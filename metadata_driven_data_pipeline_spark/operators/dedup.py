@@ -344,6 +344,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    shingle_hash: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard for a *given* candidate-pair set: join each side's
     shingle array onto the pair and intersect the two arrays directly.
@@ -353,7 +354,16 @@ def jaccard_verify_pairs(
     frequency — a boilerplate 3-gram shared by f docs costs f² join rows
     there, but nothing here). This is the verification half of the
     LSH-then-verify pattern at 100 TB: |pairs| ≪ n², and each pair carries
-    only two shingle arrays through one shuffle."""
+    only two shingle arrays through one shuffle.
+
+    ``shingle_hash``: ``None`` (default) carries the shingle TEXT arrays
+    — the oracle lane, every intersected value visible to an ANSI-SQL
+    replay. ``"xxhash64"`` maps each shingle to a codegen'd 64-bit hash
+    before the pair join: `array_intersect` then compares longs instead
+    of strings and the shuffled bytes per doc drop from Σ|shingle text|
+    to 8·|shingles| — the production lane for the 100 TB verify stage
+    (same Jaccard up to 2⁻⁶⁴ collisions; measured speedup in BASELINE.md
+    round 4). Same lane policy as ``minhash``'s ``hash_fn``."""
     # Shingle only docs that occur in a pair (semi-join first): the
     # candidate set is tiny relative to the corpus, and this projection is
     # consumed twice (a/b sides of the pair join), so it is persisted —
@@ -361,6 +371,15 @@ def jaccard_verify_pairs(
     # computing them twice would double the dominant per-doc hashing cost.
     from pyspark import StorageLevel
 
+    if shingle_hash not in (None, "xxhash64"):
+        raise ValueError(
+            f"unknown shingle_hash {shingle_hash!r}; use None or 'xxhash64'"
+        )
+    sh_expr = word_shingles(F.col(text_col), n)
+    if shingle_hash == "xxhash64":
+        # distinct text shingles -> distinct hashes w.h.p.; Jaccard over
+        # the hashed sets equals Jaccard over the text sets up to 2^-64
+        sh_expr = F.transform(sh_expr, lambda s: F.xxhash64(s))
     in_pairs = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -368,7 +387,7 @@ def jaccard_verify_pairs(
     )
     sh = _track_persist(
         df.join(in_pairs, id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+        .select(F.col(id_col), sh_expr.alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
@@ -416,7 +435,11 @@ def minhash_dedup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verified = jaccard_verify_pairs(
-        df, candidates, text_col, id_col, threshold=jaccard_threshold
+        df, candidates, text_col, id_col, threshold=jaccard_threshold,
+        # production lane propagates end-to-end: hashed-shingle verify
+        # (longs through the pair join) whenever the minhash lane is
+        # already xxhash64; md5 keeps the text-shingle oracle verify
+        shingle_hash="xxhash64" if hash_fn == "xxhash64" else None,
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -919,7 +942,10 @@ def span_dedup(
     Returns: (id_col, n_spans, n_kept, dedup_text).
     """
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # NULL text → tokens() is NULL and size(NULL) is NULL, which would
+    # bypass the <= 0 guard and leak NULL n_spans; coalesce pins every
+    # empty/NULL doc to the documented (n_spans=0, n_kept=0, '') row
+    n = F.coalesce(F.size(toks), F.lit(0))
     k = span_tokens
     n_spans = F.when(n <= 0, F.lit(0)).otherwise(
         F.ceil(n / F.lit(k)).cast("int")
@@ -961,10 +987,11 @@ def span_dedup(
             ),
         ).alias("dedup_text"),
     )
+    n_total = F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
     totals = df.select(
         F.col(id_col),
-        F.when(F.size(tokens(F.col(text_col))) <= 0, F.lit(0))
-        .otherwise(F.ceil(F.size(tokens(F.col(text_col))) / F.lit(k)))
+        F.when(n_total <= 0, F.lit(0))
+        .otherwise(F.ceil(n_total / F.lit(k)))
         .cast("int")
         .alias("n_spans"),
     )

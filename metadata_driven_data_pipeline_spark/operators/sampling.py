@@ -88,8 +88,12 @@ def domain_mix(
     normalized by use), the binding domain is the one with the smallest
     ``n_i / w_i`` — it is kept in full, and every other domain is
     down-sampled deterministically to ``w_i * scale / n_i`` where
-    ``scale = min_i(n_i / w_i)``, so the output proportions equal the
-    target weights and no domain is over-drawn. Domains absent from
+    ``scale = min_i(n_i / w_i)``, so the *expected* output proportions
+    equal the target weights and no domain is over-drawn. Non-binding
+    domains are thinned by independent per-row hash draws, so realized
+    proportions match only within hash-draw noise (≈ ±1/√(w_i·scale) per
+    domain) — callers needing exact mixture counts should follow with a
+    per-domain top-k on the draw value instead. Domains absent from
     ``weights`` are dropped. Membership is a pure function of the row key
     (same md5 draw as :func:`hash_sample`): stable under repartitioning,
     retries, and incremental re-ingestion.

@@ -1112,6 +1112,71 @@ def ivf_pq_topk(
     )
 
 
+def pq_adc_rerank(
+    emb_codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact rerank — the FAISS ``IndexRefineFlat``
+    pattern that recovers full-precision recall from lossy PQ codes:
+    retrieve ``shortlist`` candidates per query by cheap ADC over the
+    compressed index, fetch ONLY those candidates' full vectors, and
+    rerank them by exact squared L2 to produce the final top-``k``.
+
+    This is the production answer to the measured PQ ceiling (BASELINE.md
+    PQ curve: recall@5 plateaus at 0.37-0.44 on iid-uniform vectors from
+    k_codes=16 through the FAISS-default 256, because the distortion is
+    information-theoretically floor-bounded without cluster structure):
+    recall then depends on the SHORTLIST hit-rate, which converges to 1
+    rapidly in ``shortlist/k``, not on per-vector code fidelity.
+
+    Returns (query_id, vec_id, dist2, rank) with exact distances.
+
+    Scale shape: stage 1 is :func:`pq_adc_topk` (corpus shuffles once on
+    id, codes only); stage 2 touches full vectors for just
+    |queries|·shortlist rows — an id equi-join against the corpus that
+    Catalyst/AQE executes as a broadcast or shuffled hash join on the
+    TINY candidate side, never a corpus-wide vector shuffle. At 100 TB
+    the full-precision store is only ever randomly probed, exactly like
+    FAISS refine.
+    """
+    from .clustering import _sq_l2
+
+    short = pq_adc_topk(
+        emb_codes, codebooks, queries, m=m, dim=dim, k=shortlist,
+        id_col=id_col, query_id_col=query_id_col, vec_col=vec_col,
+    ).select(query_id_col, id_col)
+    qd = queries.select(
+        F.col(query_id_col), dvec(F.col(vec_col)).alias("__qv")
+    )
+    cd = corpus.select(F.col(id_col), dvec(F.col(vec_col)).alias("__cv"))
+    exact = (
+        short.join(cd, id_col)
+        .join(F.broadcast(qd), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _sq_l2(F.col("__qv"), F.col("__cv")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist2", "rank")
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

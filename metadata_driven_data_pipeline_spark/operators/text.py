@@ -590,8 +590,10 @@ def gopher_rules(
       max_symbol_ratio
     - ``rule_alpha_words``: ≥ min_alpha_word_ratio of words contain at
       least one alphabetic character
-    - ``rule_stopwords``: ≥ min_stopword_hits occurrences of the paper's
-      required-word list (the, be, to, of, and, that, have, with)
+    - ``rule_stopwords``: the document contains ≥ min_stopword_hits
+      *distinct* words from the paper's required-word list (the, be, to,
+      of, and, that, have, with) — Rae et al. A1.1 asks for "at least two
+      of" the listed words, so 'the the' alone does not pass
 
     Flags rather than a filter so callers can audit per-rule rejection
     rates (the number a 100 TB curation run actually monitors) and compose
@@ -620,7 +622,14 @@ def gopher_rules(
     alpha_ratio = F.when(
         n_words > 0, alpha_words / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    stop_hits = _stopword_hits(tokens(F.lower(t)), GOPHER_STOPWORDS)
+    # distinct required words present (A1.1: "at least two of ..."), not
+    # total occurrences — array_intersect dedups, so 'the the' counts once
+    stop_hits = F.size(
+        F.array_intersect(
+            tokens(F.lower(t)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
 
     rules = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
@@ -884,9 +893,6 @@ def keyword_search(
     terms = sorted({t.lower() for t in query_terms})
     toks = tokens(normalize_text(F.col(text_col)))
     dl = F.size(toks)
-
-    def tf(term: str) -> Column:
-        return F.size(F.filter(toks, lambda x: x == term))
 
     base = df.select(F.col(id_col), toks.alias("__toks"), dl.alias("__dl"))
     def term_eq(term: str):

@@ -259,6 +259,28 @@ def test_minhash_xxhash64_lane(spark, near_dup_docs):
         D.shingle_hashes(F.col("x"), hash_fn="sha1")
 
 
+def test_hashed_verify_lane_matches_text_lane(spark, near_dup_docs):
+    """shingle_hash='xxhash64' must produce IDENTICAL pairs and Jaccard
+    values to the text lane — hashing distinct shingles preserves set
+    intersections exactly (up to 2^-64 collisions, absent here)."""
+    cand = D.minhash_lsh_candidates(near_dup_docs).persist()
+    text_lane = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_verify_pairs(near_dup_docs, cand).collect()
+    }
+    hashed_lane = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_verify_pairs(
+            near_dup_docs, cand, shingle_hash="xxhash64"
+        ).collect()
+    }
+    cand.unpersist()
+    D.release_persisted()
+    assert text_lane == hashed_lane and text_lane
+    with pytest.raises(ValueError, match="shingle_hash"):
+        D.jaccard_verify_pairs(near_dup_docs, cand, shingle_hash="sha1")
+
+
 class TestSpanDedup:
     def test_repeated_span_dropped_from_later_doc(self, spark):
         span = " ".join(f"w{i}" for i in range(8))  # one 8-token span
@@ -296,6 +318,18 @@ class TestSpanDedup:
         )
         r = D.span_dedup(df, span_tokens=4).collect()[0]
         assert r.n_spans == 0 and r.n_kept == 0 and r.dedup_text == ""
+
+    def test_null_text_zero_spans(self, spark):
+        # size(NULL) is NULL in Spark 3+ — without the coalesce guard a
+        # NULL doc would leak NULL n_spans instead of the documented 0
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=None), Row(doc_id=2, text="a b c d")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in D.span_dedup(df, span_tokens=4).collect()}
+        assert out[1].n_spans == 0 and out[1].n_kept == 0
+        assert out[1].dedup_text == ""
+        assert out[2].n_spans == 1 and out[2].n_kept == 1
 
 
 class TestIncrementalDedup:

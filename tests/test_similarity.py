@@ -308,6 +308,75 @@ class TestProductQuantization:
         }
         assert ivf_all == full  # probing every cell = no pruning
 
+    def test_rerank_recall_floor_at_production_setting(
+        self, spark, embeddings
+    ):
+        """Documented quality contract (BASELINE.md PQ curve): pure ADC
+        recall plateaus at 0.37-0.44 on iid-uniform vectors regardless of
+        codebook size, so the production setting is ADC shortlist + exact
+        rerank (FAISS IndexRefineFlat). Floor mirrors the SQ8/LSH >= 0.9
+        floors: trained k_codes=64 codebooks + shortlist=50 must reach
+        recall@5 >= 0.9 vs exact L2. Deterministic (seeded init, Lloyd's
+        on fixed data), so the measured value is exactly reproducible."""
+        from metadata_driven_data_pipeline_spark.operators.clustering import (
+            _sq_l2,
+        )
+        from pyspark.sql import Window
+
+        cb = S.train_pq_codebooks(embeddings, m=8, dim=64, k=64, iters=2)
+        cb = cb.persist()
+        codes = S.pq_encode(embeddings, cb, m=8, dim=64).select(
+            "vec_id", "codes"
+        )
+        queries = embeddings.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        qd = queries.select("query_id", S.dvec(F.col("embedding")).alias("qv"))
+        cd = embeddings.select("vec_id", S.dvec(F.col("embedding")).alias("cv"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("vec_id").asc()
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in cd.join(F.broadcast(qd))
+            .select(
+                "query_id", "vec_id",
+                _sq_l2(F.col("qv"), F.col("cv")).alias("d2"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 5")
+            .collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in S.pq_adc_rerank(
+                codes, cb, embeddings, queries, m=8, dim=64, k=5,
+                shortlist=50,
+            ).collect()
+        }
+        cb.unpersist()
+        assert len(exact & approx) / len(exact) >= 0.9, len(exact & approx)
+
+    def test_rerank_with_full_shortlist_is_exact(self, spark, embeddings):
+        """shortlist = corpus size -> the rerank stage IS exact search:
+        recall must be 1.0 whatever the codes say (the refine contract)."""
+        cb = self._init_cb(embeddings)
+        codes = S.pq_encode(embeddings, cb, m=8, dim=64).select(
+            "vec_id", "codes"
+        )
+        queries = embeddings.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        n = embeddings.count()
+        out = {
+            r.query_id: r.vec_id
+            for r in S.pq_adc_rerank(
+                codes, cb, embeddings, queries, m=8, dim=64, k=1,
+                shortlist=n,
+            ).collect()
+        }
+        assert out == {0: 0, 1: 1}  # exact L2: self at distance 0
+
     def test_ivf_pq_pruned_rank1_is_self(self, spark, embeddings):
         cb = self._init_cb(embeddings)
         queries = embeddings.filter("vec_id < 3").select(

@@ -244,6 +244,14 @@ class TestGopherRules:
         r = self.rules(spark, text, min_words=30)
         assert not r.rule_stopwords and not r.gopher_keep
 
+    def test_stopword_rule_needs_distinct_words(self, spark):
+        # A1.1: "at least two of" the listed words — repeating one word
+        # many times is one distinct hit, not two
+        r = self.rules(spark, " ".join(["the"] * 40), min_words=30)
+        assert not r.rule_stopwords
+        r = self.rules(spark, " ".join(["the"] * 20 + ["of"] * 20), min_words=30)
+        assert r.rule_stopwords
+
     def test_degenerate_long_words_fail_mean_word_len(self, spark):
         text = " ".join(["supercalifragilistic"] * 40) + " the of"
         r = self.rules(spark, text, min_words=30)

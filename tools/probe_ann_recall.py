@@ -66,10 +66,96 @@ def recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
     return sum(per_q) / len(per_q) if per_q else 0.0
 
 
+def _pq_curve(spark, emb, queries, k: int, results: list, t_brute: float):
+    """PQ ADC recall/compression curve over the codebook-size ladder
+    k_codes ∈ {16, 64, 128, 256} (FAISS default 256) — pure ADC, no IVF
+    pruning, so the curve isolates quantization distortion (r3 verdict
+    item 4: measured recall at k=16 was 0.36-0.40, <1 bit/dim).
+
+    Ground truth is exact squared-L2 (ADC's metric). Compression is
+    float32 bytes / PQ code bytes at bit-packed width ceil(log2(k))."""
+    import math
+
+    from pyspark.sql import Window
+
+    from metadata_driven_data_pipeline_spark.operators.clustering import _sq_l2
+
+    m = 8
+    q_named = queries.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qd = q_named.select(
+        "query_id", sim.dvec(F.col("embedding")).alias("__qv")
+    )
+    cd = emb.select("vec_id", sim.dvec(F.col("embedding")).alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("vec_id").asc()
+    )
+    exact_l2 = topk_set(
+        cd.join(F.broadcast(qd))
+        .select("query_id", "vec_id",
+                _sq_l2(F.col("__qv"), F.col("__cv")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    for k_codes in [16, 64, 128, 256]:
+        t0 = time.time()
+        cb = sim.train_pq_codebooks(
+            emb, m=m, dim=DIM, k=k_codes, iters=2
+        ).persist()
+        t_train = time.time() - t0
+        codes = sim.pq_encode(emb, cb, m=m, dim=DIM).select(
+            "vec_id", "codes"
+        ).persist()
+        codes.count()
+        t0 = time.time()
+        approx = topk_set(
+            sim.pq_adc_topk(codes, cb, q_named, m=m, dim=DIM, k=k)
+        )
+        code_bytes = m * math.ceil(math.log2(k_codes)) / 8
+        results.append(
+            {
+                "variant": "pq_adc",
+                "params": {"m": m, "k_codes": k_codes, "iters": 2},
+                "recall_at_k": round(recall(approx, exact_l2), 4),
+                "compression_x": round(DIM * 4 / code_bytes, 1),
+                "train_sec": round(t_train, 1),
+                "search_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(json.dumps(results[-1]))
+        # refine rung: ADC shortlist -> exact rerank (IndexRefineFlat) —
+        # recall now tracks shortlist hit-rate, not code fidelity
+        for shortlist in ([25, 50, 100] if k_codes in (16, 256) else []):
+            t0 = time.time()
+            approx = topk_set(
+                sim.pq_adc_rerank(
+                    codes, cb, emb, q_named, m=m, dim=DIM, k=k,
+                    shortlist=shortlist,
+                )
+            )
+            results.append(
+                {
+                    "variant": "pq_adc_rerank",
+                    "params": {"m": m, "k_codes": k_codes,
+                               "shortlist": shortlist},
+                    "recall_at_k": round(recall(approx, exact_l2), 4),
+                    "search_sec": round(time.time() - t0, 1),
+                }
+            )
+            print(json.dumps(results[-1]))
+        cb.unpersist()
+        codes.unpersist()
+    print(json.dumps({"brute_wall_sec": round(t_brute, 1),
+                      "results": results}))
+
+
 def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    pq_only = "--pq-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mult = int(args[0]) if len(args) > 0 else 20
+    n_queries = int(args[1]) if len(args) > 1 else 25
+    k = int(args[2]) if len(args) > 2 else 5
 
     spark = get_spark(app_name="probe-ann-recall", shuffle_partitions=32)
     emb = replicated(spark, mult).persist()
@@ -84,6 +170,9 @@ def main() -> None:
     print(f"brute-force ground truth: {t_brute:.1f}s")
 
     results = []
+    if pq_only:
+        _pq_curve(spark, emb, queries, k, results, t_brute)
+        return
     for bits, multiprobe, tables in [
         (8, 0, 1), (8, 1, 1), (8, 2, 1),
         (8, 1, 4), (8, 1, 8), (8, 2, 8), (10, 1, 8), (8, 1, 16),
