@@ -1624,6 +1624,42 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint")
 
 
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy batch-vs-index dedup: docs < 250 form the MinHash signature
+    index; the NEW batch is docs >= 250 plus near-dup copies of 50 indexed
+    docs (text || ' extra', ids +10000) and exact within-batch dup copies
+    of 20 batch docs (ids +20000). Within-batch LSH+exact-verify drops the
+    +20000 copies; the signatures-only index probe (banded LSH join +
+    sketch-agreement >= 0.5) drops the +10000 near-dups — O(batch) work,
+    the index never carries text. Output value-checks the surviving ids
+    AND their signatures (md5 of the 16-component sig)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") < 250)
+    batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
+            .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
+    )
+    index = dd.minhash_index(index_docs)
+    out = dd.incremental_minhash_dedup(
+        batch, index, jaccard_threshold=0.7, sig_threshold=0.5
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias(
+            "sig_md5"
+        ),
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic corpus views: OLD drops
     doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
@@ -2617,9 +2653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
         "keyword_search": q_keyword_search,
-        # ==== position 20: NEW this round (ADC shortlist + exact rerank) ==
+        # ==== positions 20-21: NEW this round =============================
         "pq_adc_rerank": q_pq_adc_rerank,
-        # ==== positions 21-50: oldest driver-greens, re-certified =========
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        # ==== positions 22-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -2649,8 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_profile": q_text_profile,
-        "corpus_clean": q_corpus_clean,
         # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
+        "corpus_clean": q_corpus_clean,
         "pii_redact": q_pii_redact,
         "click_purchase_common_users": q_click_purchase_common_users,
         "conditional_agg": q_conditional_agg,
@@ -3107,6 +3144,85 @@ def oracle_sql() -> dict[str, str]:
              losers AS (SELECT DISTINCT id_b FROM verified)
         SELECT doc_id FROM aug
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+    def _bands_over(tbl: str) -> str:
+        rows = []
+        for b in range(4):
+            parts = ", ".join(f"sig[{b * 4 + r + 1}]::VARCHAR" for r in range(4))
+            rows.append(
+                f"SELECT doc_id, {b} AS band, "
+                f"concat_ws(',', {parts}) AS bucket FROM {tbl}"
+            )
+        return " UNION ALL ".join(rows)
+
+    # same sig/band/verify machinery as minhash_dedup, split into an
+    # index half (signatures only) and a batch half (within-batch exact
+    # verify, then sketch-agreement probe into the index)
+    sql["incremental_minhash_dedup"] = f"""
+        WITH idx_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text
+            FROM documents WHERE doc_id >= 250 AND doc_id < 270),
+        bs0 AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM batch),
+        bsh AS (SELECT doc_id, {sh3} AS sh FROM bs0),
+        bhsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM bsh),
+        bsig AS (SELECT doc_id, [{mh16}] AS sig FROM bhsh),
+        bands_b AS ({_bands_over('bsig')}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands_b a JOIN bands_b b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+        ex AS (
+            SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM bsh
+            WHERE doc_id IN (SELECT id_a FROM cand
+                             UNION SELECT id_b FROM cand)),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na,
+                   b.ns AS nb, COUNT(*) AS c
+            FROM ex a JOIN ex b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        verified AS (
+            SELECT j.id_a, j.id_b
+            FROM (SELECT id_a, id_b,
+                         round(c / (na + nb - c), 6) AS jac FROM common) j
+            JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+            WHERE j.jac >= 0.7),
+        ssig AS (
+            SELECT doc_id, sig FROM bsig
+            WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)),
+        is0 AS (SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks FROM idx_docs),
+        ish AS (SELECT doc_id, {sh3} AS sh FROM is0),
+        ihsh AS (SELECT doc_id, {_sql_shingle_hashes('sh')} AS hs FROM ish),
+        isig AS (SELECT doc_id, [{mh16}] AS sig FROM ihsh),
+        bands_s AS ({_bands_over('ssig')}),
+        bands_i AS ({_bands_over('isig')}),
+        candx AS (
+            SELECT DISTINCT s.doc_id AS bid, i.doc_id AS iid
+            FROM bands_s s JOIN bands_i i
+              ON s.band = i.band AND s.bucket = i.bucket),
+        agree AS (
+            SELECT c.bid AS doc_id,
+                   MAX(list_sum(list_transform(range(1, 17),
+                       k -> CASE WHEN bs.sig[k] = ix.sig[k]
+                                 THEN 1 ELSE 0 END)) / 16.0) AS best
+            FROM candx c
+            JOIN ssig bs ON bs.doc_id = c.bid
+            JOIN isig ix ON ix.doc_id = c.iid
+            GROUP BY 1),
+        final AS (
+            SELECT doc_id, sig FROM ssig
+            WHERE doc_id NOT IN
+                  (SELECT doc_id FROM agree WHERE best >= 0.5))
+        SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_md5 FROM final
     """
 
     sql["click_minus_purchase_users"] = """

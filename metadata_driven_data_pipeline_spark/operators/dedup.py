@@ -871,6 +871,156 @@ def incremental_dedup(
     return within.join(seen, fp_col, "left_anti")
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-doc MinHash signature table ``(id_col, sig array<bigint>)`` —
+    the persisted FUZZY-dedup index (the sketch-only analog of
+    :func:`incremental_dedup`'s fingerprint index): k longs per document,
+    never the text, so a 100 TB corpus indexes in ~8k bytes/doc·10⁻³ and
+    the index itself is join-able/broadcastable at ingestion time.
+
+    Same staged projection as :func:`minhash_lsh_candidates` (shingles →
+    base hashes → k permutation minima, each materialized once per row).
+    """
+    base = widen(
+        df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    )
+    return (
+        base.select(id_col, word_shingles(F.col("__text")).alias("__shingles"))
+        .select(
+            id_col, shingle_hashes(F.col("__shingles"), hash_fn).alias("__hashes")
+        )
+        .select(
+            id_col,
+            minhash_from_hashes(F.col("__hashes"), num_hashes).alias("sig"),
+        )
+    )
+
+
+def _banded_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature table to (id, band, bucket) LSH rows."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(
+        id_col,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    sig_threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Fuzzy-dedup a NEW batch against a persisted MinHash signature
+    index (:func:`minhash_index`) — the ingestion-time near-dup flow:
+    whole-corpus re-dedup is O(corpus) per batch, this is O(batch) work
+    plus one banded probe into a signatures-only index.
+
+    Stages:
+    1. within-batch: full :func:`minhash_dedup` (LSH candidates + EXACT
+       Jaccard verify at ``jaccard_threshold`` — the batch's text is hot,
+       so exact verification is cheap and precise);
+    2. cross-corpus: band the survivors' signatures, equi-join against
+       the banded index (same (band, bucket) keys LSH uses), and drop any
+       batch doc whose best signature agreement with an indexed doc is
+       ≥ ``sig_threshold``. Agreement (fraction of equal minhash
+       components) is the standard unbiased Jaccard ESTIMATOR — the index
+       carries no text, so the cross-corpus decision is sketch-based by
+       design (with k=16, agreement ≥ 0.5 ⇒ est. Jaccard ≥ 0.5; raise
+       ``num_hashes`` to tighten the estimator at 8 bytes/doc/hash).
+
+    Returns surviving ``new_df`` rows plus their ``sig`` column — append
+    those (id, sig) rows to the index so the next batch's probe sees
+    this one (same contract as :func:`incremental_dedup`).
+
+    Scale shape: the within-batch stage shuffles only the batch; the
+    probe is a (band, bucket) equi-join — |bands| rows per doc on each
+    side, never all-pairs — followed by a per-candidate O(k) agreement
+    fold and a max-agg; broadcast the banded batch side when the batch is
+    small relative to the index (Catalyst/AQE picks this automatically).
+    """
+    within = minhash_dedup(
+        new_df, text_col, id_col, num_hashes, bands, jaccard_threshold,
+        hash_fn,
+    )
+    sigs = _track_persist(minhash_index(
+        within, text_col, id_col, num_hashes, hash_fn
+    ).persist())
+    batch_banded = _banded_sigs(sigs, id_col, num_hashes, bands)
+    index_banded = _banded_sigs(
+        index.select(F.col(id_col).alias("__idx_id"), "sig"),
+        "__idx_id", num_hashes, bands,
+    )
+    cand = (
+        batch_banded.join(index_banded, ["band", "bucket"])
+        .select(id_col, "__idx_id")
+        .distinct()
+    )
+    agree = (
+        cand.join(sigs, id_col)
+        .join(
+            index.select(
+                F.col(id_col).alias("__idx_id"), F.col("sig").alias("__isig")
+            ),
+            "__idx_id",
+        )
+        .select(
+            id_col,
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sig", "__isig",
+                        lambda a, b: (a == b).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(num_hashes))
+            ).alias("__agree"),
+        )
+    )
+    dropped = (
+        agree.groupBy(id_col)
+        .agg(F.max("__agree").alias("__best"))
+        .filter(F.col("__best") >= sig_threshold)
+        .select(id_col)
+    )
+    return within.join(dropped, id_col, "left_anti").join(sigs, id_col)
+
+
 def corpus_diff(
     old_df: DataFrame,
     new_df: DataFrame,

@@ -11,6 +11,17 @@ skew automatically; these helpers cover the two cases it can't:
   (``two_phase_dedup_keep_latest``): reduce within (key, salt) first, then
   across salts — each phase's groups are 1/n_salts the size.
 
+Measured caveat (BASELINE.md round-4 skew probe): for the keep-latest
+shape specifically, Spark ≥3.5 plants a PARTIAL ``WindowGroupLimit``
+before the shuffle (``rn = 1`` after ``row_number`` → top-1 per key per
+map partition), so the plain ``dedup_keep_latest`` plan is ALREADY
+skew-immune — at 87% single-key skew the plain window beat the two-phase
+variant 2.8× (the salting pays an extra full shuffle for nothing). Use
+``two_phase_*`` only on engines without WindowGroupLimit or for keyed
+reductions that cannot partial-aggregate (full-sort windows, exact
+medians); ``salted_join`` remains the win for broadcast-ineligible hot-key
+joins (measured 1.33× vs skew-blind at the same skew, vs AQE's 1.06×).
+
 Salts are content-derived (``xxhash64`` of the row's columns), not random:
 results stay deterministic and re-runs produce identical partitioning.
 """

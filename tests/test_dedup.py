@@ -367,6 +367,69 @@ class TestIncrementalDedup:
         assert ids == [1]
 
 
+class TestIncrementalMinhashDedup:
+    BOILER = " ".join(f"w{i}" for i in range(30))
+
+    def test_near_dup_of_indexed_doc_dropped(self, spark):
+        indexed = spark.createDataFrame(
+            [Row(doc_id=1, text=self.BOILER + " indexed tail")],
+            "doc_id long, text string",
+        )
+        index = D.minhash_index(indexed)
+        batch = spark.createDataFrame(
+            [
+                # near-dup of the indexed doc (shares the 30-token boiler)
+                Row(doc_id=10, text=self.BOILER + " other tail"),
+                # unrelated
+                Row(doc_id=11, text=" ".join(f"z{i}" for i in range(30))),
+                # exact within-batch dup pair -> keep lowest id
+                Row(doc_id=12, text=" ".join(f"q{i}" for i in range(30))),
+                Row(doc_id=13, text=" ".join(f"q{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        out = D.incremental_minhash_dedup(batch, index)
+        ids = sorted(r.doc_id for r in out.collect())
+        D.release_persisted()
+        assert ids == [11, 12], ids
+        # returned rows carry the sig column ready to append to the index
+        assert dict(out.dtypes)["sig"] == "array<bigint>"
+
+    def test_empty_index_keeps_batch_survivors(self, spark):
+        index = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+        batch = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=self.BOILER),
+                Row(doc_id=2, text=self.BOILER),
+            ],
+            "doc_id long, text string",
+        )
+        ids = sorted(
+            r.doc_id
+            for r in D.incremental_minhash_dedup(batch, index).collect()
+        )
+        D.release_persisted()
+        assert ids == [1]
+
+    def test_index_append_contract_catches_next_batch(self, spark):
+        """Append the survivors' (id, sig) rows to the index; a later
+        batch containing the same content must then be dropped."""
+        index = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+        b1 = spark.createDataFrame(
+            [Row(doc_id=1, text=self.BOILER + " first")],
+            "doc_id long, text string",
+        )
+        out1 = D.incremental_minhash_dedup(b1, index)
+        new_index = index.unionByName(out1.select("doc_id", "sig"))
+        b2 = spark.createDataFrame(
+            [Row(doc_id=2, text=self.BOILER + " first")],
+            "doc_id long, text string",
+        )
+        out2 = D.incremental_minhash_dedup(b2, new_index)
+        assert out2.count() == 0
+        D.release_persisted()
+
+
 class TestCorpusDiff:
     def test_all_four_statuses(self, spark):
         old = spark.createDataFrame(
