@@ -1660,6 +1660,82 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    global-min/max integer grid scaling + bit interleave, all
+    integer-exact, so the layout key an engine would cluster files by is
+    reproduced bit-for-bit by the oracle. The write-side effect (every
+    file a tight hyper-rectangle on BOTH columns, verified against real
+    parquet footers) is covered in tests/test_layout.py."""
+    from metadata_driven_data_pipeline_spark.sinks import layout as lay
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    out = lay.with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    return out.select("l_orderkey", "l_linenumber", "zkey")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile of orders (exact nulls/distincts/bounds
+    in ONE aggregate) — the per-batch data-quality observability op."""
+    from metadata_driven_data_pipeline_spark.operators import profile as pr
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    return pr.table_profile(orders.select(*cols))
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report between two deterministic views of orders:
+    OLD = even orderkeys (cols ...status/...totalprice), NEW = orderkeys
+    not divisible by 3 with ...totalprice nulled for every 5th order and
+    ...priority instead of ...status — exercising column_added/removed,
+    null_rate_drift, and the range flag in one certified query."""
+    from metadata_driven_data_pipeline_spark.operators import profile as pr
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return pr.profile_drift(pr.table_profile(old), pr.table_profile(new))
+
+
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: build the 4x1024 counter
+    grid over the documents token stream, estimate six fixed terms, and
+    join the exact counts alongside — certifying the whole sketch (grid
+    hashing, counter sums, min-estimate) AND its over-estimate property
+    in one query. The sketch shuffle is bounded by d*w rows whatever the
+    vocabulary; exact counts need a per-token shuffle (the comparison
+    the operator exists to avoid at 100 TB)."""
+    from metadata_driven_data_pipeline_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["batch", "data", "key", "row", "spark", "the"]
+    cms = sk.cms_build(docs, depth=4, width=1024)
+    est = sk.cms_estimate(cms, terms, depth=4, width=1024)
+    toks = docs.select(
+        F.explode(tx.tokens(tx.normalize_text(F.col("text")))).alias("term")
+    )
+    exact = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic corpus views: OLD drops
     doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
@@ -2653,10 +2729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
         "keyword_search": q_keyword_search,
-        # ==== positions 20-21: NEW this round =============================
+        # ==== positions 20-25: NEW this round =============================
         "pq_adc_rerank": q_pq_adc_rerank,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
-        # ==== positions 22-50: oldest driver-greens, re-certified =========
+        "zorder_key": q_zorder_key,
+        "table_profile": q_table_profile,
+        "profile_drift": q_profile_drift,
+        "cms_frequencies": q_cms_frequencies,
+        # ==== positions 26-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -2682,11 +2762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "semdedup_pairs": q_semdedup_pairs,
         "kmeans_step": q_kmeans_step,
+        # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_profile": q_text_profile,
-        # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
         "corpus_clean": q_corpus_clean,
         "pii_redact": q_pii_redact,
         "click_purchase_common_users": q_click_purchase_common_users,
@@ -3224,6 +3304,159 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT doc_id FROM agree WHERE best >= 0.5))
         SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_md5 FROM final
     """
+
+    # Morton key: integer grid scaling + bit interleave, both exact
+    sql["zorder_key"] = """
+        WITH s AS (
+            SELECT greatest(max(l_partkey) - min(l_partkey), 1) AS spa,
+                   min(l_partkey) AS mna,
+                   greatest(max(l_suppkey) - min(l_suppkey), 1) AS spb,
+                   min(l_suppkey) AS mnb
+            FROM lineitem),
+        g AS (
+            SELECT l_orderkey, l_linenumber,
+                   ((l_partkey - mna) * 255) // spa AS ga,
+                   ((l_suppkey - mnb) * 255) // spb AS gb
+            FROM lineitem CROSS JOIN s)
+        SELECT l_orderkey, l_linenumber,
+               CAST(INTERLEAVE AS BIGINT) AS zkey
+        FROM g
+    """.replace("INTERLEAVE", '(((ga >> 0) & 1) << 0) | (((gb >> 0) & 1) << 1) | (((ga >> 1) & 1) << 2) | (((gb >> 1) & 1) << 3) | (((ga >> 2) & 1) << 4) | (((gb >> 2) & 1) << 5) | (((ga >> 3) & 1) << 6) | (((gb >> 3) & 1) << 7) | (((ga >> 4) & 1) << 8) | (((gb >> 4) & 1) << 9) | (((ga >> 5) & 1) << 10) | (((gb >> 5) & 1) << 11) | (((ga >> 6) & 1) << 12) | (((gb >> 6) & 1) << 13) | (((ga >> 7) & 1) << 14) | (((gb >> 7) & 1) << 15)')
+
+    sql["table_profile"] = """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM (SELECT * FROM orders) UNION ALL 
+            SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_custkey) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+            FROM (SELECT * FROM orders) UNION ALL 
+            SELECT 'o_orderstatus' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderstatus) AS n_distinct,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+            FROM (SELECT * FROM orders) UNION ALL 
+            SELECT 'o_totalprice' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_totalprice) AS n_distinct,
+                   CAST(MIN(o_totalprice) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_totalprice) AS VARCHAR) AS max_value
+            FROM (SELECT * FROM orders) UNION ALL 
+            SELECT 'o_orderpriority' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderpriority) AS n_distinct,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderpriority) AS VARCHAR) AS max_value
+            FROM (SELECT * FROM orders)
+    """
+
+    sql["profile_drift"] = """
+        WITH po AS (
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) UNION ALL 
+            SELECT 'o_orderstatus' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderstatus) AS n_distinct,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) UNION ALL 
+            SELECT 'o_totalprice' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_totalprice) AS n_distinct,
+                   CAST(MIN(o_totalprice) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_totalprice) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0)), pn AS (
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 3 != 0) UNION ALL 
+            SELECT 'o_totalprice' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_totalprice) AS n_distinct,
+                   CAST(MIN(o_totalprice) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_totalprice) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 3 != 0) UNION ALL 
+            SELECT 'o_orderpriority' AS "column", COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderpriority) AS n_distinct,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderpriority) AS VARCHAR) AS max_value
+            FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 3 != 0)),
+        j AS (
+            SELECT COALESCE(po."column", pn."column") AS "column",
+                   po.n_rows AS rows_old, po.n_nulls AS nulls_old,
+                   po.n_distinct AS distinct_old,
+                   po.min_value AS min_old, po.max_value AS max_old,
+                   pn.n_rows AS rows_new, pn.n_nulls AS nulls_new,
+                   pn.n_distinct AS distinct_new,
+                   pn.min_value AS min_new, pn.max_value AS max_new
+            FROM po FULL OUTER JOIN pn ON po."column" = pn."column"),
+        c AS (
+            SELECT "column", rows_old, rows_new, distinct_old, distinct_new,
+                   min_old, max_old, min_new, max_new,
+                   CASE WHEN rows_old > 0
+                        THEN nulls_old / CAST(rows_old AS DOUBLE)
+                        ELSE 0.0 END AS nro,
+                   CASE WHEN rows_new > 0
+                        THEN nulls_new / CAST(rows_new AS DOUBLE)
+                        ELSE 0.0 END AS nrn
+            FROM j)
+        SELECT "column",
+               CASE WHEN rows_old IS NULL THEN 'column_added'
+                    WHEN rows_new IS NULL THEN 'column_removed'
+                    WHEN abs(nrn - nro) > 0.01 THEN 'null_rate_drift'
+                    WHEN abs(distinct_new - distinct_old)
+                         / CAST(greatest(distinct_old, 1) AS DOUBLE) > 0.5
+                         THEN 'distinct_drift'
+                    ELSE 'ok' END AS status,
+               round(nro, 6) AS null_rate_old,
+               round(nrn, 6) AS null_rate_new,
+               distinct_old, distinct_new,
+               COALESCE(min_old != min_new OR max_old != max_new, TRUE)
+                   AS range_changed
+        FROM c
+
+    """
+
+    sql["cms_frequencies"] = """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(
+                trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                '\\s+')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''),
+        grid0 AS (SELECT 0 AS depth, (((('0x' || substr(md5('cms0:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 1 AS depth, (((('0x' || substr(md5('cms1:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 2 AS depth, (((('0x' || substr(md5('cms2:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 3 AS depth, (((('0x' || substr(md5('cms3:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks),
+        grid AS (
+            SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM grid0 GROUP BY 1, 2),
+        terms AS (SELECT unnest(['batch', 'data', 'key', 'row', 'spark', 'the']) AS term),
+        lk AS (SELECT term, 0 AS depth, (((('0x' || substr(md5('cms0:' || term), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM terms UNION ALL SELECT term, 1 AS depth, (((('0x' || substr(md5('cms1:' || term), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM terms UNION ALL SELECT term, 2 AS depth, (((('0x' || substr(md5('cms2:' || term), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM terms UNION ALL SELECT term, 3 AS depth, (((('0x' || substr(md5('cms3:' || term), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM terms),
+        est AS (
+            SELECT lk.term,
+                   MIN(COALESCE(grid.cnt, 0)) AS est
+            FROM lk LEFT JOIN grid
+              ON lk.depth = grid.depth AND lk.bucket = grid.bucket
+            GROUP BY 1),
+        exact AS (
+            SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS exact
+            FROM toks WHERE tok IN ('batch', 'data', 'key', 'row', 'spark', 'the') GROUP BY 1)
+        SELECT est.term, est.est,
+               COALESCE(exact.exact, 0) AS exact
+        FROM est LEFT JOIN exact ON est.term = exact.term
+    """
+
 
     sql["click_minus_purchase_users"] = """
         SELECT user_id FROM events WHERE event_type = 'click'

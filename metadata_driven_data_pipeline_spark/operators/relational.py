@@ -415,9 +415,12 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
     fingerprint), ``minhash`` (LSH→verify, keep lowest id), ``keep_best``
     (near-dup groups, keep highest-quality member; quality defaults to
     text length, or any SQL expression via ``qualityExpr``), ``span``
-    (sub-document fixed-width span dedup, ExactSubstr-style), or
+    (sub-document fixed-width span dedup, ExactSubstr-style),
     ``incremental`` (within-batch dedup + anti-join probe against the
-    fingerprint index named by ``indexInput``)."""
+    fingerprint index named by ``indexInput``), or
+    ``minhash_incremental`` (fuzzy: within-batch LSH + exact verify,
+    then a banded sketch-agreement probe into the signatures-only
+    MinHash index named by ``indexInput``)."""
     from . import dedup as dd
     from .clustering import neardup_keep_best
 
@@ -460,6 +463,19 @@ def _t_text_dedup(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFr
             fp_col=params.get("fpCol", "fingerprint"),
             normalize=bool(params.get("normalize", True)),
         )
+    elif mode == "minhash_incremental":
+        # fuzzy ingestion-time flow: within-batch LSH + exact verify,
+        # then a banded probe into the signatures-only index named by
+        # ``indexInput`` (build one with operators.dedup.minhash_index)
+        out = dd.incremental_minhash_dedup(
+            df, _get(catalog, params["indexInput"]),
+            text_col=text_col, id_col=id_col,
+            num_hashes=int(params.get("numHashes", 16)),
+            bands=int(params.get("bands", 4)),
+            jaccard_threshold=float(params.get("jaccardThreshold", 0.8)),
+            sig_threshold=float(params.get("sigThreshold", 0.5)),
+            hash_fn=params.get("hashFn", "md5"),
+        )
     else:
         raise ValueError(f"unknown text_dedup mode: {mode!r}")
     return {ctx["name"]: out}
@@ -494,6 +510,9 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
             df, text_col=text_col,
             min_words=int(params.get("minWords", 50)),
             max_words=int(params.get("maxWords", 100_000)),
+            # A1.1 default is 2 DISTINCT required words; expose the knob
+            # because synthetic/word-soup corpora may carry fewer
+            min_stopword_hits=int(params.get("minStopwordHits", 2)),
         )
     elif mode == "classifier":
         out = tx.quality_classifier(

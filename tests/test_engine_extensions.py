@@ -387,6 +387,36 @@ def test_span_and_incremental_dedup_transforms(spark, tmp_path):
     ids = {r["doc_id"] for r in out2.select("doc_id").collect()}
     assert ids and all(i >= 250 for i in ids)  # indexed docs all dropped
 
+    # minhash_incremental needs a signature table as indexInput; drive it
+    # directly through the transform registry with a prepared catalog
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+    from metadata_driven_data_pipeline_spark.operators.relational import (
+        TRANSFORM_TYPES,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    catalog = {
+        "batch": docs.filter("doc_id >= 250").select("doc_id", "text")
+        .unionByName(
+            docs.filter("doc_id < 20")
+            .selectExpr("doc_id + 10000 AS doc_id", "text")
+        ),
+        "sigs": DD.minhash_index(
+            docs.filter("doc_id < 250").select("doc_id", "text")
+        ),
+    }
+    res = TRANSFORM_TYPES["text_dedup"](
+        catalog,
+        {"input": "batch", "mode": "minhash_incremental",
+         "indexInput": "sigs"},
+        {"name": "fresh"},
+    )["fresh"]
+    ids3 = {r["doc_id"] for r in res.select("doc_id").collect()}
+    DD.release_persisted()
+    # exact copies of indexed docs agree on every minhash component ->
+    # all +10000 rows dropped by the sketch probe; originals survive
+    assert ids3 and all(i < 10000 for i in ids3)
+
 
 def test_gopher_and_classifier_transforms(spark, tmp_path):
     out = _run(
@@ -397,7 +427,9 @@ def test_gopher_and_classifier_transforms(spark, tmp_path):
         transformations=[
             {"name": "gated", "type": "text_analyze",
              "params": {"input": "documents", "mode": "gopher",
-                        "minWords": 30}},
+                        # distinct-stopword rule (Rae A1.1): the word-soup
+                        # testdata carries only 'the' from the list
+                        "minWords": 30, "minStopwordHits": 1}},
             {"name": "kept", "type": "filter",
              "params": {"input": "gated", "condition": "gopher_keep"}},
             {"name": "scored", "type": "text_analyze",

@@ -105,6 +105,12 @@ AUDITED = [
     "hard_negatives",
     "vocab_encode",
     "keyword_search",
+    "pq_adc_rerank",
+    "incremental_minhash_dedup",
+    "zorder_key",
+    "table_profile",
+    "profile_drift",
+    "cms_frequencies",
 ]
 
 
@@ -192,8 +198,16 @@ def main() -> None:
         details.append("")
         print(f"audited {name}")
 
+    # hand-maintained sections (e.g. the driver-window rotation policy)
+    # live below this marker in the existing file — carry them over
+    carry = ""
+    marker = "## Driver-window rotation"
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        if marker in prev:
+            carry = "\n" + prev[prev.index(marker):]
     with open(out_md, "w") as f:
-        f.write("\n".join(lines + details) + "\n")
+        f.write("\n".join(lines + details) + "\n" + carry)
     print(f"wrote {out_md}")
     spark.stop()
 
