@@ -107,6 +107,7 @@ def neardup_groups(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
     hash_fn: str = "md5",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash-LSH → exact-Jaccard verify → connected components: every
     document that participates in a verified near-dup pair, labeled with its
@@ -118,23 +119,84 @@ def neardup_groups(
     ``minhash_dedup`` drops any doc paired with a lower id; this instead
     exposes the full group structure (needed when the keep-policy is not
     "lowest id" — e.g. keep longest, newest, or highest-quality member).
+
+    ``collapse_exact`` (default on, same equivalence argument as
+    :func:`operators.dedup.minhash_dedup`): the sketch/verify/component
+    machinery runs over one min-id representative per distinct content;
+    exact-dup members are then re-attached to their rep's group, and an
+    exact group of size ≥ 2 is a dup group even without a fuzzy pair
+    (its members pair at Jaccard 1). Component labels are unchanged —
+    the component's min doc id is always a representative, because every
+    non-rep is larger than its own rep. Pair work drops from quadratic
+    in duplicate multiplicity to linear (measured in BASELINE.md r4).
     """
+    from pyspark import StorageLevel
+
     from . import dedup as dd
+    from .dedup import _track_persist, normalize_text
+
+    if not collapse_exact:
+        candidates = dd.minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, hash_fn
+        )
+        verified = dd.jaccard_verify_pairs(
+            df, candidates, text_col, id_col, threshold=jaccard_threshold,
+            # hash_fn="xxhash64" selects the production lane END-TO-END:
+            # the verify stage then intersects 8-byte shingle hashes
+            # instead of shingle text (BASELINE.md round-4 verify-lane
+            # table); md5 = oracle lane
+            shingle_hash="xxhash64" if hash_fn == "xxhash64" else None,
+        )
+        return connected_components(
+            verified, out_id=id_col, group_col="group_id"
+        )
+
+    fp = (
+        F.md5(normalize_text(F.col(text_col)))
+        if hash_fn == "md5"
+        else F.xxhash64(normalize_text(F.col(text_col)))
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    keyed = _track_persist(
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = keyed.filter(F.col("__rn") == 1)
+    rep_map = reps.select(F.col("__fp"), F.col(id_col).alias("__rep"))
+    members = (
+        keyed.filter(F.col("__rn") > 1)
+        .select(F.col(id_col), "__fp")
+        .join(rep_map, "__fp")
+        .select(id_col, "__rep")
+    )
+    rep_df = reps.drop("__fp", "__rn")
 
     candidates = dd.minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, hash_fn
+        rep_df, text_col, id_col, num_hashes, bands, hash_fn
     )
     verified = dd.jaccard_verify_pairs(
-        df, candidates, text_col, id_col, threshold=jaccard_threshold,
-        # hash_fn="xxhash64" selects the production lane END-TO-END: the
-        # verify stage then intersects 8-byte shingle hashes instead of
-        # shingle text — the dominant cost on adversarial dup graphs
-        # (BASELINE.md round-4 verify-lane table); md5 = oracle lane
+        rep_df, candidates, text_col, id_col, threshold=jaccard_threshold,
         shingle_hash="xxhash64" if hash_fn == "xxhash64" else None,
     )
-    return connected_components(
-        verified, out_id=id_col, group_col="group_id"
+    rep_groups = _track_persist(
+        connected_components(verified, out_id=id_col, group_col="group_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # reps of multi-member exact groups form a dup group even with no
+    # fuzzy pair: label = the rep itself (its group's min id)
+    multi_reps = members.select(F.col("__rep").alias(id_col)).distinct()
+    solo_exact = (
+        multi_reps.join(rep_groups, id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("group_id"))
+    )
+    all_rep_labels = rep_groups.unionByName(solo_exact)
+    member_labels = (
+        members.join(
+            all_rep_labels.withColumnRenamed(id_col, "__rep"), "__rep"
+        ).select(id_col, "group_id")
+    )
+    return all_rep_labels.unionByName(member_labels)
 
 
 def neardup_keep_best(

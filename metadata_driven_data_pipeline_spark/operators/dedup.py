@@ -416,12 +416,26 @@ def minhash_dedup(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
     hash_fn: str = "md5",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Full fuzzy-dedup: LSH candidates → exact Jaccard verify
     (:func:`jaccard_verify_pairs` — per-pair array intersection, linear in
     the candidate count) → drop the higher id of every confirmed pair
     (union-find-free greedy survivor rule: a doc survives unless it pairs
     with a lower id).
+
+    ``collapse_exact`` (default on) runs the sketch pipeline over one
+    REPRESENTATIVE per distinct normalized content (the min-id member)
+    instead of every copy — the standard exact-then-fuzzy composition.
+    Provably identical output: identical docs share signatures, so LSH
+    buckets every within-group pair and Jaccard-1 verifies them, dropping
+    all-but-lowest exactly as the collapse does; and a doc x is dropped by
+    a near-dup group G iff min(G) < x, because every member of G shares
+    the rep's shingle set and the rep IS min(G). What changes is COST:
+    pair work is quadratic in duplicate multiplicity without the
+    collapse (m identical copies ⇒ m² candidate pairs — the dominant
+    term on real crawls and on the adversarial 20× probe), and linear
+    with it (measured in BASELINE.md round 4).
 
     The candidate-pair set is persisted: it feeds both the verify join and
     (via the losers) the final anti join, and each occurrence would
@@ -430,18 +444,39 @@ def minhash_dedup(
     MEMORY_AND_DISK is cheap at any scale."""
     from pyspark import StorageLevel
 
+    fuzzy_input = df
+    non_reps = None
+    if collapse_exact:
+        fp = (
+            F.md5(normalize_text(F.col(text_col)))
+            if hash_fn == "md5"
+            else F.xxhash64(normalize_text(F.col(text_col)))
+        )
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+        keyed = _track_persist(
+            df.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        fuzzy_input = keyed.filter(F.col("__rn") == 1).drop("__fp", "__rn")
+        non_reps = keyed.filter(F.col("__rn") > 1).select(id_col)
+
     candidates = _track_persist(
-        minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, hash_fn)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        minhash_lsh_candidates(
+            fuzzy_input, text_col, id_col, num_hashes, bands, hash_fn
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     verified = jaccard_verify_pairs(
-        df, candidates, text_col, id_col, threshold=jaccard_threshold,
+        fuzzy_input, candidates, text_col, id_col,
+        threshold=jaccard_threshold,
         # production lane propagates end-to-end: hashed-shingle verify
         # (longs through the pair join) whenever the minhash lane is
         # already xxhash64; md5 keeps the text-shingle oracle verify
         shingle_hash="xxhash64" if hash_fn == "xxhash64" else None,
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if non_reps is not None:
+        losers = losers.union(non_reps).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -80,6 +80,46 @@ class TestNeardupGroups:
         assert all(g <= d for d, g in by_id.items())
 
 
+class TestNeardupGroupsCollapse:
+    def test_collapse_exact_output_identical(self, spark):
+        """collapse_exact must reproduce the uncollapsed group structure
+        exactly on a corpus mixing exact-dup groups (incl. one with NO
+        fuzzy neighbor), cross-group near-dups, and singletons."""
+        from pyspark.sql import Row
+
+        boiler = " ".join(f"w{i}" for i in range(30))
+        rows = [
+            Row(doc_id=1, text=boiler + " alpha tail"),
+            Row(doc_id=5, text=boiler + " alpha tail"),   # exact dup of 1
+            Row(doc_id=3, text=boiler + " beta tail"),    # near-dup of 1/5
+            Row(doc_id=2, text=" ".join(f"q{i}" for i in range(30))),
+            Row(doc_id=9, text=" ".join(f"q{i}" for i in range(30))),
+            # ^ exact pair with no fuzzy neighbor — a group on its own
+            Row(doc_id=7, text=" ".join(f"z{i}" for i in range(30))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {
+            (r.doc_id, r.group_id)
+            for r in cl.neardup_groups(
+                df, jaccard_threshold=0.5, collapse_exact=False
+            ).collect()
+        }
+        from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+        DD.release_persisted()
+        b = {
+            (r.doc_id, r.group_id)
+            for r in cl.neardup_groups(
+                df, jaccard_threshold=0.5, collapse_exact=True
+            ).collect()
+        }
+        DD.release_persisted()
+        assert a == b
+        assert (5, 1) in a and (3, 1) in a     # fuzzy+exact share group 1
+        assert (9, 2) in a and (2, 2) in a     # exact-only pair is a group
+        assert all(d != 7 for d, _ in a)        # singleton excluded
+
+
 class TestNeardupKeepBest:
     def test_keep_longest_survivor_per_group(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(

@@ -259,6 +259,36 @@ def test_minhash_xxhash64_lane(spark, near_dup_docs):
         D.shingle_hashes(F.col("x"), hash_fn="sha1")
 
 
+def test_collapse_exact_is_output_identical(spark):
+    """collapse_exact must be a pure cost optimization: survivors match
+    the uncollapsed pipeline exactly on a corpus mixing exact-dup groups
+    with cross-group near-dups."""
+    boiler = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=boiler + " alpha tail"),
+        Row(doc_id=5, text=boiler + " alpha tail"),      # exact dup of 1
+        Row(doc_id=3, text=boiler + " beta tail"),        # near-dup of 1/5
+        Row(doc_id=2, text=" ".join(f"q{i}" for i in range(30))),
+        Row(doc_id=9, text=" ".join(f"q{i}" for i in range(30))),  # dup of 2
+        Row(doc_id=7, text=" ".join(f"z{i}" for i in range(30))),  # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5)
+    a = sorted(
+        r.doc_id
+        for r in D.minhash_dedup(df, collapse_exact=False, **kw).collect()
+    )
+    D.release_persisted()
+    b = sorted(
+        r.doc_id
+        for r in D.minhash_dedup(df, collapse_exact=True, **kw).collect()
+    )
+    D.release_persisted()
+    assert a == b
+    assert 1 in a and 2 in a and 7 in a  # group minima + unique survive
+    assert 5 not in a and 9 not in a     # exact dups dropped
+
+
 def test_hashed_verify_lane_matches_text_lane(spark, near_dup_docs):
     """shingle_hash='xxhash64' must produce IDENTICAL pairs and Jaccard
     values to the text lane — hashing distinct shingles preserves set
