@@ -130,10 +130,8 @@ def neardup_groups(
     non-rep is larger than its own rep. Pair work drops from quadratic
     in duplicate multiplicity to linear (measured in BASELINE.md r4).
     """
-    from pyspark import StorageLevel
-
     from . import dedup as dd
-    from .dedup import _track_persist, normalize_text
+    from .dedup import _track_persist
 
     if not collapse_exact:
         candidates = dd.minhash_lsh_candidates(
@@ -151,26 +149,15 @@ def neardup_groups(
             verified, out_id=id_col, group_col="group_id"
         )
 
-    fp = (
-        F.md5(normalize_text(F.col(text_col)))
-        if hash_fn == "md5"
-        else F.xxhash64(normalize_text(F.col(text_col)))
+    _fps, rep_ids, members = dd._exact_collapse(
+        df, text_col, id_col, hash_fn
     )
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    keyed = _track_persist(
-        df.withColumn("__fp", fp)
-        .withColumn("__rn", F.row_number().over(w))
+    # persisted: feeds both the LSH candidate build and the verify-stage
+    # shingle projection (unpersisted, each job re-derives the semi-join)
+    rep_df = _track_persist(
+        df.join(rep_ids, id_col, "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    reps = keyed.filter(F.col("__rn") == 1)
-    rep_map = reps.select(F.col("__fp"), F.col(id_col).alias("__rep"))
-    members = (
-        keyed.filter(F.col("__rn") > 1)
-        .select(F.col(id_col), "__fp")
-        .join(rep_map, "__fp")
-        .select(id_col, "__rep")
-    )
-    rep_df = reps.drop("__fp", "__rn")
 
     candidates = dd.minhash_lsh_candidates(
         rep_df, text_col, id_col, num_hashes, bands, hash_fn

@@ -408,6 +408,39 @@ def jaccard_verify_pairs(
     )
 
 
+def _exact_collapse(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str
+):
+    """Shared exact-collapse plan: returns (fps, rep_ids, non_reps) where
+    ``fps`` = persisted (id, __fp) projection, ``rep_ids`` = the min-id
+    member per distinct content, ``non_reps`` = everyone else.
+
+    Deliberately shuffles ONLY (fingerprint, id) pairs — the min-per-fp
+    aggregate partial-combines map-side, so the exchange is tiny and the
+    corpus TEXT never moves (the earlier window-over-full-rows form paid
+    a text shuffle + full-row persist, which on low-dup corpora cost more
+    than the collapse saved)."""
+    from pyspark import StorageLevel
+
+    fp = (
+        F.md5(normalize_text(F.col(text_col)))
+        if hash_fn == "md5"
+        else F.xxhash64(normalize_text(F.col(text_col)))
+    )
+    fps = _track_persist(
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    rep_ids = reps.select(F.col("__rep").alias(id_col))
+    non_reps = (
+        fps.join(reps, "__fp")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(id_col, "__rep")
+    )
+    return fps, rep_ids, non_reps
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -435,7 +468,12 @@ def minhash_dedup(
     pair work is quadratic in duplicate multiplicity without the
     collapse (m identical copies ⇒ m² candidate pairs — the dominant
     term on real crawls and on the adversarial 20× probe), and linear
-    with it (measured in BASELINE.md round 4).
+    with it (measured in BASELINE.md round 4: 39.9 s → 7.8 s at 100k
+    docs). Crossover note: on a corpus with NO exact dups the collapse
+    is a measured ~0.7 s fixed overhead (fingerprint pass + rep
+    semi-join), so below a few thousand unique docs the uncollapsed
+    plan is marginally faster — the same documented trade as the
+    candidates→verify default in ``embedding_neardup``.
 
     The candidate-pair set is persisted: it feeds both the verify join and
     (via the losers) the final anti join, and each occurrence would
@@ -447,19 +485,18 @@ def minhash_dedup(
     fuzzy_input = df
     non_reps = None
     if collapse_exact:
-        fp = (
-            F.md5(normalize_text(F.col(text_col)))
-            if hash_fn == "md5"
-            else F.xxhash64(normalize_text(F.col(text_col)))
+        fps, rep_ids, non_reps = _exact_collapse(
+            df, text_col, id_col, hash_fn
         )
-        w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-        keyed = _track_persist(
-            df.withColumn("__fp", fp)
-            .withColumn("__rn", F.row_number().over(w))
+        # persist the representative rows: they feed the LSH candidate
+        # build, the verify-stage shingle projection, AND (via losers)
+        # the final anti join — unpersisted, each job re-derives the
+        # semi-join and re-reads the corpus (measured 2x on the certified
+        # aug-corpus query)
+        fuzzy_input = _track_persist(
+            df.join(rep_ids, id_col, "left_semi")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        fuzzy_input = keyed.filter(F.col("__rn") == 1).drop("__fp", "__rn")
-        non_reps = keyed.filter(F.col("__rn") > 1).select(id_col)
 
     candidates = _track_persist(
         minhash_lsh_candidates(
@@ -476,7 +513,7 @@ def minhash_dedup(
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     if non_reps is not None:
-        losers = losers.union(non_reps).distinct()
+        losers = losers.union(non_reps.select(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
