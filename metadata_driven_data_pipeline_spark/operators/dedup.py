@@ -1044,18 +1044,28 @@ def incremental_minhash_dedup(
     fold and a max-agg; broadcast the banded batch side when the batch is
     small relative to the index (Catalyst/AQE picks this automatically).
     """
-    within = minhash_dedup(
-        new_df, text_col, id_col, num_hashes, bands, jaccard_threshold,
-        hash_fn,
+    from pyspark import StorageLevel
+
+    # persisted: the within-batch pipeline (LSH + verify) feeds BOTH the
+    # signature build and the final survivor join — unpersisted it would
+    # run twice, and it is the dominant per-batch cost
+    within = _track_persist(
+        minhash_dedup(
+            new_df, text_col, id_col, num_hashes, bands,
+            jaccard_threshold, hash_fn,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = _track_persist(minhash_index(
         within, text_col, id_col, num_hashes, hash_fn
     ).persist())
-    batch_banded = _banded_sigs(sigs, id_col, num_hashes, bands)
-    index_banded = _banded_sigs(
-        index.select(F.col(id_col).alias("__idx_id"), "sig"),
-        "__idx_id", num_hashes, bands,
+    # normalized index projection, consumed by banding AND the agreement
+    # join — persist so a caller-side derived index is not evaluated twice
+    idx = _track_persist(
+        index.select(F.col(id_col).alias("__idx_id"), "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    batch_banded = _banded_sigs(sigs, id_col, num_hashes, bands)
+    index_banded = _banded_sigs(idx, "__idx_id", num_hashes, bands)
     cand = (
         batch_banded.join(index_banded, ["band", "bucket"])
         .select(id_col, "__idx_id")
@@ -1064,9 +1074,7 @@ def incremental_minhash_dedup(
     agree = (
         cand.join(sigs, id_col)
         .join(
-            index.select(
-                F.col(id_col).alias("__idx_id"), F.col("sig").alias("__isig")
-            ),
+            idx.select("__idx_id", F.col("sig").alias("__isig")),
             "__idx_id",
         )
         .select(
