@@ -1736,6 +1736,36 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cms_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency monitor: the documents table replayed as a file
+    stream, a Count-Min grid maintained per micro-batch via foreachBatch
+    (counters additive ⇒ merge = union + re-sum). The final grid is
+    order-independent and deterministic, so it hash-matches the batch
+    sketch the oracle computes over the same corpus — the streaming
+    engine itself runs under the correctness gate, like
+    streaming_curated_ingest."""
+    import shutil
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_cms_monitor,
+    )
+
+    _utc(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="stream_cms_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = incremental_file_stream(spark, stream_dir, schema, fmt="parquet")
+    out_dir = tempfile.mkdtemp(prefix="cms_grid_") + "/grid"
+    chk = tempfile.mkdtemp(prefix="cms_chk_")
+    run_cms_monitor(stream, chk, out_dir, depth=4, width=1024)
+    grid = spark.read.parquet(out_dir)
+    shutil.rmtree(chk, ignore_errors=True)
+    return grid.select("depth", "bucket", "cnt")
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic corpus views: OLD drops
     doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
@@ -2729,14 +2759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
         "keyword_search": q_keyword_search,
-        # ==== positions 20-25: NEW this round =============================
+        # ==== positions 20-26: NEW this round =============================
         "pq_adc_rerank": q_pq_adc_rerank,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "zorder_key": q_zorder_key,
         "table_profile": q_table_profile,
         "profile_drift": q_profile_drift,
         "cms_frequencies": q_cms_frequencies,
-        # ==== positions 26-50: oldest driver-greens, re-certified =========
+        "streaming_cms_monitor": q_streaming_cms_monitor,
+        # ==== positions 27-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -2761,8 +2792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_counts": q_streaming_enriched_counts,
         "dedup_exact": q_dedup_exact,
         "semdedup_pairs": q_semdedup_pairs,
-        "kmeans_step": q_kmeans_step,
         # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
+        "kmeans_step": q_kmeans_step,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
@@ -3456,6 +3487,19 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(exact.exact, 0) AS exact
         FROM est LEFT JOIN exact ON est.term = exact.term
     """
+
+    sql["streaming_cms_monitor"] = """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(
+                trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                '\\s+')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''),
+        grid0 AS (SELECT 0 AS depth, (((('0x' || substr(md5('cms0:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 1 AS depth, (((('0x' || substr(md5('cms1:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 2 AS depth, (((('0x' || substr(md5('cms2:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks UNION ALL SELECT 3 AS depth, (((('0x' || substr(md5('cms3:' || tok), 1, 15))::BIGINT) % 2147483647) % 1024) AS bucket FROM toks)
+        SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grid0 GROUP BY 1, 2
+    """
+
 
 
     sql["click_minus_purchase_users"] = """

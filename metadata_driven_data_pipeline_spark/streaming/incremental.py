@@ -247,3 +247,59 @@ def run_upsert_consolidated(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cms_monitor(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    fmt: str = "parquet",
+) -> None:
+    """Streaming token-frequency monitor: maintain a Count-Min sketch
+    grid over everything the stream has delivered, merged per micro-batch
+    via ``foreachBatch`` (counters are ADDITIVE, so merge = union +
+    re-sum — the property that makes the sketch the right streaming
+    frequency structure; exact top-k state would grow with the
+    vocabulary, this grid is a fixed d×w table forever).
+
+    Because the grid is deterministic and order-independent, the final
+    table equals ``operators.sketch.cms_build`` over the whole corpus —
+    which is exactly how the certified query checks it against the
+    DuckDB oracle. Staging-path swap like :func:`run_upsert_consolidated`.
+    """
+    import shutil
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = cms_build(
+            batch_df, text_col=text_col, depth=depth, width=width,
+            hash_fn=hash_fn,
+        )
+        try:
+            existing = spark.read.format(fmt).load(output_path)
+            grid = (
+                existing.unionByName(grid)
+                .groupBy("depth", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:
+            pass
+        staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
+        grid.write.format(fmt).mode("overwrite").save(staging)
+        shutil.rmtree(output_path, ignore_errors=True)
+        shutil.move(staging, output_path)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

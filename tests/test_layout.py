@@ -113,3 +113,55 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == n
     assert back.agg(F.sum("payload")).collect()[0][0] == n * (n - 1) // 2
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_and_preserves_data(
+        self, spark, tmp_path
+    ):
+        from metadata_driven_data_pipeline_spark.sinks import maintenance as M
+
+        path = str(tmp_path / "frag")
+        df = spark.range(50_000).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        )
+        df.repartition(64).write.mode("overwrite").parquet(path)
+        before = M.table_file_stats(spark, path)
+        assert before["files"] >= 60
+
+        res = M.compact_small_files(
+            spark, path, target_bytes=before["bytes"] // 4
+        )
+        assert res["after"]["files"] <= 6
+        # byte-for-byte data preservation
+        back = spark.read.parquet(path)
+        assert back.count() == 50_000
+        assert back.agg(F.sum("id")).collect()[0][0] == 50_000 * 49_999 // 2
+
+    def test_sorted_compaction_tightens_file_stats(self, spark, tmp_path):
+        pa = pytest.importorskip("pyarrow.parquet")
+        from metadata_driven_data_pipeline_spark.sinks import maintenance as M
+
+        path = str(tmp_path / "sorted")
+        spark.range(40_000).select(
+            F.pmod(F.col("id") * 7919, F.lit(1000)).alias("k"),
+            F.col("id"),
+        ).repartition(32).write.mode("overwrite").parquet(path)
+
+        stats = M.table_file_stats(spark, path)
+        M.compact_small_files(
+            spark, path, target_bytes=stats["bytes"] // 4, sort_by=["k"]
+        )
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pa.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index("k")
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        # range-partitioned + sorted: each file covers a narrow k slice
+        assert sum(spans) / len(spans) < 400

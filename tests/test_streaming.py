@@ -349,3 +349,51 @@ def test_stateful_totals_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_cms_monitor_equals_batch_sketch(spark, tmp_path):
+    """The foreachBatch-merged CMS grid over a MULTI-batch stream must
+    equal cms_build over the whole corpus — counter additivity is the
+    merge contract."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        run_cms_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    docs = [
+        Row(doc_id=i, text=t)
+        for i, t in enumerate(
+            ["the cat sat", "the the dog", "cat dog bird", "xyz"] * 5
+        )
+    ]
+    whole = spark.createDataFrame(docs)
+    # two source files -> two micro-batches with maxFilesPerTrigger=1,
+    # so the second batch exercises the union+re-sum merge path
+    whole.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/p1")
+    whole.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/p2")
+    stream = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    out = str(tmp_path / "grid")
+    run_cms_monitor(
+        stream, str(tmp_path / "ckpt"), out, depth=4, width=128
+    )
+    streamed = {
+        (r.depth, r.bucket): r.cnt
+        for r in spark.read.parquet(out).collect()
+    }
+    direct = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_build(whole, depth=4, width=128).collect()
+    }
+    assert streamed == direct and streamed
