@@ -1766,6 +1766,26 @@ def q_streaming_cms_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select("depth", "bucket", "cnt")
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group sampling: EXACTLY min(20, |group|) documents per
+    source, ranked by the deterministic hash draw — the eval-set
+    construction contract stratified Bernoulli sampling can't give.
+    WindowGroupLimit keeps it skew-immune (round-4 skew probe)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.sample_per_group(docs, "source", k=20, key_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible global permutation of
+    the corpus per epoch (hash-draw order, ties by id) — the data-order
+    step before training that orderBy(rand()) cannot make stable across
+    retries or partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.epoch_shuffle(docs, "doc_id", epoch=3)
+    return out.select("doc_id", "position")
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic corpus views: OLD drops
     doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
@@ -2759,7 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
         "keyword_search": q_keyword_search,
-        # ==== positions 20-26: NEW this round =============================
+        # ==== positions 20-28: NEW this round =============================
         "pq_adc_rerank": q_pq_adc_rerank,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "zorder_key": q_zorder_key,
@@ -2767,7 +2787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "cms_frequencies": q_cms_frequencies,
         "streaming_cms_monitor": q_streaming_cms_monitor,
-        # ==== positions 27-50: oldest driver-greens, re-certified =========
+        "sample_per_group": q_sample_per_group,
+        "epoch_shuffle": q_epoch_shuffle,
+        # ==== positions 29-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -2790,9 +2812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_enriched_counts": q_streaming_enriched_counts,
+        # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
         "dedup_exact": q_dedup_exact,
         "semdedup_pairs": q_semdedup_pairs,
-        # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
         "kmeans_step": q_kmeans_step,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -4201,9 +4223,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE {draw('sample', 'doc_id')} < 100000
     """
 
+    sql["sample_per_group"] = f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {draw('grp', 'doc_id')}, doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 20
+    """
+
+    sql["epoch_shuffle"] = f"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY {draw('epoch3', 'doc_id')}, doc_id) AS INT)
+                   AS position
+        FROM documents
+    """
+
     sh5 = _sql_shingles("toks", 5)
     h60x = _sql_h60("x")
     sql["split_contamination"] = f"""
+
         WITH s AS (
             SELECT doc_id,
                    {draw('split', 'doc_id')} < 100000 AS is_test,

@@ -20,7 +20,7 @@ operators/dedup.py) taken mod 1,000,000 for a uniform [0, 1e6) draw per key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators.dedup import _hash60
@@ -158,3 +158,63 @@ def train_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(split_col, label)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "grp",
+) -> DataFrame:
+    """EXACTLY ``min(k, |group|)`` rows per group, chosen by ranking the
+    deterministic hash draw within each group — the distributed
+    equivalent of per-group reservoir sampling, without randomness:
+    stable under repartitioning, retries, and re-runs, and adding rows to
+    a group only displaces the highest-draw members (low churn between
+    corpus snapshots).
+
+    Unlike :func:`stratified_hash_sample` (per-row Bernoulli by fraction,
+    exact only in expectation), this gives exact per-group COUNTS — the
+    contract eval-set construction needs ("200 examples per language").
+
+    Scale shape: one window over (group, draw) — a single hash shuffle
+    keyed by the group; with Spark >= 3.5 the ``rn <= k`` filter plants a
+    partial WindowGroupLimit, so each map partition forwards at most k
+    rows per group before the shuffle (skew-immune like keep-latest,
+    BASELINE.md round-4 skew probe).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_draw(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    order_col: str = "position",
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every row gets
+    a dense ``order_col`` position obtained by sorting on the epoch-salted
+    hash draw (ties by key). Different ``epoch`` values produce
+    independent permutations; the same epoch always produces the SAME
+    permutation — reproducible data order, the property RNG-based
+    ``orderBy(rand())`` loses across retries/partitioning.
+
+    Scale shape: one range exchange + sort (what any total order costs);
+    the row_number window over the global order compiles to a single
+    partition-chained window — at 100 TB assign positions per shard
+    instead (sort by draw, then ``zipWithIndex``-style offsets), or
+    consume the sorted output directly without materialized positions.
+    """
+    draw = hash_draw(F.col(key_col), f"epoch{epoch}")
+    w = Window.orderBy(draw.asc(), F.col(key_col).asc())
+    return df.withColumn(order_col, F.row_number().over(w))

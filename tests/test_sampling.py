@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators import sampling as smp
 from metadata_driven_data_pipeline_spark.operators.text import pack_sequences
+from pyspark.sql import Row
+
+S = smp
 
 
 @pytest.fixture(scope="module")
@@ -146,3 +149,71 @@ class TestDomainMix:
             smp.domain_mix(corpus, "doc_id", "domain", {})
         with pytest.raises(ValueError):
             smp.domain_mix(corpus, "doc_id", "domain", {"web": -1.0})
+
+
+class TestSamplePerGroup:
+    def test_exact_counts_per_group(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}") for i in range(100)]
+        )
+        out = S.sample_per_group(df, "grp", k=5, key_col="id")
+        counts = {
+            r.grp: r.c
+            for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()
+        }
+        assert counts == {"g0": 5, "g1": 5, "g2": 5}
+
+    def test_small_groups_kept_whole_and_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=i, grp="small" if i < 3 else "big") for i in range(50)]
+        )
+        a = {r.id for r in S.sample_per_group(df, "grp", 10, "id").collect()}
+        b = {
+            r.id
+            for r in S.sample_per_group(
+                df.repartition(7), "grp", 10, "id"
+            ).collect()
+        }
+        assert a == b  # stable under repartitioning
+        assert {0, 1, 2} <= a  # |small| < k -> all kept
+        assert len([i for i in a if i >= 3]) == 10
+
+    def test_growth_low_churn(self, spark):
+        """Adding rows only displaces higher-draw members: the sample
+        from the grown corpus keeps every surviving old member."""
+        base = spark.createDataFrame([Row(id=i, grp="g") for i in range(40)])
+        grown = spark.createDataFrame(
+            [Row(id=i, grp="g") for i in range(60)]
+        )
+        s_base = {r.id for r in S.sample_per_group(base, "grp", 10, "id").collect()}
+        s_grown = {r.id for r in S.sample_per_group(grown, "grp", 10, "id").collect()}
+        # every grown-sample member that existed before was in the base
+        # sample OR the base sample member was displaced by a lower draw
+        assert s_grown & s_base  # heavy overlap, not a reshuffle
+        assert len(s_grown) == 10
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([Row(id=1, grp="g")])
+        with pytest.raises(ValueError, match="positive"):
+            S.sample_per_group(df, "grp", 0, "id")
+
+
+class TestEpochShuffle:
+    def test_positions_dense_and_deterministic(self, spark):
+        df = spark.createDataFrame([Row(id=i) for i in range(200)])
+        a = {r.id: r.position for r in S.epoch_shuffle(df, "id", epoch=1).collect()}
+        b = {
+            r.id: r.position
+            for r in S.epoch_shuffle(df.repartition(5), "id", epoch=1).collect()
+        }
+        assert a == b  # same permutation regardless of partitioning
+        assert sorted(a.values()) == list(range(1, 201))  # dense 1..n
+
+    def test_epochs_give_different_orders(self, spark):
+        df = spark.createDataFrame([Row(id=i) for i in range(200)])
+        e0 = [r.id for r in S.epoch_shuffle(df, "id", 0).orderBy("position").collect()]
+        e1 = [r.id for r in S.epoch_shuffle(df, "id", 1).orderBy("position").collect()]
+        assert e0 != e1
+        assert sorted(e0) == sorted(e1) == list(range(200))
+        # and a genuine shuffle, not identity order
+        assert e0 != list(range(200))

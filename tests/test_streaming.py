@@ -397,3 +397,33 @@ def test_streaming_cms_monitor_equals_batch_sketch(spark, tmp_path):
         for r in cms_build(whole, depth=4, width=128).collect()
     }
     assert streamed == direct and streamed
+
+
+def test_streaming_cms_monitor_rerun_is_idempotent(spark, tmp_path):
+    """Re-running AvailableNow with the same checkpoint must process no
+    new files — the grid is unchanged (no double counting), the streaming
+    analog of the manifest-watermark contract."""
+    from pyspark.sql import Row
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        run_cms_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="the cat"), Row(doc_id=2, text="the dog")]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "grid"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_cms_monitor(stream, ckpt, out, depth=2, width=64)
+        return {
+            (r.depth, r.bucket): r.cnt
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run()
+    second = run()
+    assert first == second and first
