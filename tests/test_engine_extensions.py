@@ -557,3 +557,31 @@ def test_keyword_search_transform(spark, tmp_path):
     assert all(r["score"] > 0 for r in rows)
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_corpus_prep_example_runs_end_to_end(spark, tmp_path, monkeypatch):
+    """The shipped examples/corpus_prep.json must actually run: env
+    substitution, every declared transform chain, and all five sinks
+    producing output (guards example drift — e.g. the corrected Gopher
+    stopword rule would have silently emptied the pipeline without its
+    minStopwordHits override)."""
+    import os as _os
+
+    from metadata_driven_data_pipeline_spark.config import load_metadata
+    from metadata_driven_data_pipeline_spark.engine import Engine
+
+    monkeypatch.setenv("DATA_ROOT", str(tmp_path))
+    monkeypatch.setenv("TESTDATA", SF)
+    metadata = load_metadata("examples/corpus_prep.json")
+    Engine(
+        spark, metadata, run_id="example-smoke",
+        manifest_path=str(tmp_path / "manifest.json"),
+    ).run()
+    for sink in ("chunks", "splits", "diversity", "span_clean"):
+        out = spark.read.parquet(str(tmp_path / sink))
+        assert out.count() > 0, f"sink {sink} empty"
+    # semantic near-dup pairs: random sf0.001 embeddings legitimately may
+    # have none above threshold — assert the sink wrote with the right
+    # schema rather than a row floor
+    dup = spark.read.parquet(str(tmp_path / "dup_pairs"))
+    assert set(dup.columns) == {"cluster_id", "id_a", "id_b", "cosine"}

@@ -111,6 +111,8 @@ AUDITED = [
     "table_profile",
     "profile_drift",
     "cms_frequencies",
+    "sample_per_group",
+    "epoch_shuffle",
 ]
 
 
