@@ -615,8 +615,50 @@ def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
             {str(k): float(v) for k, v in params["weights"].items()},
             salt=params.get("salt", "mix"),
         )
+    elif mode == "per_group":
+        from .sampling import sample_per_group
+
+        out = sample_per_group(
+            df, params["groupCol"], int(params["k"]), params["keyCol"],
+            salt=params.get("salt", "grp"),
+        )
+    elif mode == "epoch":
+        from .sampling import epoch_shuffle
+
+        out = epoch_shuffle(
+            df, params["keyCol"], epoch=int(params.get("epoch", 0)),
+            order_col=params.get("orderCol", "position"),
+        )
     else:
         raise ValueError(f"unknown sample mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
+def _t_profile(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Data-quality observability as a metadata transform. ``mode``:
+    ``profile`` (exact per-column nulls/distincts/bounds of ``input``) or
+    ``drift`` (compare the profiles of ``input`` vs ``against`` — the
+    per-batch schema/content regression gate; tolerances via
+    ``nullRateTolerance`` / ``distinctRatioTolerance``)."""
+    from .profile import profile_drift, table_profile
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "profile")
+    cols = params.get("columns")
+    if mode == "profile":
+        out = table_profile(df, cols)
+    elif mode == "drift":
+        against = _get(catalog, params["against"])
+        out = profile_drift(
+            table_profile(against, cols),
+            table_profile(df, cols),
+            null_rate_tolerance=float(params.get("nullRateTolerance", 0.01)),
+            distinct_ratio_tolerance=float(
+                params.get("distinctRatioTolerance", 0.5)
+            ),
+        )
+    else:
+        raise ValueError(f"unknown profile mode: {mode!r}")
     return {ctx["name"]: out}
 
 
@@ -696,6 +738,7 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "kmeans_assign": _t_kmeans_assign,
     "semdedup": _t_semdedup,
     "sample": _t_sample,
+    "profile": _t_profile,
     "text_dedup": _t_text_dedup,
     "text_analyze": _t_text_analyze,
     "embedding_dedup": _t_embedding_dedup,

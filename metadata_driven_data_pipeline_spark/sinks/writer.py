@@ -55,10 +55,26 @@ def write_sink(
     fmt = sink.get("format", "json")
     mode = sink.get("saveMode", "overwrite")
     partition_by = sink.get("partitionBy")
+    zorder_by = sink.get("zorderBy")
 
     obs = Observation(f"sink_{uuid.uuid4().hex[:8]}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
-    write_df(observed, path, fmt, mode, partition_by, sink.get("options"))
+    if zorder_by:
+        # Z-order-clustered layout (sinks/layout.py): every output file a
+        # tight hyper-rectangle on the listed integer columns, so file
+        # min/max stats prune scans on ANY of them
+        from metadata_driven_data_pipeline_spark.sinks.layout import (
+            write_zordered,
+        )
+
+        write_zordered(
+            observed, path, list(zorder_by),
+            bits=int(sink.get("zorderBits", 16)),
+            num_files=int(sink.get("zorderFiles", 16)),
+            fmt=fmt,
+        )
+    else:
+        write_df(observed, path, fmt, mode, partition_by, sink.get("options"))
     return {
         "records_written": int(obs.get["records_written"]),
         "sink_path": path,

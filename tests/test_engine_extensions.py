@@ -585,3 +585,94 @@ def test_corpus_prep_example_runs_end_to_end(spark, tmp_path, monkeypatch):
     # schema rather than a row floor
     dup = spark.read.parquet(str(tmp_path / "dup_pairs"))
     assert set(dup.columns) == {"cluster_id", "id_a", "id_b", "cosine"}
+
+
+def test_profile_and_drift_transforms(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "old", "type": "sql",
+             "params": {"statement":
+                        "SELECT doc_id, lang, n_chars FROM documents "
+                        "WHERE doc_id % 2 = 0"}},
+            {"name": "new", "type": "sql",
+             "params": {"statement":
+                        "SELECT doc_id, lang, "
+                        "CASE WHEN doc_id % 5 = 0 THEN NULL "
+                        "ELSE n_chars END AS n_chars FROM documents"}},
+            {"name": "report", "type": "profile",
+             "params": {"input": "new", "mode": "drift", "against": "old"}},
+        ],
+        sink_input="report",
+    )
+    rows = {r["column"]: r["status"] for r in out.collect()}
+    assert rows["n_chars"] == "null_rate_drift"
+    # the snapshot doubled (evens -> all): doc_id distinct count yields a
+    # 1.0 relative change, correctly flagged; lang keeps its value set
+    assert rows["doc_id"] == "distinct_drift"
+    assert rows["lang"] == "ok"
+
+
+def test_sample_per_group_and_epoch_transforms(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "per_lang", "type": "sample",
+             "params": {"input": "documents", "mode": "per_group",
+                        "groupCol": "lang", "k": 7, "keyCol": "doc_id"}},
+            {"name": "ordered", "type": "sample",
+             "params": {"input": "per_lang", "mode": "epoch",
+                        "keyCol": "doc_id", "epoch": 2}},
+        ],
+        sink_input="ordered",
+    )
+    import pyspark.sql.functions as F
+
+    counts = out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] <= 7 for r in counts)
+    n = out.count()
+    positions = sorted(r["position"] for r in out.select("position").collect())
+    assert positions == list(range(1, n + 1))
+
+
+def test_zorder_sink_option(spark, tmp_path):
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    meta = {
+        "processing_mode": "full",
+        "dataflows": [{
+            "name": "zflow",
+            "sources": [{"name": "lineitem", "path": f"{SF}/lineitem.parquet",
+                         "format": "parquet"}],
+            "transformations": [
+                {"name": "keys", "type": "select",
+                 "params": {"input": "lineitem",
+                            "columns": ["l_orderkey", "l_partkey",
+                                        "l_suppkey"]}},
+            ],
+            "sinks": [{
+                "name": "zout", "input": "keys",
+                "path": str(tmp_path / "zout"), "format": "parquet",
+                "zorderBy": ["l_partkey", "l_suppkey"],
+                "zorderBits": 8, "zorderFiles": 8,
+            }],
+        }],
+    }
+    log = Engine(spark, meta, run_id="z-1").run()
+    assert log["status"] == "success"
+    files = [f for f in _os.listdir(str(tmp_path / "zout"))
+             if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 8
+    back = spark.read.parquet(str(tmp_path / "zout"))
+    orig = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert back.count() == orig.count()
+    assert (back.agg(F.sum("l_partkey")).collect()[0][0]
+            == orig.agg(F.sum("l_partkey")).collect()[0][0])
