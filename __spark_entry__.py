@@ -1786,6 +1786,28 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "position")
 
 
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: distribution of exact-content copy
+    counts (n_copies → how many distinct contents occur that many times)
+    over the augmented corpus — the first number a dedup run reports and
+    the health metric that decides whether exact-collapse pays. One
+    fingerprint aggregate + one count-of-counts aggregate (Q13 shape on
+    content fingerprints)."""
+    docs = _aug_docs(spark, sf_dir).unionByName(
+        # duplicate block: re-ingest 30 docs verbatim under new ids
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    )
+    per_content = docs.groupBy(
+        F.md5(tx.normalize_text(F.col("text"))).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        per_content.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_contents"))
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic corpus views: OLD drops
     doc_id % 7 == 0, NEW drops doc_id % 5 == 0 and rewrites text for
@@ -2779,7 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_encode": q_vocab_encode,
         "keyword_search": q_keyword_search,
-        # ==== positions 20-28: NEW this round =============================
+        # ==== positions 20-29: NEW this round =============================
         "pq_adc_rerank": q_pq_adc_rerank,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "zorder_key": q_zorder_key,
@@ -2789,7 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_monitor": q_streaming_cms_monitor,
         "sample_per_group": q_sample_per_group,
         "epoch_shuffle": q_epoch_shuffle,
-        # ==== positions 29-50: oldest driver-greens, re-certified =========
+        "dup_histogram": q_dup_histogram,
+        # ==== positions 30-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -2811,8 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_interval_join": q_streaming_interval_join,
-        "streaming_enriched_counts": q_streaming_enriched_counts,
         # ==== position 51+: driver-green in r1-r3 at unchanged semantics ==
+        "streaming_enriched_counts": q_streaming_enriched_counts,
         "dedup_exact": q_dedup_exact,
         "semdedup_pairs": q_semdedup_pairs,
         "kmeans_step": q_kmeans_step,
@@ -4222,6 +4245,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         WHERE {draw('sample', 'doc_id')} < 100000
     """
+    sql["dup_histogram"] = f"""
+        WITH aug AS ({_AUG_SQL}
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text
+            FROM documents WHERE doc_id < 30),
+        pc AS (
+            SELECT md5({_sql_norm('text')}) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM aug GROUP BY 1)
+        SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_contents
+        FROM pc GROUP BY 1
+    """
+
 
     sql["sample_per_group"] = f"""
         SELECT doc_id, source FROM (

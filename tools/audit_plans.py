@@ -113,6 +113,7 @@ AUDITED = [
     "cms_frequencies",
     "sample_per_group",
     "epoch_shuffle",
+    "dup_histogram",
 ]
 
 
