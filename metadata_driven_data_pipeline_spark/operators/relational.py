@@ -717,6 +717,77 @@ def _t_corpus_diff(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataF
     return {ctx["name"]: out}
 
 
+def _t_sketch(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """Mergeable sketches as metadata transforms. ``mode``:
+    ``hll_shards`` (one binary HLL per ``shardCol`` value — persist
+    beside the manifest for incremental distinct counts),
+    ``hll_estimate`` (union stored shard sketches → one-row estimate),
+    ``cms_build`` / ``cms_estimate`` (Count-Min frequency grid and
+    term lookups against it)."""
+    from . import sketch as sk
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "hll_shards")
+    if mode == "hll_shards":
+        out = sk.hll_shard_sketches(
+            df, params["keyCol"], params["shardCol"],
+            lgk=int(params.get("lgk", 12)),
+        )
+    elif mode == "hll_estimate":
+        out = sk.hll_merge(df)
+    elif mode == "cms_build":
+        out = sk.cms_build(
+            df, text_col=params.get("textCol", "text"),
+            depth=int(params.get("depth", 4)),
+            width=int(params.get("width", 1024)),
+            hash_fn=params.get("hashFn", "md5"),
+        )
+    elif mode == "cms_estimate":
+        out = sk.cms_estimate(
+            df, [str(t) for t in params["terms"]],
+            depth=int(params.get("depth", 4)),
+            width=int(params.get("width", 1024)),
+            hash_fn=params.get("hashFn", "md5"),
+        )
+    else:
+        raise ValueError(f"unknown sketch mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
+def _t_tokenize(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]:
+    """BPE tokenizer as metadata. ``mode``: ``bpe_train`` (learn
+    ``nMerges`` rules from ``input`` → merge table) or ``bpe_encode``
+    (apply the ``merges`` relation — or train inline when absent — to
+    ``input``; emits ``(idCol, bpe_tokens, n_bpe_tokens)``)."""
+    from . import tokenizer as tk
+
+    df = _get(catalog, params["input"])
+    mode = params.get("mode", "bpe_train")
+    text_col = params.get("textCol", "text")
+    if mode == "bpe_train":
+        out = tk.bpe_train(
+            df, text_col=text_col,
+            n_merges=int(params.get("nMerges", 20)),
+            min_freq=int(params.get("minFreq", 1)),
+        )
+    elif mode == "bpe_encode":
+        if "merges" in params:
+            merges = _get(catalog, params["merges"])
+        else:
+            merges = tk.bpe_train(
+                df, text_col=text_col,
+                n_merges=int(params.get("nMerges", 20)),
+                min_freq=int(params.get("minFreq", 1)),
+            )
+        out = tk.bpe_encode(
+            df, merges, text_col=text_col,
+            id_col=params.get("idCol", "doc_id"),
+        )
+    else:
+        raise ValueError(f"unknown tokenize mode: {mode!r}")
+    return {ctx["name"]: out}
+
+
 TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "add_fields": _t_add_fields,
     "validate_fields": _t_validate_fields,
@@ -744,6 +815,8 @@ TRANSFORM_TYPES: dict[str, TransformHandler] = {
     "embedding_dedup": _t_embedding_dedup,
     "embedding_index": _t_embedding_index,
     "corpus_diff": _t_corpus_diff,
+    "sketch": _t_sketch,
+    "tokenize": _t_tokenize,
 }
 
 

@@ -1,11 +1,16 @@
 """Count-Min sketch: mergeable frequency estimation for token streams.
 
-Completes the sketch family (MinHash/SimHash for similarity, HLL for
-cardinality via ``approx_stats``, SQ8/PQ for vectors) with the standard
-frequency sketch (Cormode & Muthukrishnan 2005): ``d`` hash rows ×
-``w`` counters; an item's estimate is the MIN over its ``d`` counters —
-always an OVER-estimate, with ``est ≤ true + εN`` where ``ε ≈ e/w``
-holds with probability ``1 − e^{−d}``.
+Completes the sketch family (MinHash/SimHash for similarity, SQ8/PQ for
+vectors) with the standard frequency sketch (Cormode & Muthukrishnan
+2005): ``d`` hash rows × ``w`` counters; an item's estimate is the MIN
+over its ``d`` counters — always an OVER-estimate, with
+``est ≤ true + εN`` where ``ε ≈ e/w`` holds with probability
+``1 − e^{−d}``.
+
+Cardinality lives here too: beyond the inline ``approx_count_distinct``
+(``approx_stats``), ``hll_shard_sketches``/``hll_merge`` expose the HLL
+sketch AS DATA — per-batch binary sketches that persist beside the
+manifest and merge across days/sources without rescanning history.
 
 Why it earns a place at 100 TB: exact token counts need a shuffle keyed
 by EVERY DISTINCT TOKEN (billions of keys, skewed); the sketch is a
@@ -122,3 +127,42 @@ def cms_estimate(
         "term", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy("term").agg(F.min("cnt").alias("est"))
+
+
+def hll_shard_sketches(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-shard HLL cardinality sketch: ``(shard, sketch, shard_est)``.
+
+    The incremental-distinct building block: each ingestion batch / day /
+    source shard reduces to ONE binary Datasketches HLL (2^lgk registers,
+    rel. std err ≈ 1.04/√2^lgk — ~1.6% at lgk=12) that can be persisted
+    next to the manifest watermark. Corpus-wide distinct counts then
+    merge the stored sketches (register-wise max — associative,
+    commutative, idempotent) WITHOUT rescanning history — the property
+    plain ``approx_count_distinct`` results lack (two counts don't add:
+    shards share keys). Shuffle carries one ~2^lgk-byte row per shard.
+
+    Runs on Spark's built-in ``hll_sketch_agg`` (JVM Datasketches lane,
+    map-side partial aggregation; no Python in the hot path).
+    """
+    return df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_merge(sketches: DataFrame) -> DataFrame:
+    """Union stored shard sketches into one estimate row ``(est)``.
+
+    ``hll_union_agg`` is register-wise max, so re-merging overlapping or
+    replayed shards never double-counts (idempotent) — safe under the
+    at-least-once reprocessing the manifest allows.
+    """
+    return sketches.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(True))
+        ).alias("est")
+    )

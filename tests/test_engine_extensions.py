@@ -676,3 +676,74 @@ def test_zorder_sink_option(spark, tmp_path):
     assert back.count() == orig.count()
     assert (back.agg(F.sum("l_partkey")).collect()[0][0]
             == orig.agg(F.sum("l_partkey")).collect()[0][0])
+
+
+def test_sketch_transform_hll_roundtrip(spark, tmp_path):
+    """Declarative incremental-distinct: shard sketches built and merged
+    through the Engine; the estimate must equal the exact distinct (the
+    sf0.001 cardinality is far below 2^12 — HLL sparse mode is exact)."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "events", "path": f"{SF}/events.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "shards", "type": "sketch",
+             "params": {"input": "events", "mode": "hll_shards",
+                        "keyCol": "user_id", "shardCol": "event_type"}},
+            {"name": "est", "type": "sketch",
+             "params": {"input": "shards", "mode": "hll_estimate"}},
+        ],
+        sink_input="est",
+    )
+    row = out.collect()[0]
+    exact = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert row.est == exact
+
+
+def test_sketch_transform_cms_estimate(spark, tmp_path):
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "grid", "type": "sketch",
+             "params": {"input": "documents", "mode": "cms_build",
+                        "width": 512}},
+            {"name": "freqs", "type": "sketch",
+             "params": {"input": "grid", "mode": "cms_estimate",
+                        "terms": ["the", "data"], "width": 512}},
+        ],
+        sink_input="freqs",
+    )
+    got = {r.term: r.est for r in out.collect()}
+    assert set(got) == {"the", "data"} and all(v >= 0 for v in got.values())
+
+
+def test_tokenize_transform_bpe(spark, tmp_path):
+    """Declarative BPE: train on documents, encode with the learned
+    table, both through the Engine; every doc gets an encoding row."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "merges", "type": "tokenize",
+             "params": {"input": "documents", "mode": "bpe_train",
+                        "nMerges": 8, "minFreq": 2}},
+            {"name": "enc", "type": "tokenize",
+             "params": {"input": "documents", "mode": "bpe_encode",
+                        "merges": "merges"}},
+        ],
+        sink_input="enc",
+    )
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert out.count() == n_docs
+    assert set(out.columns) == {"doc_id", "bpe_tokens", "n_bpe_tokens"}
+    assert out.filter("n_bpe_tokens <= 0").count() == 0

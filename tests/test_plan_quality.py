@@ -44,6 +44,8 @@ AUDITED = [
     "ann_topk_lsh",
     "corpus_clean",
     "forecast_revenue_change",
+    "min_cost_supplier",
+    "returnflag_priority_mix",
 ]
 
 
@@ -107,6 +109,26 @@ def test_q6_fully_pushed_down(plans):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in scan["pushed"]
     assert scan["n_cols"] <= 4
+
+
+def test_q2_dims_broadcast_single_shuffle(plans):
+    """Q2 shape: part + supplier×nation×region chain must broadcast onto
+    the lineitem scan; the only wide exchange is the window over
+    l_partkey (the correlated-MIN rewrite)."""
+    a = plans["min_cost_supplier"]
+    assert a["bhj"] >= 3
+    assert a["smj"] == 0
+
+
+def test_q12_window_pushed_and_pruned(plans):
+    """Q12 shape: the ship-year window must reach the lineitem scan and
+    the read schema must carry only the 3 referenced columns."""
+    scan = next(
+        s for s in plans["returnflag_priority_mix"]["scans"]
+        if s["table"] == "lineitem"
+    )
+    assert "l_shipdate" in scan["pushed"]
+    assert scan["n_cols"] <= 3
 
 
 def test_codegen_covers_plans(plans):

@@ -87,3 +87,49 @@ def test_sketches_merge_by_addition(spark):
 def test_empty_terms_raise(spark, docs):
     with pytest.raises(ValueError, match="non-empty"):
         SK.cms_estimate(SK.cms_build(docs), [])
+
+
+# ---- HLL incremental-distinct sketches ---------------------------------
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Union of shard sketches must reproduce the whole-corpus sketch
+    estimate exactly (register-wise max is associative)."""
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 20_000).alias("k"),
+        (F.col("id") % 7).alias("shard"),
+    )
+    merged = SK.hll_merge(SK.hll_shard_sketches(df, "k", "shard")).collect()[0]
+    whole = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("k"), F.lit(12))
+        ).alias("est")
+    ).collect()[0]
+    assert merged.est == whole.est
+
+
+def test_hll_estimate_within_bound_dense(spark):
+    """200k distinct keys is far past sparse mode: the estimate must
+    land within the 3-sigma HLL bound (1.04/sqrt(4096) ~ 1.6%/sigma)."""
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("shard")
+    )
+    est = SK.hll_merge(SK.hll_shard_sketches(df, "k", "shard")).collect()[0].est
+    assert abs(est - 200_000) <= 0.05 * 200_000
+
+
+def test_hll_merge_idempotent_on_replayed_shard(spark):
+    """Re-merging a duplicated shard sketch must not change the estimate
+    (register max is idempotent) — the at-least-once replay guarantee."""
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("shard")
+    )
+    shards = SK.hll_shard_sketches(df, "k", "shard").persist()
+    replayed = shards.unionByName(shards.limit(1))
+    try:
+        assert (
+            SK.hll_merge(replayed).collect()[0].est
+            == SK.hll_merge(shards).collect()[0].est
+        )
+    finally:
+        shards.unpersist()
