@@ -2771,6 +2771,76 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_index_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch AS DATA: the packed 32-bit word table of a
+    filter built over the seen-corpus fingerprint index (src0..src9, the
+    same index incremental_dedup probes). At most m/32 rows regardless of
+    index size; shard filters merge by bitwise OR without rescanning.
+    Every word is md5-lane hashed, so the oracle rebuilds the EXACT bit
+    array — the sketch is certified, not just plausible
+    (operators/sketch.py bloom_build)."""
+    from metadata_driven_data_pipeline_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    index = (
+        docs.filter(src_num < 10)
+        .select(F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint"))
+        .distinct()
+    )
+    return sk.bloom_build(index, "fingerprint", m_bits=1 << 16, k=5)
+
+
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_dedup with a bloom prefilter: bloom-negative batch
+    rows are admitted map-side against broadcast filter words (GUARANTEED
+    unseen — no false negatives), and only bloom-positive candidates pay
+    the exact anti-join into the fingerprint index. The oracle is the
+    PLAIN anti-join semantics — certifying end-to-end that the prefilter
+    changes the plan, never the answer (operators/sketch.py
+    bloom_prefilter_dedup)."""
+    from metadata_driven_data_pipeline_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    new_batch = docs.filter(src_num >= 10)
+    index = seen.select(
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    bloom = sk.bloom_build(index.distinct(), "fingerprint", 1 << 16, 5)
+    out = sk.bloom_prefilter_dedup(
+        new_batch, index, bloom, m_bits=1 << 16, k=5
+    )
+    return out.select("doc_id", "fingerprint")
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile histogram: per-month order-price grids (the
+    stand-in for per-day ingestion shards) summed into the corpus grid,
+    then P25/P50/P75/P90/P99 read off the cumulative distribution —
+    stored-sketch quantiles with an explicit ≤ one-bin-width error bound,
+    refreshed without rescanning history. The oracle rebuilds grid AND
+    estimates bit-for-bit (integer counts, literal-identical double
+    edges); tests/test_sketch.py separately pins merge==direct and the
+    error bound vs exact percentiles (operators/sketch.py qhist_*)."""
+    from metadata_driven_data_pipeline_spark.operators import sketch as sk
+
+    orders = _t(spark, sf_dir, "orders")
+    shards = sk.qhist_shard_sketches(
+        orders,
+        "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7),
+        lo=0.0,
+        hi=600000.0,
+        bins=600,
+    )
+    merged = sk.qhist_merge(shards)
+    return sk.qhist_quantiles(
+        merged, [0.25, 0.5, 0.75, 0.9, 0.99], lo=0.0, hi=600000.0, bins=600
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: 16 merge rules learned with min pair frequency 2.
@@ -2930,7 +3000,7 @@ def q_gap_fill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 139) is additionally
+    the FIRST 50 entries only; every entry (all 145) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
@@ -2938,9 +3008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver has never scored (TPC-H Q6/Q16/Q18 shapes + the curation /
     quantization / PQ / streaming-curation family) — after this round
     every registry entry has been driver-scored at least once.  Positions
-    20-50 re-certify the OLDEST driver-green entries (r1/r2 greens,
-    including gopher/span families whose semantics changed this round via
-    the ADVICE fixes: distinct-stopword Gopher rule, NULL-text span_dedup).
+    20-37 are NEW this round (profiling/sketch/sampling/tokenizer
+    families incl. bloom + quantile-histogram sketches); positions 38-50
+    re-certify the OLDEST driver-green entries (r1/r2 greens, including
+    gopher/span families whose semantics changed this round via the
+    ADVICE fixes: distinct-stopword Gopher rule, NULL-text span_dedup).
     Positions 51+ are driver-green from a prior round at unchanged
     semantics."""
     return {
@@ -2980,7 +3052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental_distinct": q_hll_incremental_distinct,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
-        # ==== positions 35-50: oldest driver-greens, re-certified =========
+        "bloom_index_words": q_bloom_index_words,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "quantile_sketch": q_quantile_sketch,
+        # ==== positions 38-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
@@ -5418,6 +5493,68 @@ def oracle_sql() -> dict[str, str]:
                                           'g')) AS INT) AS n_chars,
                TRUE AS tokens_within_bounds
         FROM documents
+    """
+
+    # Bloom words: rebuild the exact bit array — same md5→60-bit→mod-
+    # 2^31-1 base-hash lane as MinHash/CMS, k=5 seed prefixes, m=2^16
+    # bits packed into 32-bit words ORed per word index.
+    _bloom_pos = " UNION ALL ".join(
+        "SELECT (((('0x' || substr(md5('bloom{j}:' || fp), 1, 15))::BIGINT)"
+        " % 2147483647) % 65536) AS pos FROM keys".format(j=j)
+        for j in range(5)
+    )
+    sql["bloom_index_words"] = f"""
+        WITH srcnum AS (
+            SELECT *, CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                      AS sn
+            FROM documents),
+        keys AS (SELECT DISTINCT md5({nrm}) AS fp
+                 FROM srcnum WHERE sn < 10),
+        pos AS ({_bloom_pos})
+        SELECT CAST(floor(pos / 32) AS BIGINT) AS word,
+               bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS bits
+        FROM pos GROUP BY 1
+    """
+
+    # Bloom-prefiltered incremental dedup == PLAIN anti-join semantics
+    # (no false negatives + exact confirm of every candidate).
+    sql["bloom_incremental_dedup"] = f"""
+        WITH srcnum AS (
+            SELECT *, CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                      AS sn
+            FROM documents),
+        seen AS (SELECT DISTINCT md5({nrm}) AS fingerprint
+                 FROM srcnum WHERE sn < 10),
+        batch AS (
+            SELECT doc_id, md5({nrm}) AS fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY md5({nrm})
+                                      ORDER BY doc_id) AS rn
+            FROM srcnum WHERE sn >= 10)
+        SELECT doc_id, fingerprint
+        FROM batch ANTI JOIN seen USING (fingerprint)
+        WHERE rn = 1
+    """
+
+    # Quantile histogram: grid + estimates in literal-identical double
+    # arithmetic (lo=0.0, step=1000.0, 600 bins over o_totalprice).
+    sql["quantile_sketch"] = """
+        WITH binned AS (
+            SELECT LEAST(GREATEST(CAST(floor(
+                       (CAST(o_totalprice AS DOUBLE) - 0.0) / 1000.0)
+                       AS BIGINT), 0), 599) AS bin
+            FROM orders),
+        hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM binned GROUP BY 1),
+        cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        total AS (SELECT SUM(cnt) AS n FROM hist),
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+                      AS q),
+        cand AS (
+            SELECT q, MIN(bin) AS bin
+            FROM qs, cum, total
+            WHERE cum >= q * n
+            GROUP BY q)
+        SELECT q, CAST(0.0 + (bin + 1) * 1000.0 AS DOUBLE) AS est FROM cand
     """
 
     sql["hll_incremental_distinct"] = """

@@ -27,7 +27,7 @@ mirrors the MinHash policy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators.dedup import (
@@ -165,4 +165,274 @@ def hll_merge(sketches: DataFrame) -> DataFrame:
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col("sketch"), F.lit(True))
         ).alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch (Bloom 1970).
+#
+# The membership rung of the sketch family: CMS answers "how often", HLL
+# answers "how many distinct", the Bloom filter answers "have we seen this
+# key" with NO false negatives and a tunable false-positive rate
+# ``(1 - e^{-kn/m})^k``.  Its job at 100 TB is PREFILTERING the
+# incremental-dedup probe: the exact fingerprint index holds billions of
+# rows, but a bloom built over it is a fixed bit array (m/32 rows of
+# packed words) that broadcast-joins against each ingestion batch
+# map-side.  Keys the bloom rejects are GUARANTEED new (no shuffle, no
+# index access at all); only the small bloom-positive candidate set pays
+# the exact anti-join.  Like the HLL/CMS sketches, the word table is
+# stored data: filters from disjoint corpus shards merge by bitwise OR
+# (associative, commutative, idempotent — replay-safe).
+#
+# Reference scope note: the reference engine (pipeline/consolidator.py,
+# pipeline/validator.py) re-reads whole outputs per batch; sketch-backed
+# membership is part of this rebuild's scale surface, not a ported file.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, hash_fn: str) -> Column:
+    """Array of ``k`` bit positions for a key (seed-prefixed base hashes,
+    same md5-oracle / xxhash64-production lane split as MinHash/CMS)."""
+    return F.array(
+        *[
+            (
+                _base_hash(F.concat(F.lit(f"bloom{j}:"), key), hash_fn)
+                % F.lit(m_bits)
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def _word_mask(pos: Column) -> tuple[Column, Column]:
+    """(word index, 32-bit mask) for a bit position. 32-bit words inside
+    BIGINT keep ``1 << bit`` positive and bit-identical across engines
+    (a 64-bit word would need bit 63, whose sign differs by dialect)."""
+    word = F.floor(pos / F.lit(32)).cast("long")
+    # 2^bit (exact in double up to 2^52) instead of shiftleft: Spark's
+    # shiftleft only takes a literal shift amount, and pow keeps the
+    # expression reproducible verbatim in the DuckDB oracle.
+    mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Build the filter over a key column: ``(word, bits)`` — at most
+    ``m_bits/32`` rows whatever the corpus size.
+
+    Scale shape: one narrow projection (k positions per key), then a
+    hash aggregate whose key space is capped at m/32 — partial
+    ``bit_or`` happens map-side, so the shuffle carries at most m/32
+    rows per upstream partition regardless of how many billions of keys
+    feed it.  Shard filters from separate builds merge with
+    :func:`bloom_merge` (bitwise OR) without touching the corpus again.
+    """
+    pos = F.explode(
+        _bloom_positions(F.col(key_col), m_bits, k, hash_fn)
+    ).alias("pos")
+    exploded = df.select(pos)
+    word, mask = _word_mask(F.col("pos"))
+    return (
+        exploded.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """OR together stored shard filters (same ``m_bits``/``k``):
+    idempotent and replay-safe, like :func:`hll_merge`."""
+    return filters.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    keys_df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Membership test: adds ``maybe_seen`` (true = all k bits set — a
+    candidate, possibly false-positive; false = DEFINITELY unseen).
+
+    The bloom side is ≤ m/32 rows — broadcast — so the probe is a
+    map-side hash lookup plus a per-key ``bit`` conjunction: no shuffle
+    of the probed batch at all.  (At index sizes where one array no
+    longer broadcasts, range-shard the key space and build one filter
+    per shard; each batch key then probes exactly one shard's words.)
+    """
+    pos = F.explode(
+        _bloom_positions(F.col(key_col), m_bits, k, hash_fn)
+    ).alias("pos")
+    exploded = keys_df.select(F.col(key_col), pos)
+    word, mask = _word_mask(F.col("pos"))
+    tagged = exploded.select(
+        key_col, word.alias("word"), mask.alias("mask")
+    )
+    joined = tagged.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    ).cast("int")
+    return (
+        joined.groupBy(key_col)
+        .agg((F.sum(hit) == F.lit(k)).alias("maybe_seen"))
+    )
+
+
+def bloom_prefilter_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    m_bits: int = 1 << 18,
+    k: int = 5,
+    hash_fn: str = "md5",
+    normalize: bool = True,
+) -> DataFrame:
+    """:func:`~metadata_driven_data_pipeline_spark.operators.dedup.incremental_dedup`
+    with a bloom prefilter: EXACTLY the same output (the filter has no
+    false negatives, and every bloom-positive candidate is re-checked
+    against the real index), but the expensive anti-join probes only the
+    candidate subset instead of the whole batch.
+
+    At a 1% false-positive setting (k=5, m ≈ 10n bits) a 99%-fresh
+    ingestion batch sends ~1% of its rows into the index join — the
+    other 99% are cleared map-side against broadcast words.
+    """
+    key = (
+        F.md5(normalize_text(F.col(text_col)))
+        if normalize
+        else F.md5(F.col(text_col))
+    )
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    within = (
+        new_df.withColumn(fp_col, key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    probed = within.join(
+        bloom_probe(
+            within.select(fp_col).distinct(),
+            fp_col,
+            bloom,
+            m_bits,
+            k,
+            hash_fn,
+        ),
+        fp_col,
+    )
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    seen = seen_fingerprints.select(fp_col).distinct()
+    confirmed_new = candidates.join(seen, fp_col, "left_anti")
+    return fresh.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histogram: fixed-grid equi-width sketch.
+#
+# The quantile rung of the sketch family.  ``percentile_approx`` answers
+# one-shot quantile queries, but its state is not STORED DATA the way the
+# HLL/CMS/Bloom sketches here are: a fixed [lo, hi)×bins counting grid
+# per shard IS — shard histograms persist beside the manifest, merge by
+# plain counter addition (associative/commutative; replay of a DISTINCT
+# shard set is safe), and any quantile of the union is answered later
+# without rescanning history.  Error bound is explicit and certifiable:
+# the estimate is the upper edge of the first bin whose cumulative count
+# reaches ``q·n``, so |est − exact_quantile| ≤ one bin width (clamping
+# pins values outside [lo, hi) to the edge bins; choose the grid from
+# domain knowledge or a prior table_profile min/max).
+#
+# Everything is integer counts + literal-identical double arithmetic, so
+# a DuckDB oracle reproduces the merged grid AND the estimates
+# bit-for-bit — certified, not just plausible.
+# ---------------------------------------------------------------------------
+
+
+def _qhist_bin(value: Column, lo: float, step: float, bins: int) -> Column:
+    """Clamped equi-width bin index of a value (double arithmetic both
+    engines replicate literally)."""
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(step))
+    return (
+        F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    )
+
+
+def qhist_shard_sketches(
+    df: DataFrame,
+    value_col: str,
+    shard_col,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+) -> DataFrame:
+    """Per-shard quantile histogram: ``(shard, bin, cnt)`` — at most
+    ``bins`` rows per shard whatever the shard's row count; counts
+    partial-aggregate map-side so the shuffle is grid-sized, not
+    data-sized.  ``shard_col`` may be a column name or Column expr."""
+    step = (hi - lo) / bins
+    shard = (
+        F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    )
+    return (
+        df.select(
+            shard.alias("shard"),
+            _qhist_bin(F.col(value_col), lo, step, bins).alias("bin"),
+        )
+        .groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qhist_merge(sketches: DataFrame) -> DataFrame:
+    """Sum stored shard grids into one corpus grid ``(bin, cnt)``."""
+    return sketches.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def qhist_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 512,
+) -> DataFrame:
+    """Quantile estimates from a merged grid: ``(q, est)`` with
+    ``est = lo + (bin+1)·step`` for the first bin whose cumulative count
+    reaches ``q·n``.
+
+    The grid is ≤ ``bins`` rows, so the single-partition cumulative
+    window and the broadcast cross join against the q list are bounded
+    small — only grid rows ever move, never corpus rows."""
+    step = (hi - lo) / bins
+    spark = hist.sparkSession
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("bin", "cnt").withColumn(
+        "cum", F.sum("cnt").over(w)
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    cand = (
+        qdf.crossJoin(F.broadcast(cum.crossJoin(F.broadcast(total))))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return cand.select(
+        "q",
+        (F.lit(lo) + (F.col("bin") + F.lit(1)) * F.lit(step)).alias(
+            "est"
+        ),
     )

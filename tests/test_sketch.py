@@ -133,3 +133,175 @@ def test_hll_merge_idempotent_on_replayed_shard(spark):
         )
     finally:
         shards.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def key_df(spark):
+    return spark.createDataFrame(
+        [Row(key=f"key-{i}") for i in range(500)]
+    )
+
+
+def test_bloom_has_no_false_negatives(spark, key_df):
+    bloom = SK.bloom_build(key_df, "key", m_bits=1 << 14, k=5)
+    probed = SK.bloom_probe(key_df, "key", bloom, m_bits=1 << 14, k=5)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_false_positive_rate_is_small(spark, key_df):
+    bloom = SK.bloom_build(key_df, "key", m_bits=1 << 14, k=5)
+    unseen = spark.createDataFrame(
+        [Row(key=f"other-{i}") for i in range(2000)]
+    )
+    probed = SK.bloom_probe(unseen, "key", bloom, m_bits=1 << 14, k=5)
+    fp = probed.filter(F.col("maybe_seen")).count()
+    # theory: (1 - e^{-kn/m})^k ~ 2e-4 at n=500, m=16384, k=5; allow 50x
+    assert fp / 2000 < 0.01
+
+
+def test_bloom_word_table_is_bounded(spark, key_df):
+    m = 1 << 12
+    bloom = SK.bloom_build(key_df, "key", m_bits=m, k=5)
+    assert bloom.count() <= m // 32
+    # every mask is a valid packed 32-bit word
+    bad = bloom.filter(
+        (F.col("bits") < 1) | (F.col("bits") > F.lit((1 << 32) - 1))
+    )
+    assert bad.count() == 0
+
+
+def test_bloom_merge_equals_single_build_and_is_idempotent(spark, key_df):
+    half1 = key_df.filter(F.col("key") < "key-25")  # lexicographic split
+    half2 = key_df.subtract(half1)
+    b1 = SK.bloom_build(half1, "key", m_bits=1 << 14, k=5)
+    b2 = SK.bloom_build(half2, "key", m_bits=1 << 14, k=5)
+    merged = SK.bloom_merge(b1.unionByName(b2))
+    whole = SK.bloom_build(key_df, "key", m_bits=1 << 14, k=5)
+    as_map = lambda df: {r.word: r.bits for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+    # replaying a shard (at-least-once reprocessing) changes nothing
+    replay = SK.bloom_merge(b1.unionByName(b2).unionByName(b1))
+    assert as_map(replay) == as_map(whole)
+
+
+def test_bloom_prefilter_dedup_equals_plain_incremental_dedup(spark, sf_dir):
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    index = seen.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    bloom = SK.bloom_build(index.distinct(), "fingerprint", 1 << 16, 5)
+    got = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, k=5
+    )
+    want = DD.incremental_dedup(batch, index)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+
+
+def test_bloom_xxhash64_production_lane_also_exact(spark, sf_dir):
+    """The codegen'd hash lane must preserve the no-false-negative
+    contract (decisions exact, only the bit pattern differs)."""
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    index = seen.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    bloom = SK.bloom_build(
+        index.distinct(), "fingerprint", 1 << 16, 5, hash_fn="xxhash64"
+    )
+    got = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, k=5, hash_fn="xxhash64"
+    )
+    want = DD.incremental_dedup(batch, index)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+QLO, QHI, QBINS = 0.0, 600000.0, 600
+QSTEP = (QHI - QLO) / QBINS
+
+
+def test_qhist_merge_equals_direct_build(spark, orders):
+    shards = SK.qhist_shard_sketches(
+        orders, "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7),
+        QLO, QHI, QBINS,
+    )
+    merged = SK.qhist_merge(shards)
+    direct = SK.qhist_merge(
+        SK.qhist_shard_sketches(
+            orders, "o_totalprice", F.lit("all"), QLO, QHI, QBINS
+        )
+    )
+    as_map = lambda df: {r.bin: r.cnt for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
+
+
+def test_qhist_estimates_within_one_bin_width(spark, orders):
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    hist = SK.qhist_merge(
+        SK.qhist_shard_sketches(
+            orders, "o_totalprice", F.lit("all"), QLO, QHI, QBINS
+        )
+    )
+    est = {
+        r.q: r.est
+        for r in SK.qhist_quantiles(hist, qs, QLO, QHI, QBINS).collect()
+    }
+    exact = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"p{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[f"p{i}"]) <= QSTEP, (q, est[q])
+
+
+def test_qhist_clamps_out_of_range_values(spark):
+    df = spark.createDataFrame(
+        [Row(v=-50.0), Row(v=0.0), Row(v=99.9), Row(v=250.0), Row(v=1e9)]
+    )
+    hist = SK.qhist_merge(
+        SK.qhist_shard_sketches(df, "v", F.lit("s"), 0.0, 100.0, 10)
+    )
+    got = {r.bin: r.cnt for r in hist.collect()}
+    # -50 clamps to bin 0; 0.0 in bin 0; 99.9 in bin 9; 250 and 1e9 clamp
+    # to bin 9
+    assert got == {0: 2, 9: 3}
+
+
+def test_qhist_grid_is_bounded(spark, orders):
+    shards = SK.qhist_shard_sketches(
+        orders, "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7),
+        QLO, QHI, QBINS,
+    )
+    n_shards = shards.select("shard").distinct().count()
+    assert shards.count() <= n_shards * QBINS
