@@ -723,7 +723,11 @@ def _t_sketch(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
     beside the manifest for incremental distinct counts),
     ``hll_estimate`` (union stored shard sketches → one-row estimate),
     ``cms_build`` / ``cms_estimate`` (Count-Min frequency grid and
-    term lookups against it)."""
+    term lookups against it), ``bloom_build`` / ``bloom_merge`` /
+    ``bloom_probe`` (packed membership word table; probe needs the
+    stored filter via ``bloom``), ``qhist_shards`` / ``qhist_merge`` /
+    ``qhist_quantiles`` (mergeable equi-width quantile grids over
+    ``lo``/``hi``/``bins``)."""
     from . import sketch as sk
 
     df = _get(catalog, params["input"])
@@ -748,6 +752,36 @@ def _t_sketch(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
             depth=int(params.get("depth", 4)),
             width=int(params.get("width", 1024)),
             hash_fn=params.get("hashFn", "md5"),
+        )
+    elif mode == "bloom_build":
+        out = sk.bloom_build(
+            df, params["keyCol"],
+            m_bits=int(params.get("mBits", 1 << 18)),
+            k=int(params.get("k", 5)),
+            hash_fn=params.get("hashFn", "md5"),
+        )
+    elif mode == "bloom_merge":
+        out = sk.bloom_merge(df)
+    elif mode == "bloom_probe":
+        out = sk.bloom_probe(
+            df, params["keyCol"], _get(catalog, params["bloom"]),
+            m_bits=int(params.get("mBits", 1 << 18)),
+            k=int(params.get("k", 5)),
+            hash_fn=params.get("hashFn", "md5"),
+        )
+    elif mode == "qhist_shards":
+        out = sk.qhist_shard_sketches(
+            df, params["valueCol"], params["shardCol"],
+            lo=float(params["lo"]), hi=float(params["hi"]),
+            bins=int(params.get("bins", 512)),
+        )
+    elif mode == "qhist_merge":
+        out = sk.qhist_merge(df)
+    elif mode == "qhist_quantiles":
+        out = sk.qhist_quantiles(
+            df, [float(q) for q in params["qs"]],
+            lo=float(params["lo"]), hi=float(params["hi"]),
+            bins=int(params.get("bins", 512)),
         )
     else:
         raise ValueError(f"unknown sketch mode: {mode!r}")

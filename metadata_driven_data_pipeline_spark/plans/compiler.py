@@ -37,7 +37,13 @@ def transform_inputs(transform: dict[str, Any]) -> list[str]:
     if "inputs" in params:
         return list(params["inputs"])
     names = []
-    for key in ("input", "left", "right", "points", "intervals"):
+    # every param key that names another relation — secondary inputs
+    # (oldInput/merges/bloom) count for the topological order too, or a
+    # consumer could be scheduled before its producer
+    for key in (
+        "input", "left", "right", "points", "intervals",
+        "oldInput", "merges", "bloom",
+    ):
         if key in params:
             names.append(params[key])
     return names

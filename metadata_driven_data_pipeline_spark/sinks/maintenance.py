@@ -76,3 +76,96 @@ def compact_small_files(
     shutil.move(staging, path)
     after = table_file_stats(spark, path)
     return {"before": before, "after": after, "target_files": n_files}
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates,
+    key_cols: list[str],
+    order_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE INTO semantics for a ``partition_col``-partitioned table:
+    upsert ``updates`` keeping the latest row per key (by ``order_col``),
+    rewriting ONLY the partitions the updates touch.
+
+    The 100 TB point: a mutable dimension or metadata table is petabytes
+    across thousands of date/domain partitions, but a daily upsert
+    touches a handful — dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) replaces
+    exactly the partitions present in the written frame and leaves every
+    other partition's files untouched on disk. Plan: partition-pruned
+    read of the affected slice (filter on ``partition_col`` reaches the
+    scan), union with updates, one keep-latest window per key, write.
+
+    The merged slice stages through a side path first (breaking the
+    read-overwrite cycle — same discipline as consolidation; Spark
+    refuses self-overwrite reads, and the reference's in-place pattern
+    loses data on failure, consolidator.py:83/130). Re-running the same
+    upsert is idempotent: keep-latest over identical inputs yields the
+    identical slice.
+
+    The affected-partition list crosses the driver (bounded by the
+    number of touched partitions, not rows). Returns
+    ``{"partitions_rewritten": [...], "rows_written": n}``.
+    """
+    from metadata_driven_data_pipeline_spark.operators.consolidate import (
+        dedup_keep_latest,
+    )
+
+    affected = sorted(
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+        if r[0] is not None
+    )
+    if not affected:
+        return {"partitions_rewritten": [], "rows_written": 0}
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        # bootstrap: first batch creates the partitioned table outright
+        deduped = dedup_keep_latest(updates, key_cols, order_col)
+        (
+            deduped.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .save(table_path)
+        )
+        return {
+            "partitions_rewritten": affected,
+            "rows_written": deduped.count(),
+        }
+    existing = (
+        spark.read.format(fmt)
+        .load(table_path)
+        .filter(F.col(partition_col).isin(affected))
+    )
+    merged = dedup_keep_latest(
+        existing.unionByName(updates.select(*existing.columns)),
+        key_cols,
+        order_col,
+    )
+    staging = f"{table_path}__upsert_{uuid.uuid4().hex[:8]}"
+    merged.write.format(fmt).mode("overwrite").save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    rows = staged.count()
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            staged.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .save(table_path)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"partitions_rewritten": affected, "rows_written": rows}

@@ -59,6 +59,27 @@ def write_sink(
 
     obs = Observation(f"sink_{uuid.uuid4().hex[:8]}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
+    if sink.get("upsert"):
+        # MERGE semantics: keep-latest per upsertKeys, rewriting only the
+        # partitions the batch touches (sinks/maintenance.py merge_upsert)
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        up = sink["upsert"]
+        info = merge_upsert(
+            df.sparkSession, path, observed,
+            key_cols=list(up["keys"]),
+            order_col=up["orderBy"],
+            partition_col=up["partitionBy"],
+            fmt=fmt,
+        )
+        return {
+            "records_written": int(obs.get["records_written"]),
+            "sink_path": path,
+            "format": fmt,
+            "partitions_rewritten": info["partitions_rewritten"],
+        }
     if zorder_by:
         # Z-order-clustered layout (sinks/layout.py): every output file a
         # tight hyper-rectangle on the listed integer columns, so file

@@ -747,3 +747,86 @@ def test_tokenize_transform_bpe(spark, tmp_path):
     assert out.count() == n_docs
     assert set(out.columns) == {"doc_id", "bpe_tokens", "n_bpe_tokens"}
     assert out.filter("n_bpe_tokens <= 0").count() == 0
+
+
+def test_sketch_transform_bloom_probe(spark, tmp_path):
+    """Declarative membership: build a bloom over seen-corpus doc ids,
+    probe the whole corpus through the Engine — every seen key must be
+    maybe_seen (no false negatives)."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "seen", "type": "filter",
+             "params": {"input": "documents",
+                        "condition": "doc_id % 2 = 0"}},
+            {"name": "bloom", "type": "sketch",
+             "params": {"input": "seen", "mode": "bloom_build",
+                        "keyCol": "doc_id", "mBits": 65536}},
+            {"name": "probed", "type": "sketch",
+             "params": {"input": "documents", "mode": "bloom_probe",
+                        "keyCol": "doc_id", "bloom": "bloom",
+                        "mBits": 65536}},
+        ],
+        sink_input="probed",
+    )
+    rows = out.collect()
+    misses = [r for r in rows if r.doc_id % 2 == 0 and not r.maybe_seen]
+    assert misses == []
+
+
+def test_sketch_transform_qhist_quantiles(spark, tmp_path):
+    """Declarative mergeable quantiles: shard grids → merge → P50
+    through the Engine, within one bin width of exact."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "orders", "path": f"{SF}/orders.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "grids", "type": "sketch",
+             "params": {"input": "orders", "mode": "qhist_shards",
+                        "valueCol": "o_totalprice",
+                        "shardCol": "o_orderpriority",
+                        "lo": 0.0, "hi": 600000.0, "bins": 600}},
+            {"name": "grid", "type": "sketch",
+             "params": {"input": "grids", "mode": "qhist_merge"}},
+            {"name": "p50", "type": "sketch",
+             "params": {"input": "grid", "mode": "qhist_quantiles",
+                        "qs": [0.5], "lo": 0.0, "hi": 600000.0,
+                        "bins": 600}},
+        ],
+        sink_input="p50",
+    )
+    est = out.collect()[0].est
+    exact = duckdb.connect().execute(
+        "SELECT quantile_cont(o_totalprice, 0.5) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) <= 1000.0
+
+
+def test_secondary_input_orders_transform_dag(spark, tmp_path):
+    """Regression: params that name a second relation (bloom here, also
+    oldInput/merges) must count as DAG edges — the consumer is declared
+    FIRST and still has to run after its producer."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "probed", "type": "sketch",
+             "params": {"input": "documents", "mode": "bloom_probe",
+                        "keyCol": "doc_id", "bloom": "bloom",
+                        "mBits": 65536}},
+            {"name": "bloom", "type": "sketch",
+             "params": {"input": "documents", "mode": "bloom_build",
+                        "keyCol": "doc_id", "mBits": 65536}},
+        ],
+        sink_input="probed",
+    )
+    rows = out.collect()
+    assert rows and all(r.maybe_seen for r in rows)

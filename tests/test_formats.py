@@ -123,3 +123,121 @@ def test_permissive_corrupt_rows_survive_and_route_ko(spark, tmp_path):
     ko = result.ko.collect()
     assert len(ko) == 1
     assert "notNull" in ko[0]["validation_errors"]["policy_number"]
+
+
+class TestMergeUpsert:
+    def _mk_table(self, spark, path):
+        rows = [
+            (k, f"2024-01-0{p}", 1, f"v1-{k}")
+            for p in range(1, 6)
+            for k in range(p * 100, p * 100 + 10)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, day string, version int, payload string"
+        )
+        df.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    def test_upsert_rewrites_only_touched_partitions(self, spark, tmp_path):
+        import os
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        path = str(tmp_path / "tbl")
+        self._mk_table(spark, path)
+        untouched_dir = os.path.join(path, "day=2024-01-05")
+        before = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+        updates = spark.createDataFrame(
+            [
+                (100, "2024-01-01", 2, "v2-100"),   # update existing key
+                (999, "2024-01-02", 1, "v1-999"),   # brand-new key
+            ],
+            "id long, day string, version int, payload string",
+        )
+        info = merge_upsert(
+            spark, path, updates, ["id", "day"], "version", "day"
+        )
+        assert info["partitions_rewritten"] == ["2024-01-01", "2024-01-02"]
+        back = spark.read.parquet(path)
+        assert back.count() == 51  # 50 original + 1 new key
+        got = {
+            r.id: r.payload
+            for r in back.filter("day = '2024-01-01'").collect()
+        }
+        assert got[100] == "v2-100" and got[101] == "v1-101"
+        assert back.filter("id = 999").count() == 1
+        # untouched partition: exact same files, never rewritten
+        after = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+        assert after == before
+
+    def test_upsert_is_idempotent(self, spark, tmp_path):
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        path = str(tmp_path / "tbl2")
+        self._mk_table(spark, path)
+        updates = spark.createDataFrame(
+            [(200, "2024-01-02", 3, "v3-200")],
+            "id long, day string, version int, payload string",
+        )
+        merge_upsert(spark, path, updates, ["id", "day"], "version", "day")
+        first = sorted(
+            map(tuple, spark.read.parquet(path).collect())
+        )
+        merge_upsert(spark, path, updates, ["id", "day"], "version", "day")
+        second = sorted(
+            map(tuple, spark.read.parquet(path).collect())
+        )
+        assert first == second
+
+    def test_upsert_no_updates_is_noop(self, spark, tmp_path):
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        path = str(tmp_path / "tbl3")
+        self._mk_table(spark, path)
+        empty = spark.createDataFrame(
+            [], "id long, day string, version int, payload string"
+        )
+        info = merge_upsert(spark, path, empty, ["id", "day"], "version", "day")
+        assert info == {"partitions_rewritten": [], "rows_written": 0}
+        assert spark.read.parquet(path).count() == 50
+
+    def test_upsert_sink_metadata_surface(self, spark, tmp_path):
+        """Declarative sink with upsert: first batch bootstraps the
+        partitioned table, second batch merges keep-latest and reports
+        the touched partitions."""
+        from metadata_driven_data_pipeline_spark.sinks.writer import (
+            write_sink,
+        )
+
+        path = str(tmp_path / "sinktbl")
+        sink = {
+            "name": "s", "path": path, "format": "parquet",
+            "upsert": {"keys": ["id", "day"], "orderBy": "version",
+                       "partitionBy": "day"},
+        }
+        b1 = spark.createDataFrame(
+            [(1, "d1", 1, "a"), (2, "d2", 1, "b")],
+            "id long, day string, version int, payload string",
+        )
+        info1 = write_sink(b1, sink)
+        assert info1["records_written"] == 2
+        assert info1["partitions_rewritten"] == ["d1", "d2"]
+        b2 = spark.createDataFrame(
+            [(1, "d1", 2, "a2"), (3, "d3", 1, "c")],
+            "id long, day string, version int, payload string",
+        )
+        info2 = write_sink(b2, sink)
+        assert info2["partitions_rewritten"] == ["d1", "d3"]
+        back = {r.id: (r.version, r.payload)
+                for r in spark.read.parquet(path).collect()}
+        assert back == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
