@@ -27,6 +27,7 @@ mirrors the MinHash policy.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -251,6 +252,21 @@ def bloom_merge(filters: DataFrame) -> DataFrame:
     return filters.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
+def bloom_pack(spark, bloom: DataFrame, m_bits: int):
+    """Pack the word table into a broadcast numpy uint64 bit array for
+    the ``bitarray`` probe lane — do this ONCE per index generation and
+    reuse across ingestion batches (the array is the servable form of
+    the stored sketch; re-pack only after :func:`bloom_merge` folds in
+    new shards).  Only the fixed m/8-byte sketch crosses the driver,
+    never corpus rows."""
+    import numpy as np
+
+    words = bloom.toPandas()
+    arr = np.zeros(m_bits // 32 + 1, dtype=np.uint64)
+    arr[words["word"].to_numpy()] = words["bits"].to_numpy(dtype=np.uint64)
+    return spark.sparkContext.broadcast(arr)
+
+
 def bloom_probe(
     keys_df: DataFrame,
     key_col: str,
@@ -258,33 +274,74 @@ def bloom_probe(
     m_bits: int = 1 << 18,
     k: int = 5,
     hash_fn: str = "md5",
+    impl: str = "join",
+    packed=None,
 ) -> DataFrame:
-    """Membership test: adds ``maybe_seen`` (true = all k bits set — a
-    candidate, possibly false-positive; false = DEFINITELY unseen).
+    """Membership test: adds ``maybe_seen`` to ``keys_df`` (true = all
+    k bits set — a candidate, possibly false-positive; false =
+    DEFINITELY unseen).  All other input columns pass through.  Both
+    impls hash JVM-side and return identical decisions:
 
-    The bloom side is ≤ m/32 rows — broadcast — so the probe is a
-    map-side hash lookup plus a per-key ``bit`` conjunction: no shuffle
-    of the probed batch at all.  (At index sizes where one array no
-    longer broadcasts, range-shard the key space and build one filter
-    per shard; each batch key then probes exactly one shard's words.)
+    - ``"join"``: k broadcast-hash lookups against the ≤ m/32-row word
+      table, each map-side — pure-SQL, the oracle lane.  The broadcast
+      hash relation costs O(m/32) to build per batch, so this lane is
+      for moderate ``m``.
+    - ``"bitarray"``: the PRODUCTION lane at large ``m`` — the word
+      table packs into a numpy uint32 array on the driver (m/8 bytes;
+      only the fixed-size sketch crosses the driver, never corpus
+      rows), broadcasts once (~4 MB at m=2^25 vs a ~100 MB 1M-row hash
+      relation), and an Arrow-vectorized pandas UDF does the bit
+      lookups on positions computed JVM-side.  Measured on
+      tools/probe_bloom.py; no shuffle of the probed frame either way.
     """
-    pos = F.explode(
-        _bloom_positions(F.col(key_col), m_bits, k, hash_fn)
-    ).alias("pos")
-    exploded = keys_df.select(F.col(key_col), pos)
-    word, mask = _word_mask(F.col("pos"))
-    tagged = exploded.select(
-        key_col, word.alias("word"), mask.alias("mask")
-    )
-    joined = tagged.join(F.broadcast(bloom), "word", "left")
-    hit = (
-        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
-        == F.col("mask")
-    ).cast("int")
-    return (
-        joined.groupBy(key_col)
-        .agg((F.sum(hit) == F.lit(k)).alias("maybe_seen"))
-    )
+    if impl == "bitarray":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        b = packed
+        if b is None:
+            b = bloom_pack(keys_df.sparkSession, bloom, m_bits)
+
+        @pandas_udf("boolean")
+        def _probe(pos: pd.Series) -> pd.Series:
+            mat = np.array(pos.tolist(), dtype=np.int64)
+            a = b.value
+            hit = (a[mat // 32] >> (mat % 32).astype(np.uint64)) & 1
+            return pd.Series(hit.all(axis=1))
+
+        return keys_df.withColumn(
+            "maybe_seen",
+            _probe(_bloom_positions(F.col(key_col), m_bits, k, hash_fn)),
+        )
+    if impl != "join":
+        raise ValueError(f"unknown impl {impl!r}; use 'join' or 'bitarray'")
+    out = keys_df
+    hits = []
+    for j in range(k):
+        pos = _base_hash(
+            F.concat(F.lit(f"bloom{j}:"), F.col(key_col)), hash_fn
+        ) % F.lit(m_bits)
+        word, mask = _word_mask(pos)
+        side = bloom.select(
+            F.col("word").alias(f"__bw{j}"),
+            F.col("bits").alias(f"__bb{j}"),
+        )
+        out = (
+            out.withColumn(f"__bw{j}", word)
+            .withColumn(f"__bm{j}", mask)
+            .join(F.broadcast(side), f"__bw{j}", "left")
+        )
+        hits.append(
+            F.coalesce(F.col(f"__bb{j}"), F.lit(0)).bitwiseAND(
+                F.col(f"__bm{j}")
+            )
+            == F.col(f"__bm{j}")
+        )
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    scratch = [c for j in range(k) for c in (f"__bw{j}", f"__bb{j}", f"__bm{j}")]
+    return out.withColumn("maybe_seen", cond).drop(*scratch)
 
 
 def bloom_prefilter_dedup(
@@ -298,6 +355,9 @@ def bloom_prefilter_dedup(
     k: int = 5,
     hash_fn: str = "md5",
     normalize: bool = True,
+    impl: str = "join",
+    packed=None,
+    confirm_pushdown_max: int = 0,
 ) -> DataFrame:
     """:func:`~metadata_driven_data_pipeline_spark.operators.dedup.incremental_dedup`
     with a bloom prefilter: EXACTLY the same output (the filter has no
@@ -308,6 +368,15 @@ def bloom_prefilter_dedup(
     At a 1% false-positive setting (k=5, m ≈ 10n bits) a 99%-fresh
     ingestion batch sends ~1% of its rows into the index join — the
     other 99% are cleared map-side against broadcast words.
+
+    The confirm stage broadcasts the (small) candidate key set and
+    SEMI-joins the index against it, so the index is scanned map-side
+    but NEVER shuffled — the plain anti-join shuffles every index row
+    per batch, which is exactly what a billions-row index can't afford
+    (tools/probe_bloom.py measures the crossover).  Candidate volume is
+    bounded by dup_rate·batch + fp_rate·batch; if a pathological batch
+    made it huge, Spark's broadcast limit fails fast rather than
+    silently degrading.
     """
     key = (
         F.md5(normalize_text(F.col(text_col)))
@@ -321,21 +390,34 @@ def bloom_prefilter_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    probed = within.join(
-        bloom_probe(
-            within.select(fp_col).distinct(),
-            fp_col,
-            bloom,
-            m_bits,
-            k,
-            hash_fn,
-        ),
-        fp_col,
+    probed = bloom_probe(
+        within, fp_col, bloom, m_bits, k, hash_fn, impl, packed
     )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    seen = seen_fingerprints.select(fp_col).distinct()
-    confirmed_new = candidates.join(seen, fp_col, "left_anti")
+    cand_keys = candidates.select(fp_col).distinct()
+    matches = None
+    if confirm_pushdown_max:
+        # point-lookup confirm: collect the (bounded, sketch-sized)
+        # candidate keys and push them into the index scan as an IN
+        # predicate — on an index STORED SORTED by fingerprint (layout/
+        # compaction sort_by), parquet min/max stats prune the scan to
+        # the files/row-groups that can contain a candidate, turning the
+        # confirm into O(candidates) point reads instead of a full index
+        # pass.  Only worth it while |candidates| < index file count —
+        # past the cap, fall through to the map-side semi scan.
+        cand_list = [r[0] for r in cand_keys.collect()]
+        if len(cand_list) <= confirm_pushdown_max:
+            matches = seen_fingerprints.select(fp_col).filter(
+                F.col(fp_col).isin(cand_list)
+            )
+    if matches is None:
+        matches = seen_fingerprints.select(fp_col).join(
+            F.broadcast(cand_keys), fp_col, "left_semi"
+        )
+    confirmed_new = candidates.join(
+        F.broadcast(matches.distinct()), fp_col, "left_anti"
+    )
     return fresh.unionByName(confirmed_new)
 
 

@@ -305,3 +305,33 @@ def test_qhist_grid_is_bounded(spark, orders):
     )
     n_shards = shards.select("shard").distinct().count()
     assert shards.count() <= n_shards * QBINS
+
+
+def test_bloom_bitarray_and_pushdown_lanes_equal_plain(spark, sf_dir):
+    """The production probe (packed-bitarray pandas UDF) and the
+    IN-pushdown confirm must preserve exactness too."""
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    index = seen.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    bloom = SK.bloom_build(index.distinct(), "fingerprint", 1 << 16, 5)
+    packed = SK.bloom_pack(spark, bloom, 1 << 16)
+    want = sorted(
+        r.doc_id
+        for r in DD.incremental_dedup(batch, index).select("doc_id").collect()
+    )
+    got_bits = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, k=5, impl="bitarray",
+        packed=packed,
+    )
+    assert sorted(r.doc_id for r in got_bits.select("doc_id").collect()) == want
+    got_push = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, k=5, impl="bitarray",
+        packed=packed, confirm_pushdown_max=100_000,
+    )
+    assert sorted(r.doc_id for r in got_push.select("doc_id").collect()) == want
