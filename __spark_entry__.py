@@ -2841,6 +2841,27 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture building in TOKEN units: per-domain greedy fill in
+    deterministic hash-draw order until each domain's token budget is
+    reached (crossing doc included) — the actual contract of "3B tokens
+    web + 1B code"; doc counts are the wrong unit. Domains absent from
+    the budget table are excluded; partitioning-independent
+    (operators/sampling.py token_budget_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(F.size(tx.tokens(tx.normalize_text(F.col("text")))))
+    docs = docs.withColumn("n_tokens", n_tokens)
+    out = smp.token_budget_sample(
+        docs,
+        budgets={"src0": 3000, "src1": 1500, "src2": 800, "src3": 20000},
+        domain_col="source",
+        token_col="n_tokens",
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: 16 merge rules learned with min pair frequency 2.
@@ -3055,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_index_words": q_bloom_index_words,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "quantile_sketch": q_quantile_sketch,
+        "token_budget_sample": q_token_budget_sample,
         # ==== positions 38-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
@@ -5555,6 +5577,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum >= q * n
             GROUP BY q)
         SELECT q, CAST(0.0 + (bin + 1) * 1000.0 AS DOUBLE) AS est FROM cand
+    """
+
+    # token_budget_sample: per-domain greedy fill in hash-draw order —
+    # running token total BEFORE each doc must be under the budget
+    sql["token_budget_sample"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len({_sql_toks(_sql_norm('text'))}) END
+                   AS n_tokens
+            FROM documents),
+        b(source, budget) AS (VALUES ('src0', 3000), ('src1', 1500),
+                                     ('src2', 800), ('src3', 20000)),
+        j AS (
+            SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+                   {draw('', 'doc_id')} AS d
+            FROM toks t JOIN b USING (source)),
+        wnd AS (
+            SELECT doc_id, source, n_tokens, budget,
+                   SUM(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY d, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens AS before
+            FROM j)
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        FROM wnd WHERE before < budget
     """
 
     sql["hll_incremental_distinct"] = """

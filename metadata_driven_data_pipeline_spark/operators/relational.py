@@ -629,6 +629,20 @@ def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
             df, params["keyCol"], epoch=int(params.get("epoch", 0)),
             order_col=params.get("orderCol", "position"),
         )
+    elif mode == "token_budget":
+        from .sampling import token_budget_sample
+
+        budgets = params["budgets"]
+        out = token_budget_sample(
+            df,
+            {str(k): int(v) for k, v in budgets.items()}
+            if isinstance(budgets, dict)
+            else int(budgets),
+            domain_col=params.get("domainCol", "source"),
+            token_col=params.get("tokenCol", "n_tokens"),
+            key_col=params.get("keyCol", "doc_id"),
+            salt=params.get("salt", ""),
+        )
     else:
         raise ValueError(f"unknown sample mode: {mode!r}")
     return {ctx["name"]: out}

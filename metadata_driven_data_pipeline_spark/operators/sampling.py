@@ -218,3 +218,54 @@ def epoch_shuffle(
     draw = hash_draw(F.col(key_col), f"epoch{epoch}")
     w = Window.orderBy(draw.asc(), F.col(key_col).asc())
     return df.withColumn(order_col, F.row_number().over(w))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: int | dict[str, int],
+    domain_col: str = "source",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fill a per-domain TOKEN budget (not a document count): within each
+    domain, documents are taken in deterministic hash-draw order until
+    the budget is reached — the mixture-building step of a training-data
+    pipeline, where "sample 3B tokens of web + 1B of code" is the actual
+    contract and document counts are the wrong unit.
+
+    Greedy-fill semantics: a doc is kept while the running token total
+    BEFORE it is under the domain's budget, so the crossing document is
+    included (total may overshoot by at most one document) and a
+    too-large budget degrades to "keep everything". ``budgets`` is one
+    int for every domain or a per-domain dict (missing domains get 0 —
+    excluded). Deterministic: same inputs + salt ⇒ the same sample,
+    independent of partitioning (same md5-draw lane as
+    :func:`hash_sample`; ties broken by key).
+
+    Scale shape: one hash shuffle on ``domain_col`` + a per-domain sort
+    for the running-sum window — the same cost class as any grouped
+    ranking; no driver-side rows (the budget table broadcasts).
+    """
+    draw = hash_draw(F.col(key_col), salt)
+    if isinstance(budgets, dict):
+        spark = df.sparkSession
+        btab = spark.createDataFrame(
+            [(str(k), int(v)) for k, v in sorted(budgets.items())],
+            f"{domain_col} string, __budget bigint",
+        )
+        src = df.join(F.broadcast(btab), domain_col, "inner")
+    else:
+        src = df.withColumn("__budget", F.lit(int(budgets)))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(draw.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    return (
+        src.withColumn("__before", before)
+        .filter(F.col("__before") < F.col("__budget"))
+        .drop("__budget", "__before")
+    )

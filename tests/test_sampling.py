@@ -217,3 +217,50 @@ class TestEpochShuffle:
         assert sorted(e0) == sorted(e1) == list(range(200))
         # and a genuine shuffle, not identity order
         assert e0 != list(range(200))
+
+
+class TestTokenBudgetSample:
+    def _docs(self, spark):
+        rows = [
+            Row(doc_id=i, source=f"d{i % 3}", n_tokens=10 + (i % 7))
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_budget_fill_is_tight(self, spark):
+        df = self._docs(spark)
+        out = smp.token_budget_sample(
+            df, {"d0": 200, "d1": 500}, domain_col="source"
+        )
+        per = {
+            r.source: (r.total, r.last)
+            for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("last"))
+            .collect()
+        }
+        assert set(per) == {"d0", "d1"}  # d2 not budgeted -> excluded
+        for dom, budget in [("d0", 200), ("d1", 500)]:
+            total, biggest = per[dom]
+            assert total >= budget  # crossing doc included
+            assert total - budget < biggest  # overshoot < one doc
+
+    def test_deterministic_under_repartition(self, spark):
+        df = self._docs(spark)
+        a = sorted(
+            r.doc_id
+            for r in smp.token_budget_sample(
+                df, 300, domain_col="source"
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in smp.token_budget_sample(
+                df.repartition(13), 300, domain_col="source"
+            ).collect()
+        )
+        assert a == b and a
+
+    def test_huge_budget_keeps_everything(self, spark):
+        df = self._docs(spark)
+        out = smp.token_budget_sample(df, 10**9, domain_col="source")
+        assert out.count() == 300
