@@ -2862,6 +2862,58 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus: one-pass parallel
+    moments (only dim+dim² partials per partition cross the driver),
+    driver-side eigh, pure-JVM projection. Eigendecomposition is not
+    SQL-expressible, so — like hll_incremental_distinct — the row
+    certifies INVARIANTS the oracle pins as constants: basis
+    orthonormality, monotone non-negative variance ratios summing ≤ 1,
+    and the hard one, per-component PROJECTED variance equal to the
+    model eigenvalue (ties the distributed moment pass, the eigh, and
+    the JVM projection together; any drift turns the row red).
+    tests/test_similarity.py holds the numpy-reference equality
+    (operators/similarity.py train_pca/pca_project)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    model = sim.train_pca(emb, n_components=k)
+    C = np.array(model["components"])
+    orthonormal = bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8))
+    r = model["explained_var_ratio"]
+    monotone = bool(
+        all(r[i] >= r[i + 1] - 1e-12 for i in range(len(r) - 1))
+        and all(x >= 0 for x in r)
+    )
+    proj = sim.pca_project(emb, model)
+    got = proj.select(
+        *[F.var_samp(F.col("pca")[i]).alias(f"v{i}") for i in range(k)]
+    ).collect()[0]
+    ev = model["explained_var"]
+    pv_match = bool(
+        all(
+            abs(got[f"v{i}"] - ev[i]) <= 1e-6 * max(1.0, ev[i])
+            for i in range(k)
+        )
+    )
+    return spark.createDataFrame(
+        [
+            (
+                model["n"],
+                k,
+                orthonormal,
+                monotone,
+                bool(sum(r) <= 1 + 1e-9),
+                pv_match,
+            )
+        ],
+        "n_vectors long, k int, orthonormal boolean, "
+        "ratios_monotone boolean, ratio_sum_le_1 boolean, "
+        "projected_var_matches boolean",
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: 16 merge rules learned with min pair frequency 2.
@@ -3077,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "quantile_sketch": q_quantile_sketch,
         "token_budget_sample": q_token_budget_sample,
+        "pca_embeddings": q_pca_embeddings,
         # ==== positions 38-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
@@ -5603,6 +5656,16 @@ def oracle_sql() -> dict[str, str]:
             FROM j)
         SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
         FROM wnd WHERE before < budget
+    """
+
+    sql["pca_embeddings"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(8 AS INT) AS k,
+               TRUE AS orthonormal,
+               TRUE AS ratios_monotone,
+               TRUE AS ratio_sum_le_1,
+               TRUE AS projected_var_matches
+        FROM embeddings
     """
 
     sql["hll_incremental_distinct"] = """

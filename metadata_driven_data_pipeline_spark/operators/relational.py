@@ -710,6 +710,16 @@ def _t_embedding_index(
             n_cells=int(params.get("nCells", 8)),
             id_col=id_col, emb_col=emb_col,
         )
+    elif mode == "pca":
+        model = sim.train_pca(
+            df, emb_col=emb_col,
+            n_components=int(params.get("nComponents", 16)),
+            whiten=bool(params.get("whiten", False)),
+        )
+        out = sim.pca_project(
+            df, model, emb_col=emb_col,
+            out_col=params.get("outCol", "pca"),
+        )
     else:
         raise ValueError(f"unknown embedding_index mode: {mode!r}")
     return {ctx["name"]: out}

@@ -1227,3 +1227,125 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening for embedding columns
+# ---------------------------------------------------------------------------
+
+
+def train_pca(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    n_components: int = 16,
+    whiten: bool = False,
+) -> dict:
+    """Fit PCA over an embedding column in ONE distributed pass.
+
+    Plan shape: each partition reduces to a single moment row
+    ``(n, Σv, Σv·vᵀ)`` inside an Arrow ``mapInPandas`` (one float64 GEMM
+    per batch — the same lane as the band-signature builder); only those
+    dim+dim² partials ever cross the driver (#partitions rows, never
+    corpus vectors), where they combine into the covariance and a numpy
+    ``eigh`` yields the top components.  Classic parallel-moments PCA —
+    the corpus is read once and never shuffled at all.
+
+    Sign convention: each component's largest-|coordinate| entry is made
+    positive, so the model is reproducible run-to-run (``eigh`` is free
+    to flip eigenvector signs).  Deterministic for a fixed partitioning;
+    across different partitionings the driver combine reorders float
+    sums, so components are stable only to fp tolerance (documented
+    contract, matching kmeans_fit).
+
+    Returns ``{"mean", "components" (k×dim rows), "explained_var",
+    "explained_var_ratio", "n"}`` — plain lists, broadcastable into
+    :func:`pca_project`.  ``whiten=True`` scales each component by
+    1/√eigenvalue so projected dimensions have unit variance.
+    """
+    dim_row = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("train_pca: empty input")
+    dim = int(dim_row["d"])
+
+    def moments(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        o = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            o += mat.T @ mat
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]}
+        )
+
+    parts = (
+        df.select(emb_col)
+        .mapInPandas(moments, schema="n long, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    if n < 2:
+        raise ValueError("train_pca: need at least 2 vectors")
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    o = np.sum(
+        [np.array(p["o"]).reshape(dim, dim) for p in parts], axis=0
+    )
+    mean = s / n
+    cov = (o - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = np.clip(evals[order], 0.0, None)
+    comps = evecs[:, order].T  # k×dim
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(evals, 1e-12))[:, None]
+    total_var = float(np.clip(np.trace(cov), 1e-12, None))
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_var": evals.tolist(),
+        "explained_var_ratio": (evals / total_var).tolist(),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a trained PCA basis: adds ``out_col``
+    (array<double>, k entries) = components·(v − mean).
+
+    Pure-JVM lane: the k×dim basis and the mean enter the plan as
+    literal arrays and each output coordinate is one codegen'd
+    ``aggregate`` dot product — no Python, no shuffle, a narrow
+    projection that composes with every downstream embedding operator
+    (semdedup/ANN on the reduced vectors)."""
+    mean = [float(x) for x in model["mean"]]
+    centered = F.zip_with(
+        F.col(emb_col).cast("array<double>"),
+        F.array(*[F.lit(m) for m in mean]),
+        lambda v, m: v - m,
+    )
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(c)) for c in comp]),
+                lambda v, w: v * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in model["components"]
+    ]
+    return df.withColumn(out_col, F.array(*coords))

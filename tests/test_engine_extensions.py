@@ -830,3 +830,21 @@ def test_secondary_input_orders_transform_dag(spark, tmp_path):
     )
     rows = out.collect()
     assert rows and all(r.maybe_seen for r in rows)
+
+
+def test_embedding_index_pca_transform(spark, tmp_path):
+    """Declarative PCA: reduce embeddings to 4 dims through the Engine."""
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "embeddings", "path": f"{SF}/embeddings.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "reduced", "type": "embedding_index",
+             "params": {"input": "embeddings", "mode": "pca",
+                        "nComponents": 4}},
+        ],
+        sink_input="reduced",
+    )
+    rows = out.collect()
+    assert rows and all(len(r.pca) == 4 for r in rows)

@@ -428,3 +428,66 @@ class TestHardNegatives:
         assert 1 not in ids      # near-dup above hi: excluded
         assert 2 not in ids      # below lo: excluded
         assert ids == {3}
+
+
+class TestPCA:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_matches_numpy_reference(self, spark, emb):
+        import numpy as np
+
+        model = S.train_pca(emb, n_components=8)
+        rows = emb.orderBy("vec_id").collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        # reference: numpy covariance eigh on the same data
+        mean = X.mean(axis=0)
+        assert np.allclose(mean, model["mean"], atol=1e-9)
+        cov = np.cov(X, rowvar=False, ddof=1)
+        evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+        assert np.allclose(evals, model["explained_var"], rtol=1e-8)
+        C = np.array(model["components"])
+        assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)
+
+    def test_projection_equals_numpy_and_is_jvm_side(self, spark, emb):
+        import numpy as np
+
+        model = S.train_pca(emb, n_components=4)
+        proj = S.pca_project(emb, model)
+        # no python stage in the projection plan (pure codegen)
+        plan = proj._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+        rows = proj.orderBy("vec_id").limit(100).collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        P = np.array([r.pca for r in rows])
+        ref = (X - np.array(model["mean"])) @ np.array(model["components"]).T
+        assert np.allclose(P, ref, atol=1e-9)
+
+    def test_whitening_gives_unit_variance(self, spark, emb):
+        import numpy as np
+
+        model = S.train_pca(emb, n_components=6, whiten=True)
+        P = np.array(
+            [r.pca for r in S.pca_project(emb, model).select("pca").collect()]
+        )
+        assert np.allclose(P.var(axis=0, ddof=1), 1.0, atol=1e-6)
+
+    def test_reconstruction_error_decreases_with_k(self, spark, emb):
+        import numpy as np
+
+        rows = emb.collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        errs = []
+        for k in (2, 8, 32):
+            m = S.train_pca(emb, n_components=k)
+            C = np.array(m["components"])
+            Xc = X - np.array(m["mean"])
+            rec = Xc @ C.T @ C
+            errs.append(float(((Xc - rec) ** 2).sum()))
+        assert errs[0] > errs[1] > errs[2]
+
+    def test_deterministic_for_fixed_partitioning(self, spark, emb):
+        a = S.train_pca(emb, n_components=5)
+        b = S.train_pca(emb, n_components=5)
+        assert a == b
