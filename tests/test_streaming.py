@@ -427,3 +427,57 @@ def test_streaming_cms_monitor_rerun_is_idempotent(spark, tmp_path):
     first = run()
     second = run()
     assert first == second and first
+
+
+def test_foreachbatch_upsert_partitioned_touches_only_batch_partitions(
+    spark, tmp_path
+):
+    """Partition-pruned streaming upsert: the second micro-batch rewrites
+    only its own day partitions; an untouched day's files keep their
+    mtimes."""
+    import json
+    import os
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_upsert_partitioned,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "table")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+    ])
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.jsonl", [
+        {"k": "a", "v": 1, "day": "2025-01-01"},
+        {"k": "b", "v": 2, "day": "2025-01-02"},
+    ])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_upsert_partitioned(
+        stream, str(tmp_path / "ck1"), out, ["k"], "v", "day"
+    )
+    d2 = os.path.join(out, "day=2025-01-02")
+    before = {f: os.path.getmtime(os.path.join(d2, f)) for f in os.listdir(d2)}
+
+    write_batch("b2.jsonl", [
+        {"k": "a", "v": 10, "day": "2025-01-01"},
+        {"k": "c", "v": 3, "day": "2025-01-03"},
+    ])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_upsert_partitioned(
+        stream, str(tmp_path / "ck1"), out, ["k"], "v", "day"
+    )
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 10), ("b", 2), ("c", 3)}
+    after = {f: os.path.getmtime(os.path.join(d2, f)) for f in os.listdir(d2)}
+    assert after == before
