@@ -3073,7 +3073,7 @@ def q_gap_fill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 145) is additionally
+    the FIRST 50 entries only; every entry (all 147) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
@@ -3081,13 +3081,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver has never scored (TPC-H Q6/Q16/Q18 shapes + the curation /
     quantization / PQ / streaming-curation family) — after this round
     every registry entry has been driver-scored at least once.  Positions
-    20-37 are NEW this round (profiling/sketch/sampling/tokenizer
-    families incl. bloom + quantile-histogram sketches); positions 38-50
-    re-certify the OLDEST driver-green entries (r1/r2 greens, including
-    gopher/span families whose semantics changed this round via the
-    ADVICE fixes: distinct-stopword Gopher rule, NULL-text span_dedup).
-    Positions 51+ are driver-green from a prior round at unchanged
-    semantics."""
+    20-39 are NEW this round (profiling/sketch/sampling/tokenizer/PCA
+    families incl. bloom + quantile-histogram sketches and token-budget
+    mixture fill); positions 40-50 re-certify the OLDEST driver-green
+    entries (r1/r2 greens, including gopher/span families whose
+    semantics changed this round via the ADVICE fixes: distinct-stopword
+    Gopher rule, NULL-text span_dedup).  Positions 51+ are driver-green
+    from a prior round at unchanged semantics."""
     return {
         # ==== positions 1-19: never driver-scored (round-3 additions) =====
         "forecast_revenue_change": q_forecast_revenue_change,
@@ -3130,7 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "token_budget_sample": q_token_budget_sample,
         "pca_embeddings": q_pca_embeddings,
-        # ==== positions 38-50: oldest driver-greens, re-certified =========
+        # ==== positions 40-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,

@@ -114,6 +114,10 @@ AUDITED = [
     "sample_per_group",
     "epoch_shuffle",
     "dup_histogram",
+    "bloom_index_words",
+    "bloom_incremental_dedup",
+    "quantile_sketch",
+    "token_budget_sample",
 ]
 
 
