@@ -2914,6 +2914,28 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over the doc⋈embedding corpus: BM25 keyword
+    list {key, spark, table} fused with the embedding-cosine list for
+    query vector vec_id=0 by reciprocal-rank fusion Σ 1/(60+rank) — the
+    standard lexical+dense RAG combination, rank-based so the score
+    scales never need calibrating. Both ranks, the fused score, and the
+    final top-10 are bit-reproduced by the oracle
+    (operators/text.py hybrid_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "inner"
+    ).select(docs["doc_id"], "text", "embedding")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return tx.hybrid_search(
+        corpus, ["key", "spark", "table"], qv, k=10, pool=50
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: 16 merge rules learned with min pair frequency 2.
@@ -3130,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "token_budget_sample": q_token_budget_sample,
         "pca_embeddings": q_pca_embeddings,
+        "hybrid_search": q_hybrid_search,
         # ==== positions 40-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
@@ -5656,6 +5679,67 @@ def oracle_sql() -> dict[str, str]:
             FROM j)
         SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
         FROM wnd WHERE before < budget
+    """
+
+    # hybrid_search: BM25 fragment names (d2/st/toks/dl/n/df{i}) reuse
+    # the keyword_search oracle's, just FROM the doc⋈embedding corpus
+    sql["hybrid_search"] = f"""
+        WITH corpus AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        d AS (
+            SELECT doc_id, {_sql_toks(_sql_norm('text'))} AS toks,
+                   embedding
+            FROM corpus),
+        d2 AS (SELECT doc_id, toks, len(toks) AS dl, embedding FROM d),
+        st AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {", ".join(f"{_kw_df[t]} AS df{i}"
+                              for i, t in enumerate(_kw_terms))}
+            FROM d2),
+        s AS (
+            SELECT doc_id, round({_kw_score}, 6) AS score
+            FROM d2 CROSS JOIN st),
+        bm AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS bm25_rank
+            FROM s WHERE score > 0),
+        bm2 AS (SELECT doc_id, bm25_rank FROM bm WHERE bm25_rank <= 50),
+        q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+        cs AS (
+            SELECT doc_id,
+                   {_sql_cosine64('d2.embedding', 'q.qemb')} AS c
+            FROM d2 CROSS JOIN q),
+        cr AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id ASC)
+                       AS cos_rank
+            FROM cs),
+        cr2 AS (SELECT doc_id, cos_rank FROM cr WHERE cos_rank <= 50),
+        f AS (
+            SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                   b.bm25_rank, c.cos_rank
+            FROM bm2 b FULL OUTER JOIN cr2 c ON b.doc_id = c.doc_id),
+        r AS (
+            SELECT doc_id, bm25_rank, cos_rank,
+                   COALESCE(CAST(1.0 AS DOUBLE)
+                            / (CAST(60.0 AS DOUBLE) + bm25_rank),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE) + cos_rank),
+                              CAST(0.0 AS DOUBLE)) AS rrf
+            FROM f),
+        rk AS (
+            SELECT doc_id, bm25_rank, cos_rank, rrf,
+                   ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+                       AS rank
+            FROM r)
+        SELECT doc_id, CAST(bm25_rank AS INT) AS bm25_rank,
+               CAST(cos_rank AS INT) AS cos_rank, rrf,
+               CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 10
     """
 
     sql["pca_embeddings"] = """

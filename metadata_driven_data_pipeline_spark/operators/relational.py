@@ -542,6 +542,17 @@ def _t_text_analyze(catalog: Catalog, params: dict, ctx: dict) -> dict[str, Data
             b=float(params.get("b", 0.75)),
             text_col=text_col, id_col=id_col,
         )
+    elif mode == "hybrid_search":
+        out = tx.hybrid_search(
+            df, [str(t) for t in params["terms"]],
+            [float(x) for x in params["queryVec"]],
+            k=int(params.get("k", 10)),
+            pool=int(params.get("pool", 50)),
+            k_rrf=int(params.get("kRrf", 60)),
+            text_col=text_col,
+            emb_col=params.get("embCol", "embedding"),
+            id_col=id_col,
+        )
     else:
         raise ValueError(f"unknown text_analyze mode: {mode!r}")
     return {ctx["name"]: out}

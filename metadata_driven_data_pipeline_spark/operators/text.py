@@ -936,3 +936,67 @@ def keyword_search(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_search(
+    df: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    emb_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the top-``pool`` BM25 keyword list and the top-``pool``
+    embedding-cosine list fuse by ``Σ 1/(k_rrf + rank)`` — the standard
+    two-tower + lexical combination of a RAG/data-selection stack, and
+    rank-based so the two score scales never need calibrating.
+
+    Determinism: both ranks tie-break by id; the RRF sum is two exact
+    IEEE divisions added in fixed order — bit-reproducible by the SQL
+    oracle. Docs outside a list contribute 0 from it (the RRF
+    convention), so the fused pool is the UNION of both lists.
+
+    Scale shape: BM25 is the :func:`keyword_search` plan (one corpus
+    aggregate + pure-projection scoring); the dense side is one
+    broadcast-literal cosine projection + a global top-``pool`` — for
+    corpora where brute-force cosine is the wrong plan, feed the
+    candidates from the IVF/LSH/PQ ladder instead and fuse the same
+    way. The fusion join touches ≤ 2·pool rows.
+    """
+    from metadata_driven_data_pipeline_spark.operators.similarity import (
+        cosine,
+        dvec,
+    )
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    bm = keyword_search(
+        df, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("rank").alias("bm25_rank"))
+    cos = df.select(
+        F.col(id_col),
+        F.round(cosine(dvec(F.col(emb_col)), qv), 6).alias("__cos"),
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    dense = (
+        cos.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+        .limit(pool)
+        .withColumn("cos_rank", F.row_number().over(w))
+        .select(id_col, "cos_rank")
+    )
+    fused = bm.join(dense, id_col, "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("cos_rank")), F.lit(0.0)
+    )
+    w2 = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "bm25_rank", "cos_rank", "rrf", "rank")
+    )

@@ -448,3 +448,61 @@ class TestKeywordSearch:
         import pytest as _pt
         with _pt.raises(ValueError):
             X.keyword_search(df, [])
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_lists_and_is_deterministic(self, spark, sf_dir):
+        from metadata_driven_data_pipeline_spark.operators.text import (
+            hybrid_search,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = docs.join(
+            emb, docs["doc_id"] == emb["vec_id"]
+        ).select(docs["doc_id"], "text", "embedding")
+        qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        out = hybrid_search(corpus, ["key", "spark"], qv, k=10, pool=30)
+        rows = out.orderBy("rank").collect()
+        assert len(rows) == 10
+        # rank 1..10 dense, rrf non-increasing
+        assert [r.rank for r in rows] == list(range(1, 11))
+        rrfs = [r.rrf for r in rows]
+        assert all(rrfs[i] >= rrfs[i + 1] for i in range(9))
+        # every fused row sits in at least one source list
+        assert all(
+            r.bm25_rank is not None or r.cos_rank is not None for r in rows
+        )
+        # the query's own doc (vec 0 vs itself, cosine 1.0) tops the dense list
+        top_dense = [r for r in rows if r.cos_rank == 1]
+        assert top_dense and top_dense[0].doc_id == 0
+        # determinism across repartition
+        out2 = hybrid_search(
+            corpus.repartition(7), ["key", "spark"], qv, k=10, pool=30
+        )
+        assert [tuple(r) for r in out2.orderBy("rank").collect()] == [
+            tuple(r) for r in rows
+        ]
+
+    def test_doc_in_both_lists_outranks_single_list(self, spark, sf_dir):
+        """A doc present in both lists must beat a doc that appears in
+        only one list at comparable rank (the point of RRF)."""
+        from metadata_driven_data_pipeline_spark.operators.text import (
+            hybrid_search,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = docs.join(
+            emb, docs["doc_id"] == emb["vec_id"]
+        ).select(docs["doc_id"], "text", "embedding")
+        qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        rows = hybrid_search(
+            corpus, ["key", "spark", "table"], qv, k=50, pool=50
+        ).collect()
+        both = [r for r in rows if r.bm25_rank and r.cos_rank]
+        only = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
+        if both and only:
+            best_both = min(r.rank for r in both)
+            # some doc in both lists should beat the best single-list doc
+            assert best_both < max(r.rank for r in only)
