@@ -348,3 +348,66 @@ def run_upsert_partitioned(
         .start()
     )
     q.awaitTermination()
+
+
+def run_qhist_monitor(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming quantile monitor: maintain a mergeable equi-width
+    histogram grid over everything the stream has delivered, merged per
+    micro-batch via ``foreachBatch`` (counters are ADDITIVE — the same
+    property run_cms_monitor leans on; exact quantile state would grow
+    with the data, this grid is ≤ ``bins`` rows forever).  Read
+    quantiles off the stored grid any time with
+    ``operators.sketch.qhist_quantiles`` — latency-percentile /
+    price-distribution dashboards over an unbounded stream at fixed
+    state size.
+
+    Deterministic and order-independent, so the final grid equals
+    ``qhist_shard_sketches`` + ``qhist_merge`` over the whole corpus
+    (pinned in tests/test_streaming.py against the batch build).
+    Staging-path swap like :func:`run_upsert_consolidated`.
+    """
+    import shutil
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import (
+        qhist_merge,
+        qhist_shard_sketches,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = qhist_merge(
+            qhist_shard_sketches(
+                batch_df, value_col, F.lit("batch"), lo, hi, bins
+            )
+        )
+        try:
+            existing = spark.read.format(fmt).load(output_path)
+            grid = (
+                existing.unionByName(grid)
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:
+            pass
+        staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
+        grid.write.format(fmt).mode("overwrite").save(staging)
+        shutil.rmtree(output_path, ignore_errors=True)
+        shutil.move(staging, output_path)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -481,3 +481,61 @@ def test_foreachbatch_upsert_partitioned_touches_only_batch_partitions(
     assert got == {("a", 10), ("b", 2), ("c", 3)}
     after = {f: os.path.getmtime(os.path.join(d2, f)) for f in os.listdir(d2)}
     assert after == before
+
+
+def test_qhist_monitor_equals_batch_build(spark, tmp_path):
+    """Streaming quantile grid over two AvailableNow passes equals the
+    one-shot batch histogram over the union of all delivered files."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import (
+        qhist_merge,
+        qhist_quantiles,
+        qhist_shard_sketches,
+    )
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        incremental_file_stream,
+        run_qhist_monitor,
+    )
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "grid")
+    os.makedirs(src)
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+
+    def write_batch(name, vals):
+        with open(src / name, "w") as f:
+            for v in vals:
+                f.write(json.dumps({"v": v}) + "\n")
+
+    write_batch("b1.jsonl", [float(x) for x in range(0, 500)])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_qhist_monitor(stream, str(tmp_path / "ck"), out, "v", 0.0, 1000.0, 100)
+
+    write_batch("b2.jsonl", [float(x) for x in range(500, 1000)])
+    stream = incremental_file_stream(spark, str(src), schema, fmt="json")
+    run_qhist_monitor(stream, str(tmp_path / "ck"), out, "v", 0.0, 1000.0, 100)
+
+    got = {
+        (r.bin, r.cnt) for r in spark.read.parquet(out).collect()
+    }
+    whole = spark.read.schema(schema).json(str(src))
+    want = {
+        (r.bin, r.cnt)
+        for r in qhist_merge(
+            qhist_shard_sketches(whole, "v", F.lit("all"), 0.0, 1000.0, 100)
+        ).collect()
+    }
+    assert got == want
+    # quantiles read off the stored grid: exact uniform P50 within 1 bin
+    est = {
+        r.q: r.est
+        for r in qhist_quantiles(
+            spark.read.parquet(out), [0.5], 0.0, 1000.0, 100
+        ).collect()
+    }
+    assert abs(est[0.5] - 500.0) <= 10.0
