@@ -3095,7 +3095,7 @@ def q_gap_fill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 147) is additionally
+    the FIRST 50 entries only; every entry (all 148) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
@@ -3103,9 +3103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver has never scored (TPC-H Q6/Q16/Q18 shapes + the curation /
     quantization / PQ / streaming-curation family) — after this round
     every registry entry has been driver-scored at least once.  Positions
-    20-39 are NEW this round (profiling/sketch/sampling/tokenizer/PCA
-    families incl. bloom + quantile-histogram sketches and token-budget
-    mixture fill); positions 40-50 re-certify the OLDEST driver-green
+    20-40 are NEW this round (profiling/sketch/sampling/tokenizer/PCA/
+    retrieval families incl. bloom + quantile-histogram sketches,
+    token-budget mixture fill, and RRF hybrid search); positions 41-50
+    re-certify the OLDEST driver-green
     entries (r1/r2 greens, including gopher/span families whose
     semantics changed this round via the ADVICE fixes: distinct-stopword
     Gopher rule, NULL-text span_dedup).  Positions 51+ are driver-green
@@ -3153,7 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "pca_embeddings": q_pca_embeddings,
         "hybrid_search": q_hybrid_search,
-        # ==== positions 40-50: oldest driver-greens, re-certified =========
+        # ==== positions 41-50: oldest driver-greens, re-certified =========
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,

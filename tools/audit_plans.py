@@ -118,6 +118,7 @@ AUDITED = [
     "bloom_incremental_dedup",
     "quantile_sketch",
     "token_budget_sample",
+    "hybrid_search",
 ]
 
 
