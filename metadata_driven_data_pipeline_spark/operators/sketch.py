@@ -257,8 +257,9 @@ def bloom_pack(spark, bloom: DataFrame, m_bits: int):
     the ``bitarray`` probe lane — do this ONCE per index generation and
     reuse across ingestion batches (the array is the servable form of
     the stored sketch; re-pack only after :func:`bloom_merge` folds in
-    new shards).  Only the fixed m/8-byte sketch crosses the driver,
-    never corpus rows."""
+    new shards).  Only the fixed m/4-byte sketch (m/32 uint64 entries,
+    each holding one packed 32-bit word) crosses the driver, never
+    corpus rows."""
     import numpy as np
 
     words = bloom.toPandas()
@@ -287,12 +288,13 @@ def bloom_probe(
       hash relation costs O(m/32) to build per batch, so this lane is
       for moderate ``m``.
     - ``"bitarray"``: the PRODUCTION lane at large ``m`` — the word
-      table packs into a numpy uint32 array on the driver (m/8 bytes;
-      only the fixed-size sketch crosses the driver, never corpus
-      rows), broadcasts once (~4 MB at m=2^25 vs a ~100 MB 1M-row hash
-      relation), and an Arrow-vectorized pandas UDF does the bit
-      lookups on positions computed JVM-side.  Measured on
-      tools/probe_bloom.py; no shuffle of the probed frame either way.
+      table packs into a numpy uint64 array on the driver (m/4 bytes,
+      one packed 32-bit word per entry; only the fixed-size sketch
+      crosses the driver, never corpus rows), broadcasts once (~8 MB
+      at m=2^25 vs a ~100 MB 1M-row hash relation), and an
+      Arrow-vectorized pandas UDF does the bit lookups on positions
+      computed JVM-side.  Measured on tools/probe_bloom.py; no shuffle
+      of the probed frame either way.
     """
     if impl == "bitarray":
         import numpy as np
@@ -304,7 +306,9 @@ def bloom_probe(
 
         @pandas_udf("boolean")
         def _probe(pos: pd.Series) -> pd.Series:
-            mat = np.array(pos.tolist(), dtype=np.int64)
+            # reshape keeps the empty Arrow batch 2-D (an empty
+            # 1-D array would crash hit.all(axis=1))
+            mat = np.array(pos.tolist(), dtype=np.int64).reshape(-1, k)
             a = b.value
             hit = (a[mat // 32] >> (mat % 32).astype(np.uint64)) & 1
             return pd.Series(hit.all(axis=1))
@@ -357,7 +361,8 @@ def bloom_prefilter_dedup(
     normalize: bool = True,
     impl: str = "join",
     packed=None,
-    confirm_pushdown_max: int = 0,
+    confirm_pushdown_max: int | str = 0,
+    index_path: str | None = None,
 ) -> DataFrame:
     """:func:`~metadata_driven_data_pipeline_spark.operators.dedup.incremental_dedup`
     with a bloom prefilter: EXACTLY the same output (the filter has no
@@ -377,6 +382,16 @@ def bloom_prefilter_dedup(
     bounded by dup_rate·batch + fp_rate·batch; if a pathological batch
     made it huge, Spark's broadcast limit fails fast rather than
     silently degrading.
+
+    ``confirm_pushdown_max`` selects the confirm lane: 0 = always the
+    broadcast-semi scan; N > 0 = IN-pushdown point lookups while the
+    candidate set stays ≤ N (the driver collects at most N+1 keys —
+    ``limit(N+1)`` — so a mis-sized filter can NEVER flood the driver;
+    past the cap it falls through to the semi scan); ``"auto"`` =
+    derive the cap from the index's file count at call time
+    (``index_path`` required) — the probe-measured crossover: point
+    lookups win while |candidates| < files (each candidate prunes to
+    ~1 file via min/max stats), the full map-side pass wins past it.
     """
     key = (
         F.md5(normalize_text(F.col(text_col)))
@@ -396,8 +411,19 @@ def bloom_prefilter_dedup(
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     cand_keys = candidates.select(fp_col).distinct()
+    cap = confirm_pushdown_max
+    if cap == "auto":
+        if index_path is None:
+            raise ValueError(
+                "confirm_pushdown_max='auto' requires index_path"
+            )
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            table_file_stats,
+        )
+
+        cap = table_file_stats(new_df.sparkSession, index_path)["files"]
     matches = None
-    if confirm_pushdown_max:
+    if cap:
         # point-lookup confirm: collect the (bounded, sketch-sized)
         # candidate keys and push them into the index scan as an IN
         # predicate — on an index STORED SORTED by fingerprint (layout/
@@ -405,9 +431,12 @@ def bloom_prefilter_dedup(
         # the files/row-groups that can contain a candidate, turning the
         # confirm into O(candidates) point reads instead of a full index
         # pass.  Only worth it while |candidates| < index file count —
-        # past the cap, fall through to the map-side semi scan.
-        cand_list = [r[0] for r in cand_keys.collect()]
-        if len(cand_list) <= confirm_pushdown_max:
+        # past the cap, fall through to the map-side semi scan.  The
+        # limit bounds the driver BEFORE the collect: at most cap+1
+        # keys ever land on it, however bad the filter's FP rate.
+        cap = int(cap)
+        cand_list = [r[0] for r in cand_keys.limit(cap + 1).collect()]
+        if len(cand_list) <= cap:
             matches = seen_fingerprints.select(fp_col).filter(
                 F.col(fp_col).isin(cand_list)
             )

@@ -335,3 +335,86 @@ def test_bloom_bitarray_and_pushdown_lanes_equal_plain(spark, sf_dir):
         packed=packed, confirm_pushdown_max=100_000,
     )
     assert sorted(r.doc_id for r in got_push.select("doc_id").collect()) == want
+
+
+def test_bloom_pushdown_cap_falls_back_without_unbounded_collect(
+    spark, sf_dir
+):
+    """Over-cap candidate sets must trip the limit(N+1) guard and fall
+    through to the map-side semi scan — output identical, and the
+    driver never collects more than N+1 keys (r4 verdict: a mis-sized
+    filter at 100 TB would otherwise land the whole candidate list on
+    the driver before the cap check)."""
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    index = seen.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    # tiny m => near-saturated filter => nearly every batch row is a
+    # bloom-positive candidate, far above the cap of 3
+    bloom = SK.bloom_build(index.distinct(), "fingerprint", 1 << 6, 5)
+    got = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 6, k=5, confirm_pushdown_max=3
+    )
+    want = DD.incremental_dedup(batch, index)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+
+
+def test_bloom_bitarray_probe_survives_empty_partitions(spark, key_df):
+    """Zero-row Arrow batches reach the pandas UDF when a partition is
+    empty; the position matrix must stay 2-D (ADVICE r4: numpy
+    AxisError on hit.all(axis=1))."""
+    bloom = SK.bloom_build(key_df, "key", m_bits=1 << 14, k=5)
+    packed = SK.bloom_pack(spark, bloom, 1 << 14)
+    empty = key_df.filter(F.lit(False)).repartition(4)
+    probed = SK.bloom_probe(
+        empty, "key", bloom, m_bits=1 << 14, k=5, impl="bitarray",
+        packed=packed,
+    )
+    assert probed.count() == 0
+    # and a frame whose repartition leaves SOME partitions empty
+    sparse = key_df.limit(3).repartition(8)
+    probed = SK.bloom_probe(
+        sparse, "key", bloom, m_bits=1 << 14, k=5, impl="bitarray",
+        packed=packed,
+    )
+    assert probed.filter(F.col("maybe_seen")).count() == 3
+
+
+def test_bloom_auto_confirm_lane_derives_cap_from_index_files(
+    spark, sf_dir, tmp_path
+):
+    """confirm_pushdown_max='auto' sizes the IN-pushdown cap from the
+    stored index's file count (the probe-measured crossover) and must
+    preserve exactness either way."""
+    from metadata_driven_data_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    seen = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    index_path = str(tmp_path / "fp_index")
+    seen.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    ).repartition(4).write.parquet(index_path)
+    index = spark.read.parquet(index_path)
+    bloom = SK.bloom_build(index.distinct(), "fingerprint", 1 << 16, 5)
+    got = SK.bloom_prefilter_dedup(
+        batch, index, bloom, m_bits=1 << 16, k=5,
+        confirm_pushdown_max="auto", index_path=index_path,
+    )
+    want = DD.incremental_dedup(batch, index)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
+    with pytest.raises(ValueError, match="index_path"):
+        SK.bloom_prefilter_dedup(
+            batch, index, bloom, m_bits=1 << 16, k=5,
+            confirm_pushdown_max="auto",
+        )
