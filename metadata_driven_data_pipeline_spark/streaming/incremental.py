@@ -197,6 +197,34 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str | None = None) -> N
     q.awaitTermination()
 
 
+def _output_exists(spark, path: str) -> bool:
+    """Explicit existence check via the Hadoop FileSystem of the path's
+    scheme (the merge_upsert bootstrap pattern, sinks/maintenance.py).
+
+    foreachBatch merges must distinguish "first batch, no table yet"
+    from "table exists but the read failed": a blanket try/except around
+    the read would silently discard ALL accumulated state on a transient
+    failure (corrupt file, permissions, FS hiccup) and overwrite it with
+    the current batch only — silent data loss in a monitor.  With the
+    explicit check, a real read error propagates, fails the micro-batch
+    before the checkpoint commits, and the stream retries from intact
+    state."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _committed_batch(existing: DataFrame) -> int | None:
+    """Highest batch id already folded into a stored monitor grid (the
+    ``last_batch_id`` column every grid row carries), or None for
+    pre-upgrade grids without the column."""
+    if "last_batch_id" not in existing.columns:
+        return None
+    row = existing.agg(F.max("last_batch_id")).first()
+    return None if row[0] is None else int(row[0])
+
+
 def run_upsert_consolidated(
     df: DataFrame,
     checkpoint_dir: str,
@@ -227,10 +255,10 @@ def run_upsert_consolidated(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        if _output_exists(spark, output_path):
             existing = spark.read.format(fmt).load(output_path)
             unioned = existing.unionByName(batch_df)
-        except Exception:
+        else:
             unioned = batch_df
         merged = dedup_keep_latest(
             unioned, key_columns, order_by, deterministic=True
@@ -247,6 +275,49 @@ def run_upsert_consolidated(
         .start()
     )
     q.awaitTermination()
+
+
+def cms_monitor_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    fmt: str = "parquet",
+) -> None:
+    """One micro-batch of :func:`run_cms_monitor`: fold the batch's CMS
+    grid into the stored grid unless ``batch_id`` is already committed
+    (the ``last_batch_id`` watermark every grid row carries), then swap
+    atomically.  Module-level so the replay contract is directly
+    testable outside a streaming query."""
+    import shutil
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
+
+    spark = batch_df.sparkSession
+    grid = cms_build(
+        batch_df, text_col=text_col, depth=depth, width=width,
+        hash_fn=hash_fn,
+    )
+    if _output_exists(spark, output_path):
+        existing = spark.read.format(fmt).load(output_path)
+        committed = _committed_batch(existing)
+        if committed is not None and committed >= batch_id:
+            return  # at-least-once replay: already folded in
+        grid = (
+            existing.drop("last_batch_id")
+            .unionByName(grid)
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    grid = grid.withColumn("last_batch_id", F.lit(batch_id))
+    staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
+    grid.write.format(fmt).mode("overwrite").save(staging)
+    shutil.rmtree(output_path, ignore_errors=True)
+    shutil.move(staging, output_path)
 
 
 def run_cms_monitor(
@@ -270,31 +341,23 @@ def run_cms_monitor(
     table equals ``operators.sketch.cms_build`` over the whole corpus —
     which is exactly how the certified query checks it against the
     DuckDB oracle. Staging-path swap like :func:`run_upsert_consolidated`.
+
+    Replay safety: additive counters are NOT idempotent under
+    foreachBatch's at-least-once re-delivery (a crash after the swap but
+    before the checkpoint commit replays the batch), so every grid row
+    carries ``last_batch_id`` — a replayed batch id ≤ the stored one is
+    skipped instead of double-counted.  The grid + its watermark commit
+    together in the atomic swap, closing the sidecar-file race.  Batch
+    ids are per-checkpoint: resume an existing grid only with its
+    original checkpoint (the exactly-once contract streaming requires
+    anyway).
     """
-    import shutil
-    import uuid
-
-    from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        grid = cms_build(
-            batch_df, text_col=text_col, depth=depth, width=width,
-            hash_fn=hash_fn,
+        cms_monitor_merge_batch(
+            batch_df, batch_id, output_path,
+            text_col=text_col, depth=depth, width=width, hash_fn=hash_fn,
+            fmt=fmt,
         )
-        try:
-            existing = spark.read.format(fmt).load(output_path)
-            grid = (
-                existing.unionByName(grid)
-                .groupBy("depth", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except Exception:
-            pass
-        staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
-        grid.write.format(fmt).mode("overwrite").save(staging)
-        shutil.rmtree(output_path, ignore_errors=True)
-        shutil.move(staging, output_path)
 
     q = (
         df.writeStream.foreachBatch(merge)
@@ -374,35 +437,16 @@ def run_qhist_monitor(
     ``qhist_shard_sketches`` + ``qhist_merge`` over the whole corpus
     (pinned in tests/test_streaming.py against the batch build).
     Staging-path swap like :func:`run_upsert_consolidated`.
+
+    Replay safety: same ``last_batch_id`` watermark as
+    :func:`run_cms_monitor` — additive counters would double-count a
+    replayed micro-batch; the stored watermark (committed atomically
+    with the grid in the swap) skips batch ids already folded in.
     """
-    import shutil
-    import uuid
-
-    from metadata_driven_data_pipeline_spark.operators.sketch import (
-        qhist_merge,
-        qhist_shard_sketches,
-    )
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        grid = qhist_merge(
-            qhist_shard_sketches(
-                batch_df, value_col, F.lit("batch"), lo, hi, bins
-            )
+        qhist_monitor_merge_batch(
+            batch_df, batch_id, output_path, value_col, lo, hi, bins, fmt
         )
-        try:
-            existing = spark.read.format(fmt).load(output_path)
-            grid = (
-                existing.unionByName(grid)
-                .groupBy("bin")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except Exception:
-            pass
-        staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
-        grid.write.format(fmt).mode("overwrite").save(staging)
-        shutil.rmtree(output_path, ignore_errors=True)
-        shutil.move(staging, output_path)
 
     q = (
         df.writeStream.foreachBatch(merge)
@@ -411,3 +455,47 @@ def run_qhist_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def qhist_monitor_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    fmt: str = "parquet",
+) -> None:
+    """One micro-batch of :func:`run_qhist_monitor` (see
+    :func:`cms_monitor_merge_batch` for the watermark/replay contract)."""
+    import shutil
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.operators.sketch import (
+        qhist_merge,
+        qhist_shard_sketches,
+    )
+
+    spark = batch_df.sparkSession
+    grid = qhist_merge(
+        qhist_shard_sketches(
+            batch_df, value_col, F.lit("batch"), lo, hi, bins
+        )
+    )
+    if _output_exists(spark, output_path):
+        existing = spark.read.format(fmt).load(output_path)
+        committed = _committed_batch(existing)
+        if committed is not None and committed >= batch_id:
+            return  # at-least-once replay: already folded in
+        grid = (
+            existing.drop("last_batch_id")
+            .unionByName(grid)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    grid = grid.withColumn("last_batch_id", F.lit(batch_id))
+    staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
+    grid.write.format(fmt).mode("overwrite").save(staging)
+    shutil.rmtree(output_path, ignore_errors=True)
+    shutil.move(staging, output_path)
