@@ -107,20 +107,43 @@ def merge_upsert(
     upsert is idempotent: keep-latest over identical inputs yields the
     identical slice.
 
+    NULL partition values map to Hive's default partition
+    (``__HIVE_DEFAULT_PARTITION__``) and are handled like any other:
+    the NULL partition joins the affected list, its existing rows are
+    read into the keep-latest merge, and dynamic overwrite rewrites it
+    — a NULL-keyed batch can never silently drop rows (it used to:
+    NULLs were excluded from ``affected`` yet still flowed into the
+    written frame, replacing the stored NULL partition with batch rows
+    only).
+
+    Concurrency contract: the final dynamic-overwrite commit deletes
+    each affected partition's old files before moving the new ones in,
+    so a reader that lists an affected partition DURING the commit can
+    observe it partially written (missing or mixed files). Untouched
+    partitions are never perturbed (their files keep identity + mtime),
+    and the staging write means a crash mid-merge leaves the table
+    fully intact — the window is only the per-partition commit itself.
+    A reader that retries after the commit sees exactly the merged
+    slice; readers needing snapshot isolation under concurrent upserts
+    should use an ACID table format (out of scope — the reference is
+    plain files too, pipeline/sink.py:8-12).
+
     The affected-partition list crosses the driver (bounded by the
     number of touched partitions, not rows). Returns
-    ``{"partitions_rewritten": [...], "rows_written": n}``.
+    ``{"partitions_rewritten": [...], "rows_written": n}`` — a NULL
+    partition appears as ``None`` in the list.
     """
     from metadata_driven_data_pipeline_spark.operators.consolidate import (
         dedup_keep_latest,
     )
 
-    affected = sorted(
-        r[0]
-        for r in updates.select(partition_col).distinct().collect()
-        if r[0] is not None
-    )
-    if not affected:
+    part_vals = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    has_null = any(v is None for v in part_vals)
+    affected = sorted(v for v in part_vals if v is not None)
+    rewritten = affected + ([None] if has_null else [])
+    if not rewritten:
         return {"partitions_rewritten": [], "rows_written": 0}
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
@@ -135,14 +158,13 @@ def merge_upsert(
             .save(table_path)
         )
         return {
-            "partitions_rewritten": affected,
+            "partitions_rewritten": rewritten,
             "rows_written": deduped.count(),
         }
-    existing = (
-        spark.read.format(fmt)
-        .load(table_path)
-        .filter(F.col(partition_col).isin(affected))
-    )
+    touched = F.col(partition_col).isin(affected)
+    if has_null:
+        touched = touched | F.col(partition_col).isNull()
+    existing = spark.read.format(fmt).load(table_path).filter(touched)
     merged = dedup_keep_latest(
         existing.unionByName(updates.select(*existing.columns)),
         key_cols,
@@ -168,4 +190,4 @@ def merge_upsert(
             "spark.sql.sources.partitionOverwriteMode", prev
         )
     shutil.rmtree(staging, ignore_errors=True)
-    return {"partitions_rewritten": affected, "rows_written": rows}
+    return {"partitions_rewritten": rewritten, "rows_written": rows}

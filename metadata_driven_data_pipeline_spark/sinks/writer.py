@@ -74,8 +74,18 @@ def write_sink(
             partition_col=up["partitionBy"],
             fmt=fmt,
         )
+        # records_written = rows merge_upsert actually landed in the
+        # table (post-dedup; 0 on the empty-batch no-op), NOT the
+        # incoming batch size — that is reported separately.
+        # empty batch: merge_upsert no-ops without ever materializing
+        # the observed plan, so obs.get would block/assert — report 0
         return {
-            "records_written": int(obs.get["records_written"]),
+            "records_written": int(info["rows_written"]),
+            "records_in": (
+                int(obs.get["records_written"])
+                if info["partitions_rewritten"]
+                else 0
+            ),
             "sink_path": path,
             "format": fmt,
             "partitions_rewritten": info["partitions_rewritten"],

@@ -241,3 +241,123 @@ class TestMergeUpsert:
         back = {r.id: (r.version, r.payload)
                 for r in spark.read.parquet(path).collect()}
         assert back == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
+
+    def test_upsert_null_partition_values_merge_not_drop(
+        self, spark, tmp_path
+    ):
+        """NULL partition values route to __HIVE_DEFAULT_PARTITION__ and
+        MERGE like any other partition (ADVICE r4: NULLs were dropped
+        from the affected list, so an all-NULL batch silently discarded
+        every row, and a mixed batch replaced the stored NULL partition
+        with batch rows only)."""
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        path = str(tmp_path / "nulltbl")
+        base = spark.createDataFrame(
+            [(1, None, 1, "n1"), (2, None, 1, "n2"), (3, "d1", 1, "a")],
+            "id long, day string, version int, payload string",
+        )
+        base.write.mode("overwrite").partitionBy("day").parquet(path)
+
+        # all-NULL-partition batch: must merge, not early-return
+        upd = spark.createDataFrame(
+            [(1, None, 2, "n1-v2"), (9, None, 1, "n9")],
+            "id long, day string, version int, payload string",
+        )
+        info = merge_upsert(spark, path, upd, ["id"], "version", "day")
+        assert info["partitions_rewritten"] == [None]
+        assert info["rows_written"] == 3  # keys 1 (updated), 2 (kept), 9
+        back = {r.id: (r.day, r.version, r.payload)
+                for r in spark.read.parquet(path).collect()}
+        assert back == {
+            1: (None, 2, "n1-v2"),   # updated in place
+            2: (None, 1, "n2"),      # EXISTING null-partition row kept
+            3: ("d1", 1, "a"),       # untouched partition intact
+            9: (None, 1, "n9"),      # new key landed
+        }
+
+        # mixed batch: null + named partitions both merge
+        upd2 = spark.createDataFrame(
+            [(2, None, 5, "n2-v5"), (3, "d1", 5, "a-v5")],
+            "id long, day string, version int, payload string",
+        )
+        info2 = merge_upsert(spark, path, upd2, ["id"], "version", "day")
+        assert info2["partitions_rewritten"] == ["d1", None]
+        back = {r.id: r.payload for r in spark.read.parquet(path).collect()}
+        assert back == {1: "n1-v2", 2: "n2-v5", 3: "a-v5", 9: "n9"}
+
+    def test_upsert_sink_reports_rows_actually_written(self, spark, tmp_path):
+        """records_written must reflect what merge_upsert landed in the
+        table (post-dedup), not the incoming batch size; records_in
+        carries the batch size (ADVICE r4)."""
+        from metadata_driven_data_pipeline_spark.sinks.writer import (
+            write_sink,
+        )
+
+        path = str(tmp_path / "sinkmetrics")
+        sink = {
+            "name": "s", "path": path, "format": "parquet",
+            "upsert": {"keys": ["id", "day"], "orderBy": "version",
+                       "partitionBy": "day"},
+        }
+        # batch with an intra-batch duplicate key: 3 rows in, 2 written
+        b1 = spark.createDataFrame(
+            [(1, "d1", 1, "a"), (1, "d1", 2, "a2"), (2, "d1", 1, "b")],
+            "id long, day string, version int, payload string",
+        )
+        info1 = write_sink(b1, sink)
+        assert info1["records_in"] == 3
+        assert info1["records_written"] == 2
+        # second batch: 1 update row merges against 1 existing key ->
+        # the d1 slice is rewritten with 2 rows
+        b2 = spark.createDataFrame(
+            [(1, "d1", 3, "a3")],
+            "id long, day string, version int, payload string",
+        )
+        info2 = write_sink(b2, sink)
+        assert info2["records_in"] == 1
+        assert info2["records_written"] == 2  # merged slice: keys 1 + 2
+        # empty batch: no-op, zero written
+        empty = spark.createDataFrame(
+            [], "id long, day string, version int, payload string"
+        )
+        info3 = write_sink(empty, sink)
+        assert info3["records_written"] == 0
+        assert info3["partitions_rewritten"] == []
+
+    def test_upsert_reader_retry_sees_merged_slice(self, spark, tmp_path):
+        """Concurrency contract (documented on merge_upsert): a reader
+        during the per-partition commit may see a partial affected
+        partition, but a retry AFTER the upsert returns must see exactly
+        the merged slice, and untouched partitions keep file identity."""
+        import os
+
+        from metadata_driven_data_pipeline_spark.sinks.maintenance import (
+            merge_upsert,
+        )
+
+        path = str(tmp_path / "retrytbl")
+        self._mk_table(spark, path)
+        untouched = os.path.join(path, "day=2024-01-03")
+        ident_before = {
+            f: os.path.getmtime(os.path.join(untouched, f))
+            for f in os.listdir(untouched)
+        }
+        updates = spark.createDataFrame(
+            [(100, "2024-01-01", 7, "v7-100")],
+            "id long, day string, version int, payload string",
+        )
+        merge_upsert(spark, path, updates, ["id", "day"], "version", "day")
+        # retry-read: fresh scan (no cached listing) sees the full merge
+        got = spark.read.parquet(path)
+        assert got.count() == 50
+        assert (
+            got.filter("id = 100").collect()[0].payload == "v7-100"
+        )
+        ident_after = {
+            f: os.path.getmtime(os.path.join(untouched, f))
+            for f in os.listdir(untouched)
+        }
+        assert ident_after == ident_before
