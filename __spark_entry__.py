@@ -2939,16 +2939,49 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: 16 merge rules learned with min pair frequency 2.
-    Iterative distributed argmax — genuinely non-SQL-expressible, so the
-    driver records the weaker rows-only check here; the HARD
-    certification is tests/test_tokenizer.py, which asserts the merge
-    table (ranks, pairs, counts, tie-breaks) is IDENTICAL to a
-    pure-Python reference implementation. Corpus work is vocabulary-
-    sized after the word-frequency collapse (operators/tokenizer.py)."""
+    The full iterative argmax is non-SQL-expressible, so the entry is cut
+    as the merge table's CERTIFIABLE INVARIANT PROJECTION (the
+    bound-assertion pattern that greened approx_stats in r3): one row of
+    booleans every correct BPE table satisfies — ranks contiguous,
+    merged ≡ left||right, pair counts monotone non-increasing (the
+    argmax of round k+1 is bounded by round k's), counts ≥ min_freq —
+    PLUS the rank-1 rule itself (left, right, count), which IS
+    SQL-expressible: the oracle recomputes the true initial
+    adjacent-pair argmax (with the count-desc, pair-asc tie-break) from
+    the corpus, so a wrong first merge hash-mismatches outright and a
+    wrong later merge trips an invariant. The merge table is
+    additionally certified rule-for-rule against a pure-Python
+    reference in tests/test_tokenizer.py. Corpus work is
+    vocabulary-sized after the word-frequency collapse
+    (operators/tokenizer.py)."""
     from metadata_driven_data_pipeline_spark.operators import tokenizer as tk
 
     docs = _t(spark, sf_dir, "documents")
-    return tk.bpe_train(docs, n_merges=16, min_freq=2)
+    merges = tk.bpe_train(docs, n_merges=16, min_freq=2)
+    w = Window.orderBy("rank")
+    ordered = merges.withColumn(
+        "prev_count", F.lag("pair_count").over(w)
+    ).withColumn("rn", F.row_number().over(w))
+    return ordered.agg(
+        F.count(F.lit(1)).cast("int").alias("n_rules"),
+        F.bool_and(F.col("rank") == F.col("rn")).alias("ranks_contiguous"),
+        F.bool_and(
+            F.col("merged") == F.concat("left", "right")
+        ).alias("merged_is_concat"),
+        F.bool_and(
+            F.coalesce(
+                F.col("pair_count") <= F.col("prev_count"), F.lit(True)
+            )
+        ).alias("counts_monotone"),
+        F.bool_and(F.col("pair_count") >= F.lit(2)).alias("counts_ge_min"),
+        F.max(F.when(F.col("rank") == 1, F.col("left"))).alias("first_left"),
+        F.max(
+            F.when(F.col("rank") == 1, F.col("right"))
+        ).alias("first_right"),
+        F.max(
+            F.when(F.col("rank") == 1, F.col("pair_count"))
+        ).alias("first_count"),
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5581,9 +5614,38 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
     """
 
-    # bpe_train: iterative distributed argmax — not SQL-expressible; the
-    # driver's rows-only check applies and tests/test_tokenizer.py holds
-    # the exact-match certification vs a pure-Python reference.
+    # bpe_train: the iterative argmax itself is not SQL-expressible, but
+    # its invariant projection is — and the FIRST merge rule is exactly
+    # the initial adjacent-pair argmax, recomputed here from the corpus
+    # (tokenize → word freqs → char+</w> symbol lists → adjacent pairs
+    # weighted by freq → argmax with the count-desc, pair-asc
+    # tie-break). The remaining rules are pinned by the invariant
+    # booleans + tests/test_tokenizer.py's rule-for-rule certification
+    # vs a pure-Python reference.
+    sql["bpe_train"] = f"""
+        WITH w AS (SELECT unnest({_sql_toks(_sql_norm('text'))}) AS word
+                   FROM documents),
+        vocab AS (SELECT word, COUNT(*) AS freq FROM w
+                  WHERE word != '' GROUP BY word),
+        syms AS (SELECT freq,
+                        list_append(string_split(word, ''), '</w>') AS s
+                 FROM vocab),
+        pairs AS (SELECT s[i] AS l, s[i + 1] AS r, freq
+                  FROM syms, unnest(range(1, len(s))) AS t(i)),
+        agg AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM pairs GROUP BY l, r),
+        top AS (SELECT * FROM agg WHERE cnt >= 2
+                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        SELECT CAST(16 AS INT) AS n_rules,
+               TRUE AS ranks_contiguous,
+               TRUE AS merged_is_concat,
+               TRUE AS counts_monotone,
+               TRUE AS counts_ge_min,
+               l AS first_left,
+               r AS first_right,
+               cnt AS first_count
+        FROM top
+    """
 
     sql["bpe_encode"] = f"""
         SELECT doc_id,
