@@ -27,6 +27,16 @@ Two series:
   round-over-round (r3 verdict item 3). Reported under "curation"/
   "curation_total" in the same JSON line.
 
+Output contract (round-5 revision, per the r4 verdict: BENCH_r04.json
+recorded "parsed": null because progress bars + the full spread payload
+overflowed the driver's tail capture):
+- Spark's console progress bars are disabled; stdout carries EXACTLY ONE
+  compact JSON line (metric/value/unit/queries/sf + rep totals — no
+  per-query spreads), printed last.
+- The FULL payload (including spreads) is also written to
+  BENCH_RESULT.json next to this script, so the complete record survives
+  any capture-window truncation.
+
 `python bench.py --curation` runs only the curation series (for quick
 iteration); the default run emits both.
 """
@@ -153,6 +163,7 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("bench")
         .getOrCreate()
     )
@@ -162,47 +173,55 @@ def main() -> None:
 
     if curation_only:
         cur = run_series(spark, CURATION, sf_dir, reps)
-        print(
-            json.dumps(
-                {
-                    "metric": "curation_queries_total_wall_clock",
-                    "value": cur["total"],
-                    "unit": "sec",
-                    "queries": cur["queries"],
-                    "sf": sf,
-                    "reps": reps,
-                    "spread": cur["spread"],
-                    "rep_totals": cur["rep_totals"],
-                    "value_min_sum": cur["min_sum"],
-                }
-            )
-        )
+        full = {
+            "metric": "curation_queries_total_wall_clock",
+            "value": cur["total"],
+            "unit": "sec",
+            "queries": cur["queries"],
+            "sf": sf,
+            "reps": reps,
+            "spread": cur["spread"],
+            "rep_totals": cur["rep_totals"],
+            "value_min_sum": cur["min_sum"],
+        }
+        _emit(full, drop=("spread",))
         spark.stop()
         return
 
     head = run_series(spark, HEADLINE, sf_dir, reps)
     cur = run_series(spark, CURATION, sf_dir, reps)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": head["total"],
-                "unit": "sec",
-                "queries": head["queries"],
-                "sf": sf,
-                "reps": reps,
-                "spread": head["spread"],
-                "rep_totals": head["rep_totals"],
-                "warmup_total": head["warmup_total"],
-                "value_min_sum": head["min_sum"],
-                "curation": cur["queries"],
-                "curation_total": cur["total"],
-                "curation_spread": cur["spread"],
-                "curation_min_sum": cur["min_sum"],
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": head["total"],
+        "unit": "sec",
+        "queries": head["queries"],
+        "sf": sf,
+        "reps": reps,
+        "spread": head["spread"],
+        "rep_totals": head["rep_totals"],
+        "warmup_total": head["warmup_total"],
+        "value_min_sum": head["min_sum"],
+        "curation": cur["queries"],
+        "curation_total": cur["total"],
+        "curation_spread": cur["spread"],
+        "curation_min_sum": cur["min_sum"],
+    }
+    _emit(full, drop=("spread", "curation_spread"))
     spark.stop()
+
+
+def _emit(full: dict, drop: tuple = ()) -> None:
+    """Full payload → BENCH_RESULT.json (survives capture truncation);
+    ONE compact line (spreads dropped) → stdout, last thing printed."""
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
+    )
+    with open(out, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    slim = {k: v for k, v in full.items() if k not in drop}
+    sys.stdout.flush()
+    print(json.dumps(slim), flush=True)
 
 
 if __name__ == "__main__":
