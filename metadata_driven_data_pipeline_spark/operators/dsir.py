@@ -1,0 +1,221 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023 — public method).
+
+The domain-targeting step of a training-data pipeline: given a RAW
+crawl-scale corpus and a small TARGET corpus exemplifying the desired
+distribution (e.g. curated encyclopedic text), score every raw document
+by how target-like it is and resample proportionally. DSIR's estimator
+is deliberately cheap at 100 TB: both distributions are modeled as
+bag-of-hashed-n-grams multinomials over ``B`` buckets, so the
+"language models" are two B-row count tables and a document's
+importance weight is
+
+    log w(doc) = Σ_{g ∈ ngrams(doc)} [log p̂(bucket(g)) − log q̂(bucket(g))]
+
+with add-one smoothing, p̂ from the target and q̂ from the raw corpus.
+Selection then draws without replacement via the Gumbel top-k trick
+(Vieira 2014): key = weight + Gumbel noise; the k largest keys are a
+weighted sample without replacement. Here the Gumbel uses the
+engine-wide DETERMINISTIC md5 draw instead of an RNG, so the selected
+set is reproducible run-to-run, partition-independent, and replayable
+by an ANSI-SQL oracle — the same policy as every sampler in
+``operators/sampling.py``.
+
+Scale shape (what survives 100 TB):
+- feature hashing bounds model state at ``B`` buckets regardless of
+  vocabulary — the two count tables aggregate map-side and BROADCAST
+  (B ≈ 10⁴–10⁶ rows), never shuffling the corpus;
+- per-document scoring is explode → broadcast-join → one re-group on
+  the document id: a single hash shuffle of (id, bucket) pairs, linear
+  in corpus token count;
+- selection is one top-k (``orderBy ... limit``) or a map-side
+  threshold filter — no global sort materialization for the filter
+  form.
+
+Everything is plain-double arithmetic on the md5 hash lane
+(``_hash60``), so DuckDB reproduces weights and the selected set
+bit-for-bit (floats agree well inside the 6-decimal compare window).
+
+Reference scope note: the reference engine (pipeline/validator.py,
+pipeline/consolidator.py) has no data-selection surface; this module is
+part of the rebuild's LLM-pipeline extension, built only from the
+published DSIR method and the Spark API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators.dedup import _hash60
+from metadata_driven_data_pipeline_spark.operators.sampling import hash_draw
+from metadata_driven_data_pipeline_spark.operators.text import (
+    normalize_text,
+    tokens,
+)
+
+
+def _ngrams(text: Column) -> Column:
+    """Unigram + bigram OCCURRENCES (not distinct — multiplicity is part
+    of the multinomial model) of the normalized token stream."""
+    toks = tokens(normalize_text(text))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket(gram: Column, buckets: int) -> Column:
+    """Feature-hash a gram into [0, buckets) on the md5 oracle lane."""
+    return _hash60(F.concat(F.lit("dsir:"), gram)) % F.lit(buckets)
+
+
+def hashed_ngram_counts(
+    df: DataFrame, text_col: str = "text", buckets: int = 8192
+) -> DataFrame:
+    """Bag-of-hashed-ngrams counts for a corpus: ``(bucket, cnt)``, at
+    most ``buckets`` rows whatever the corpus size. Map-side partial
+    aggregation bounds the shuffle at B rows per upstream partition —
+    the same fixed-state property as the CMS/Bloom sketches."""
+    grams = df.select(
+        F.explode(_ngrams(F.col(text_col))).alias("__g")
+    )
+    return (
+        grams.select(_bucket(F.col("__g"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_ratios(
+    target_counts: DataFrame, raw_counts: DataFrame, buckets: int
+) -> DataFrame:
+    """Per-bucket log-likelihood ratio table ``(bucket, log_ratio)``
+    from the two hashed-ngram models, add-one smoothed:
+
+        log_ratio(b) = ln((t_b + 1)/(N_t + B)) − ln((r_b + 1)/(N_r + B))
+
+    Only buckets observed in EITHER corpus are materialized; an
+    unobserved bucket's ratio is the constant ln(N_r + B) − ln(N_t + B)
+    (both smoothed counts are 1), which :func:`dsir_weights` supplies
+    via coalesce — the table stays ≤ B rows and broadcasts."""
+    t_tot = target_counts.agg(F.sum("cnt").alias("__nt"))
+    r_tot = raw_counts.agg(F.sum("cnt").alias("__nr"))
+    merged = (
+        target_counts.withColumnRenamed("cnt", "__t")
+        .join(raw_counts.withColumnRenamed("cnt", "__r"), "bucket", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    b = F.lit(float(buckets))
+    log_ratio = F.log(
+        (F.coalesce(F.col("__t"), F.lit(0)) + F.lit(1.0))
+        / (F.col("__nt") + b)
+    ) - F.log(
+        (F.coalesce(F.col("__r"), F.lit(0)) + F.lit(1.0))
+        / (F.col("__nr") + b)
+    )
+    return merged.select("bucket", log_ratio.alias("log_ratio"))
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Importance weight of every raw document against the target
+    distribution: ``(id_col, weight)`` with
+    ``weight = Σ log_ratio(bucket(g))`` over the document's unigram +
+    bigram occurrences. Higher = more target-like. Documents with no
+    tokens get weight 0.
+
+    Plan: two B-bounded count aggregates (target model, raw model) →
+    one ≤ B-row ratio table broadcast onto the exploded raw corpus →
+    re-group on the document id. The corpus shuffles once, keyed by id;
+    the models never shuffle it."""
+    t_counts = hashed_ngram_counts(target_df, text_col, buckets)
+    r_counts = hashed_ngram_counts(raw_df, text_col, buckets)
+    ratios = dsir_bucket_ratios(t_counts, r_counts, buckets)
+    # unobserved-bucket constant: both smoothed counts are 1
+    t_tot = t_counts.agg(F.sum("cnt").alias("__nt"))
+    r_tot = r_counts.agg(F.sum("cnt").alias("__nr"))
+    default = (
+        t_tot.crossJoin(r_tot)
+        .select(
+            (
+                F.log(F.lit(1.0) / (F.col("__nt") + F.lit(float(buckets))))
+                - F.log(F.lit(1.0) / (F.col("__nr") + F.lit(float(buckets))))
+            ).alias("__default")
+        )
+    )
+    doc_grams = raw_df.select(
+        F.col(id_col), F.explode_outer(_ngrams(F.col(text_col))).alias("__g")
+    ).select(
+        id_col,
+        F.when(
+            F.col("__g").isNotNull(), _bucket(F.col("__g"), buckets)
+        ).alias("bucket"),
+    )
+    scored = (
+        doc_grams.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            id_col,
+            F.when(F.col("bucket").isNull(), F.lit(0.0))
+            .otherwise(F.coalesce(F.col("log_ratio"), F.col("__default")))
+            .alias("__w"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__w").alias("weight"))
+
+
+def dsir_gumbel_key(
+    weight: Column, key: Column, salt: str = "dsir"
+) -> Column:
+    """Deterministic Gumbel-perturbed key: ``weight − ln(−ln(u))`` with
+    ``u = (draw + 0.5)/1e6`` from the engine-wide md5 draw (never 0 or
+    1, so both logs are finite). Top-k by this key is a weighted sample
+    without replacement (Gumbel top-k trick), reproducible across runs,
+    partitionings, and engines."""
+    u = (hash_draw(key, salt) + F.lit(0.5)) / F.lit(1_000_000.0)
+    return weight - F.log(-F.log(u))
+
+
+def dsir_topk(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Select ``k`` raw documents by Gumbel top-k over the DSIR
+    importance weights — the full DSIR pipeline (model → weight →
+    resample without replacement) as one composable operator. Returns
+    ``(id_col, weight, gumbel_key)`` for the selected set.
+
+    The global top-k is ``orderBy().limit(k)`` — Spark plans it as
+    per-partition TakeOrdered + a k-row driver merge, so nothing
+    materializes a total sort at scale."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    weights = dsir_weights(raw_df, target_df, text_col, id_col, buckets)
+    keyed = weights.select(
+        id_col,
+        "weight",
+        dsir_gumbel_key(F.col("weight"), F.col(id_col), salt).alias(
+            "gumbel_key"
+        ),
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -1,0 +1,171 @@
+"""DSIR importance resampling: weights vs a pure-Python reference,
+selection properties, determinism."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.operators import dsir as DS
+
+BUCKETS = 256
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_ngrams(text: str) -> list[str]:
+    toks = " ".join(text.lower().split()).split()
+    if not toks or toks == [""]:
+        return []
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_bucket(g: str) -> int:
+    return _py_hash60(f"dsir:{g}") % BUCKETS
+
+
+def _py_counts(texts: list[str]) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for t in texts:
+        for g in _py_ngrams(t):
+            b = _py_bucket(g)
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _py_weights(raw: list[tuple[int, str]], target: list[str]) -> dict:
+    tc, rc = _py_counts(target), _py_counts([t for _, t in raw])
+    nt, nr = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, t in raw:
+        w = 0.0
+        for g in _py_ngrams(t):
+            b = _py_bucket(g)
+            w += math.log((tc.get(b, 0) + 1) / (nt + BUCKETS))
+            w -= math.log((rc.get(b, 0) + 1) / (nr + BUCKETS))
+        out[i] = w
+    return out
+
+
+RAW = [
+    (0, "the cat sat on the mat"),
+    (1, "stock market prices fell sharply today"),
+    (2, "the dog sat on the log"),
+    (3, "quarterly earnings beat market expectations"),
+    (4, "a cat and a dog"),
+    (5, ""),
+    (6, "market prices and earnings reports"),
+]
+TARGET = [
+    "market prices rose",
+    "earnings season and market outlook",
+    "stock prices and quarterly earnings",
+]
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in RAW]
+    )
+
+
+@pytest.fixture(scope="module")
+def target_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(TARGET)]
+    )
+
+
+def test_weights_match_pure_python_reference(spark, raw_df, target_df):
+    got = {
+        r.doc_id: r.weight
+        for r in DS.dsir_weights(
+            raw_df, target_df, buckets=BUCKETS
+        ).collect()
+    }
+    want = _py_weights(RAW, TARGET)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+
+
+def test_target_like_documents_outrank_off_domain(spark, raw_df, target_df):
+    w = {
+        r.doc_id: r.weight
+        for r in DS.dsir_weights(
+            raw_df, target_df, buckets=BUCKETS
+        ).collect()
+    }
+    # every finance doc strictly outweighs every cat/dog doc
+    assert min(w[1], w[3], w[6]) > max(w[0], w[2], w[4])
+    # empty doc scores exactly 0
+    assert w[5] == 0.0
+
+
+def test_model_tables_are_bucket_bounded(spark, raw_df):
+    counts = DS.hashed_ngram_counts(raw_df, buckets=64)
+    assert counts.count() <= 64
+    total = counts.agg(F.sum("cnt")).first()[0]
+    assert total == sum(len(_py_ngrams(t)) for _, t in RAW)
+
+
+def test_topk_is_deterministic_and_weighted(spark, raw_df, target_df):
+    sel1 = DS.dsir_topk(raw_df, target_df, k=3, buckets=BUCKETS)
+    sel2 = DS.dsir_topk(raw_df, target_df, k=3, buckets=BUCKETS)
+    ids1 = [r.doc_id for r in sel1.collect()]
+    ids2 = [r.doc_id for r in sel2.collect()]
+    assert ids1 == ids2 and len(ids1) == 3
+    # the gumbel keys must be weight + deterministic noise, reproducible
+    # from the md5 draw
+    from metadata_driven_data_pipeline_spark.operators.sampling import (
+        hash_draw,
+    )
+
+    keyed = DS.dsir_weights(
+        raw_df, target_df, buckets=BUCKETS
+    ).select(
+        "doc_id", "weight",
+        hash_draw(F.col("doc_id"), "dsir").alias("draw"),
+    )
+    for r in keyed.collect():
+        u = (r.draw + 0.5) / 1_000_000.0
+        want_key = r.weight - math.log(-math.log(u))
+        if r.doc_id in ids1:
+            got = next(
+                x.gumbel_key
+                for x in sel1.collect()
+                if x.doc_id == r.doc_id
+            )
+            assert got == pytest.approx(want_key, abs=1e-9)
+    # a different salt gives a different (still deterministic) draw
+    alt = DS.dsir_topk(
+        raw_df, target_df, k=3, buckets=BUCKETS, salt="other"
+    )
+    assert [r.doc_id for r in alt.collect()] == [
+        r.doc_id for r in alt.collect()
+    ]
+
+
+def test_topk_validates_k(spark, raw_df, target_df):
+    with pytest.raises(ValueError):
+        DS.dsir_topk(raw_df, target_df, k=0)
+
+
+def test_weights_scale_plan_has_no_corpus_broadcast_of_docs(
+    spark, sf_dir
+):
+    """The ratio table broadcasts; the corpus does not. Smoke the real
+    documents table end-to-end and check the target-domain ranking
+    signal survives at corpus scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    target = docs.filter(src_num == 0)
+    w = DS.dsir_weights(docs, target, buckets=4096)
+    assert w.count() == docs.count()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -15,6 +15,9 @@ Per batch, three plans produce identical survivor sets:
 - bloom+pd: same prefilter, confirm via IN-pushdown into the sorted
             parquet scan — file/row-group pruning turns the confirm
             into point lookups when |candidates| < file count
+- bloom+auto: confirm_pushdown_max='auto' — the cap derived from the
+            index's file count at call time; must match whichever
+            manual lane wins at this candidate volume
 
 Each lane runs twice: rep1 includes one-time costs (python-worker
 broadcast shipping), rep2 is the steady-state per-batch cost the
@@ -108,6 +111,14 @@ def main():
             packed=packed, confirm_pushdown_max=100_000,
         )
     )
+    t_auto, n_auto = timed(
+        lambda: sk.bloom_prefilter_dedup(
+            batch, index, bloom, text_col="text", m_bits=m_bits, k=5,
+            hash_fn="xxhash64", normalize=False, impl="bitarray",
+            packed=packed, confirm_pushdown_max="auto",
+            index_path=idx_path,
+        )
+    )
 
     probed = sk.bloom_probe(
         batch.select(F.md5("text").alias("fp")).distinct(), "fp", bloom,
@@ -125,11 +136,12 @@ def main():
         f"plain_anti reps={[f'{t:.2f}' for t in t_plain]}  "
         f"bloom_scan reps={[f'{t:.2f}' for t in t_bloom]}  "
         f"bloom_pushdown reps={[f'{t:.2f}' for t in t_push]}  "
+        f"bloom_auto reps={[f'{t:.2f}' for t in t_auto]}  "
         f"candidates={n_cand} ({100*n_cand/n_batch:.3f}%)  "
-        f"survivors={n_plain}/{n_bloom}/{n_push} "
-        f"identical={n_plain == n_bloom == n_push}"
+        f"survivors={n_plain}/{n_bloom}/{n_push}/{n_auto} "
+        f"identical={n_plain == n_bloom == n_push == n_auto}"
     )
-    assert n_plain == n_bloom == n_push
+    assert n_plain == n_bloom == n_push == n_auto
     shutil.rmtree(idx_path, ignore_errors=True)
 
 
