@@ -119,6 +119,8 @@ AUDITED = [
     "quantile_sketch",
     "token_budget_sample",
     "hybrid_search",
+    "dsir_weights",
+    "dsir_topk",
 ]
 
 
