@@ -93,6 +93,18 @@ def hashed_ngram_counts(
     )
 
 
+def merge_ngram_counts(counts: DataFrame) -> DataFrame:
+    """Fold stored per-shard/per-batch hashed-ngram models into one:
+    counters are ADDITIVE (union + re-sum), so the raw-corpus model can
+    be maintained incrementally beside the manifest — each ingestion
+    batch contributes its own ≤ B-row count table and the merged model
+    never rescans history. Same mergeability contract as the CMS grid;
+    NOT idempotent under replay of the same shard, so persist shards
+    keyed by batch and merge the distinct set (or reuse the
+    last_batch_id watermark pattern from streaming/incremental.py)."""
+    return counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def dsir_bucket_ratios(
     target_counts: DataFrame, raw_counts: DataFrame, buckets: int
 ) -> DataFrame:

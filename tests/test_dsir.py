@@ -169,3 +169,19 @@ def test_weights_scale_plan_has_no_corpus_broadcast_of_docs(
     assert w.count() == docs.count()
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_merged_shard_models_equal_whole_corpus_model(spark, raw_df):
+    """Per-batch hashed-ngram count tables merged by addition must equal
+    the one-shot whole-corpus model — the property that lets the raw
+    model update incrementally without rescanning history."""
+    half1 = raw_df.filter(F.col("doc_id") % 2 == 0)
+    half2 = raw_df.filter(F.col("doc_id") % 2 == 1)
+    merged = DS.merge_ngram_counts(
+        DS.hashed_ngram_counts(half1, buckets=BUCKETS).unionByName(
+            DS.hashed_ngram_counts(half2, buckets=BUCKETS)
+        )
+    )
+    whole = DS.hashed_ngram_counts(raw_df, buckets=BUCKETS)
+    as_map = lambda df: {r.bucket: r.cnt for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
