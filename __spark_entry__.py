@@ -2742,32 +2742,46 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Datasketches HLL per event-type shard (the stand-in for per-day
     ingestion batches), merged register-wise into the corpus-wide
     distinct-user estimate — the 100 TB replacement for re-scanning all
-    history per COUNT(DISTINCT) refresh. Emits the exact count plus two
-    certifications: the merged estimate lands within the 3σ HLL bound
-    (~5% at lgk=12), and merging shard sketches reproduces the
-    single-pass whole-corpus sketch EXACTLY (register-max associativity
-    — the idempotent-replay property the manifest relies on). The oracle
-    computes the exact twin; a sketch drifting outside its contract or a
-    non-associative merge turns the row red."""
+    history per COUNT(DISTINCT) refresh. Emits the exact count plus
+    three certifications: the merged estimate AND the one-shot
+    whole-corpus estimate each land within the 3σ HLL bound (~5% at
+    lgk=12), and re-merging a REPLAYED shard leaves the merged estimate
+    bit-identical (register-max idempotency — the at-least-once
+    property the manifest relies on). NOTE (found by the r5 sf0.1
+    sweep): merged == whole-estimate is NOT an invariant — a directly
+    built Datasketches sketch keeps its order-dependent HIP estimator
+    only when the aggregation runs in one partition, while any union
+    (including the partial-merge inside a distributed hll_sketch_agg)
+    falls back to the composite estimator, so the two lanes agree at
+    sparse cardinalities and drift a fraction of a percent apart once
+    past them (sf0.1: 1488 vs 1499 on 1500 exact — both in bound). The
+    certifiable exact equality is replay-idempotency, asserted here
+    in-query."""
     from metadata_driven_data_pipeline_spark.operators import sketch as sk
 
     ev = _t(spark, sf_dir, "events")
-    merged = sk.hll_merge(
-        sk.hll_shard_sketches(ev, "user_id", "event_type", lgk=12)
-    )
+    shards = sk.hll_shard_sketches(ev, "user_id", "event_type", lgk=12)
+    merged = sk.hll_merge(shards)
+    replayed = sk.hll_merge(
+        shards.unionByName(shards.limit(1))
+    ).withColumnRenamed("est", "est_replay")
     whole = ev.agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col("user_id"), F.lit(12))
         ).alias("whole_est"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    return merged.crossJoin(whole).select(
+    return merged.crossJoin(replayed).crossJoin(whole).select(
         "exact_users",
         (
             F.abs(F.col("est") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("est_in_bound"),
-        (F.col("est") == F.col("whole_est")).alias("merge_equals_whole"),
+        (
+            F.abs(F.col("whole_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("whole_in_bound"),
+        (F.col("est") == F.col("est_replay")).alias("merge_idempotent"),
     )
 
 
@@ -3176,12 +3190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replay watermark (the query's 3-column projection is unchanged, but
     the changed write path belongs in the window).  Positions 3-4 are
     NEW this round: the DSIR importance-resampling pair (weights +
-    Gumbel top-k selection, operators/dsir.py).  Positions 5-50 are the
-    46 entries whose last driver-green is oldest — all 19 r1 greens and
-    the 27 oldest r2 greens; the 2 displaced r2 entries rotate in next
-    round.  Positions 51+ are driver-green from r3/r4 at unchanged
-    semantics (and every entry is still locally re-certified each round
-    via tools/check_oracle.py)."""
+    Gumbel top-k selection, operators/dsir.py).  Position 5 is
+    hll_incremental_distinct, whose certification was re-cut after the
+    r5 sf0.1 sweep showed merged==whole is partitioning-dependent, not
+    an invariant.  Positions 6-50 are the 45 entries whose last
+    driver-green is oldest — all 19 r1 greens and the 26 oldest r2
+    greens; the 3 displaced r2 entries rotate in next round.  Positions
+    51+ are driver-green from r3/r4 at unchanged semantics (and every
+    entry is still locally re-certified each round via
+    tools/check_oracle.py)."""
     return {
         # ==== positions 1-2: semantics/shape changed in round 5 =========
         "bpe_train": q_bpe_train,
@@ -3189,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== positions 3-4: NEW in round 5 (DSIR importance resampling)
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
+        # ==== position 5: semantics changed in round 5 (sf0.1 sweep fix)
+        "hll_incremental_distinct": q_hll_incremental_distinct,
         # ==== positions 5-50: oldest driver-greens (r1/r2), recertified ==
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -3269,7 +3288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_histogram": q_dup_histogram,
         "min_cost_supplier": q_min_cost_supplier,
         "returnflag_priority_mix": q_returnflag_priority_mix,
-        "hll_incremental_distinct": q_hll_incremental_distinct,
         "bpe_encode": q_bpe_encode,
         "bloom_index_words": q_bloom_index_words,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -5858,7 +5876,8 @@ def oracle_sql() -> dict[str, str]:
     sql["hll_incremental_distinct"] = """
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                TRUE AS est_in_bound,
-               TRUE AS merge_equals_whole
+               TRUE AS whole_in_bound,
+               TRUE AS merge_idempotent
         FROM events
     """
 

@@ -92,9 +92,16 @@ def test_empty_terms_raise(spark, docs):
 # ---- HLL incremental-distinct sketches ---------------------------------
 
 
-def test_hll_merge_equals_single_pass(spark):
-    """Union of shard sketches must reproduce the whole-corpus sketch
-    estimate exactly (register-wise max is associative)."""
+def test_hll_merge_tracks_single_pass_within_bound(spark):
+    """Union of shard sketches must track the whole-corpus sketch
+    estimate within the HLL error bound. NOT exact equality: a directly
+    built Datasketches sketch keeps its order-dependent HIP estimator
+    only when the aggregation runs in one partition, while any union
+    (including the partial-merge inside a distributed hll_sketch_agg)
+    falls back to the composite estimator — the r5 sf0.1 sweep caught
+    the two lanes drifting a fraction of a percent apart past sparse
+    mode (1488 vs 1499 on 1500 exact). The EXACT invariant is replay
+    idempotency (next test)."""
     df = spark.range(0, 50_000).select(
         (F.col("id") % 20_000).alias("k"),
         (F.col("id") % 7).alias("shard"),
@@ -105,7 +112,8 @@ def test_hll_merge_equals_single_pass(spark):
             F.hll_sketch_agg(F.col("k"), F.lit(12))
         ).alias("est")
     ).collect()[0]
-    assert merged.est == whole.est
+    assert abs(merged.est - whole.est) <= 0.05 * 20_000
+    assert abs(merged.est - 20_000) <= 0.05 * 20_000
 
 
 def test_hll_estimate_within_bound_dense(spark):
