@@ -388,10 +388,14 @@ def bloom_prefilter_dedup(
     candidate set stays ≤ N (the driver collects at most N+1 keys —
     ``limit(N+1)`` — so a mis-sized filter can NEVER flood the driver;
     past the cap it falls through to the semi scan); ``"auto"`` =
-    derive the cap from the index's file count at call time
-    (``index_path`` required) — the probe-measured crossover: point
-    lookups win while |candidates| < files (each candidate prunes to
-    ~1 file via min/max stats), the full map-side pass wins past it.
+    derive the cap from the stored index's byte size at call time
+    (``index_path`` required). The r5 probe calibration
+    (tools/probe_bloom.py, BASELINE.md): the IN predicate's cost grows
+    ~linearly with list size (~0.5 ms/key of plan+codegen at local[32])
+    while the semi scan's cost grows with INDEX size, so the crossover
+    is ~1k candidates on a 64 MB index and ~5k on a 640 MB one —
+    ``cap = clamp(index_bytes / 96 KiB, 1024, 65536)`` tracks both
+    points; file count alone does not (both probes had 64 files).
     """
     key = (
         F.md5(normalize_text(F.col(text_col)))
@@ -421,7 +425,8 @@ def bloom_prefilter_dedup(
             table_file_stats,
         )
 
-        cap = table_file_stats(new_df.sparkSession, index_path)["files"]
+        nbytes = table_file_stats(new_df.sparkSession, index_path)["bytes"]
+        cap = max(1024, min(65536, nbytes // (96 * 1024)))
     matches = None
     if cap:
         # point-lookup confirm: collect the (bounded, sketch-sized)
