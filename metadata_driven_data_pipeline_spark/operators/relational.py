@@ -654,6 +654,33 @@ def _t_sample(catalog: Catalog, params: dict, ctx: dict) -> dict[str, DataFrame]
             key_col=params.get("keyCol", "doc_id"),
             salt=params.get("salt", ""),
         )
+    elif mode == "dsir_weights":
+        # DSIR importance weights of `input` against the `target`
+        # relation's distribution (operators/dsir.py)
+        from .dsir import dsir_weights
+
+        out = dsir_weights(
+            df,
+            _get(catalog, params["target"]),
+            text_col=params.get("textCol", "text"),
+            id_col=params.get("keyCol", "doc_id"),
+            buckets=int(params.get("buckets", 8192)),
+        )
+    elif mode == "dsir":
+        # DSIR selection: Gumbel top-k of `input` docs by importance
+        # against the `target` relation (weighted sampling without
+        # replacement, deterministic draw)
+        from .dsir import dsir_topk
+
+        out = dsir_topk(
+            df,
+            _get(catalog, params["target"]),
+            int(params["k"]),
+            text_col=params.get("textCol", "text"),
+            id_col=params.get("keyCol", "doc_id"),
+            buckets=int(params.get("buckets", 8192)),
+            salt=params.get("salt", "dsir"),
+        )
     else:
         raise ValueError(f"unknown sample mode: {mode!r}")
     return {ctx["name"]: out}

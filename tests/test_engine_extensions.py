@@ -848,3 +848,41 @@ def test_embedding_index_pca_transform(spark, tmp_path):
     )
     rows = out.collect()
     assert rows and all(len(r.pca) == 4 for r in rows)
+
+
+def test_dsir_sample_transforms(spark, tmp_path):
+    """Declarative DSIR: weight the corpus against a target relation and
+    select the Gumbel top-k, all driven from metadata."""
+    import pyspark.sql.functions as F
+
+    out = _run(
+        spark,
+        str(tmp_path),
+        sources=[{"name": "documents", "path": f"{SF}/documents.parquet",
+                  "format": "parquet"}],
+        transformations=[
+            {"name": "target", "type": "sql",
+             "params": {"statement":
+                        "SELECT * FROM documents WHERE source = 'src0'"}},
+            {"name": "weighted", "type": "sample",
+             "params": {"input": "documents", "mode": "dsir_weights",
+                        "target": "target", "buckets": 4096}},
+            {"name": "selected", "type": "sample",
+             "params": {"input": "documents", "mode": "dsir",
+                        "target": "target", "k": 25, "buckets": 4096}},
+        ],
+        sink_input="selected",
+    )
+    assert out.count() == 25
+    assert set(out.columns) == {"doc_id", "weight", "gumbel_key"}
+    # library-level equivalence: the declarative lane must reproduce the
+    # direct operator call exactly
+    from metadata_driven_data_pipeline_spark.operators import dsir as DS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = DS.dsir_topk(
+        docs, docs.filter(F.col("source") == "src0"), k=25, buckets=4096
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
