@@ -100,6 +100,13 @@ CURATION = [
     "ivf_pq_topk",
 ]
 
+# Round-5 data-selection surface (DSIR), its own series for the same
+# comparability reason.
+SELECTION = [
+    "dsir_weights",
+    "dsir_topk",
+]
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
@@ -190,6 +197,7 @@ def main() -> None:
 
     head = run_series(spark, HEADLINE, sf_dir, reps)
     cur = run_series(spark, CURATION, sf_dir, reps)
+    sel = run_series(spark, SELECTION, sf_dir, reps)
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": head["total"],
@@ -205,8 +213,12 @@ def main() -> None:
         "curation_total": cur["total"],
         "curation_spread": cur["spread"],
         "curation_min_sum": cur["min_sum"],
+        "selection": sel["queries"],
+        "selection_total": sel["total"],
+        "selection_spread": sel["spread"],
+        "selection_min_sum": sel["min_sum"],
     }
-    _emit(full, drop=("spread", "curation_spread"))
+    _emit(full, drop=("spread", "curation_spread", "selection_spread"))
     spark.stop()
 
 
