@@ -3179,7 +3179,7 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 148) is additionally
+    the FIRST 50 entries only; every entry (all 150) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
@@ -3208,7 +3208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": q_dsir_topk,
         # ==== position 5: semantics changed in round 5 (sf0.1 sweep fix)
         "hll_incremental_distinct": q_hll_incremental_distinct,
-        # ==== positions 5-50: oldest driver-greens (r1/r2), recertified ==
+        # ==== positions 6-53: oldest driver-greens (r1/r2); the last 3
+        # ==== fall outside the 50-entry window and rotate in r6 ======
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "customers_no_pending": q_customers_no_pending,
@@ -3257,7 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "multimodal_frames": q_multimodal_frames,
         "hourly_gap_fill": q_hourly_gap_fill,
-        # ==== position 51+: driver-green in r3/r4 at unchanged semantics =
+        # ==== position 54+: driver-green in r3/r4 at unchanged semantics =
         "forecast_revenue_change": q_forecast_revenue_change,
         "part_supplier_variety": q_part_supplier_variety,
         "large_volume_customers": q_large_volume_customers,

@@ -138,10 +138,12 @@ def dsir_bucket_ratios(
 
 def dsir_weights(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 8192,
+    target_counts: DataFrame | None = None,
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Importance weight of every raw document against the target
     distribution: ``(id_col, weight)`` with
@@ -149,24 +151,59 @@ def dsir_weights(
     bigram occurrences. Higher = more target-like. Documents with no
     tokens get weight 0.
 
-    Plan: two B-bounded count aggregates (target model, raw model) →
-    one ≤ B-row ratio table broadcast onto the exploded raw corpus →
-    re-group on the document id. The corpus shuffles once, keyed by id;
-    the models never shuffle it."""
-    t_counts = hashed_ngram_counts(target_df, text_col, buckets)
-    r_counts = hashed_ngram_counts(raw_df, text_col, buckets)
-    ratios = dsir_bucket_ratios(t_counts, r_counts, buckets)
-    # unobserved-bucket constant: both smoothed counts are 1
-    t_tot = t_counts.agg(F.sum("cnt").alias("__nt"))
-    r_tot = r_counts.agg(F.sum("cnt").alias("__nr"))
-    default = (
-        t_tot.crossJoin(r_tot)
-        .select(
-            (
-                F.log(F.lit(1.0) / (F.col("__nt") + F.lit(float(buckets))))
-                - F.log(F.lit(1.0) / (F.col("__nr") + F.lit(float(buckets))))
-            ).alias("__default")
+    Models: pass ``target_counts`` / ``raw_counts`` (stored
+    :func:`hashed_ngram_counts` tables, maintainable incrementally via
+    :func:`merge_ngram_counts`) to score against persisted models —
+    the production path at scale, where the raw model is built once per
+    corpus generation, not per scoring call. Without them, the models
+    are derived inline from ``target_df`` / ``raw_df``; each model's
+    totals and its ratio-join input share one subplan (identical
+    subtrees → Spark reuses the exchange), so the corpus is not
+    re-aggregated per use site.
+
+    Plan: two B-bounded count aggregates (one per model) → one ≤ B-row
+    ratio table broadcast onto the exploded raw corpus → re-group on
+    the document id. The corpus shuffles once, keyed by id; the models
+    never shuffle it."""
+    if target_counts is None:
+        if target_df is None:
+            raise ValueError("need target_df or target_counts")
+        target_counts = hashed_ngram_counts(target_df, text_col, buckets)
+    if raw_counts is None:
+        raw_counts = hashed_ngram_counts(raw_df, text_col, buckets)
+    # totals computed ONCE and shared by the ratio table and the
+    # unobserved-bucket default (both smoothed counts are 1 there);
+    # the default branch only fires when scoring documents absent from
+    # the raw model (stored-model scoring of a new batch)
+    t_tot = target_counts.agg(F.sum("cnt").alias("__nt"))
+    r_tot = raw_counts.agg(F.sum("cnt").alias("__nr"))
+    b = F.lit(float(buckets))
+    merged = (
+        target_counts.withColumnRenamed("cnt", "__t")
+        .join(
+            raw_counts.withColumnRenamed("cnt", "__r"), "bucket", "full"
         )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    ratios = merged.select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("__t"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__nt") + b)
+            )
+            - F.log(
+                (F.coalesce(F.col("__r"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__nr") + b)
+            )
+        ).alias("log_ratio"),
+    )
+    default = t_tot.crossJoin(r_tot).select(
+        (
+            F.log(F.lit(1.0) / (F.col("__nt") + b))
+            - F.log(F.lit(1.0) / (F.col("__nr") + b))
+        ).alias("__default")
     )
     doc_grams = raw_df.select(
         F.col(id_col), F.explode_outer(_ngrams(F.col(text_col))).alias("__g")

@@ -435,10 +435,11 @@ def bloom_prefilter_dedup(
         # compaction sort_by), parquet min/max stats prune the scan to
         # the files/row-groups that can contain a candidate, turning the
         # confirm into O(candidates) point reads instead of a full index
-        # pass.  Only worth it while |candidates| < index file count —
-        # past the cap, fall through to the map-side semi scan.  The
-        # limit bounds the driver BEFORE the collect: at most cap+1
-        # keys ever land on it, however bad the filter's FP rate.
+        # pass.  Worth it only up to the byte-calibrated candidate-count
+        # crossover (see the docstring); past the cap, fall through to
+        # the map-side semi scan.  The limit bounds the driver BEFORE
+        # the collect: at most cap+1 keys ever land on it, however bad
+        # the filter's FP rate.
         cap = int(cap)
         cand_list = [r[0] for r in cand_keys.limit(cap + 1).collect()]
         if len(cand_list) <= cap:

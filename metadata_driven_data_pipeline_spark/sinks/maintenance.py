@@ -61,6 +61,12 @@ def compact_small_files(
     same scheduler slot as consolidation — it is idempotent and safe to
     re-run (the swap is all-or-nothing).
     """
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
+
+    recover_swap(path)
     before = table_file_stats(spark, path)
     n_files = max(1, math.ceil(before["bytes"] / max(1, target_bytes)))
     df = spark.read.format(fmt).load(path)
@@ -72,8 +78,7 @@ def compact_small_files(
         out = df.repartition(n_files)
     staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     out.write.format(fmt).mode("overwrite").save(staging)
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(staging, path)
+    atomic_swap(path, staging)
     after = table_file_stats(spark, path)
     return {"before": before, "after": after, "target_files": n_files}
 

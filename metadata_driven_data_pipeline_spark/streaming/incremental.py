@@ -246,15 +246,19 @@ def run_upsert_consolidated(
     production path is a format with merge support; this keeps the
     parity-level file-based contract.
     """
-    import shutil
     import uuid
 
     from metadata_driven_data_pipeline_spark.operators.consolidate import (
         dedup_keep_latest,
     )
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_swap(output_path)
         if _output_exists(spark, output_path):
             existing = spark.read.format(fmt).load(output_path)
             unioned = existing.unionByName(batch_df)
@@ -265,8 +269,7 @@ def run_upsert_consolidated(
         )
         staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
         merged.write.format(fmt).mode("overwrite").save(staging)
-        shutil.rmtree(output_path, ignore_errors=True)
-        shutil.move(staging, output_path)
+        atomic_swap(output_path, staging)
 
     q = (
         df.writeStream.foreachBatch(merge)
@@ -290,14 +293,19 @@ def cms_monitor_merge_batch(
     """One micro-batch of :func:`run_cms_monitor`: fold the batch's CMS
     grid into the stored grid unless ``batch_id`` is already committed
     (the ``last_batch_id`` watermark every grid row carries), then swap
-    atomically.  Module-level so the replay contract is directly
-    testable outside a streaming query."""
-    import shutil
+    crash-safely (sinks/swap.py rename-aside protocol — a crash can
+    never leave the accumulated grid unreachable).  Module-level so the
+    replay contract is directly testable outside a streaming query."""
     import uuid
 
     from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
 
     spark = batch_df.sparkSession
+    recover_swap(output_path)
     grid = cms_build(
         batch_df, text_col=text_col, depth=depth, width=width,
         hash_fn=hash_fn,
@@ -316,8 +324,7 @@ def cms_monitor_merge_batch(
     grid = grid.withColumn("last_batch_id", F.lit(batch_id))
     staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
     grid.write.format(fmt).mode("overwrite").save(staging)
-    shutil.rmtree(output_path, ignore_errors=True)
-    shutil.move(staging, output_path)
+    atomic_swap(output_path, staging)
 
 
 def run_cms_monitor(
@@ -468,16 +475,21 @@ def qhist_monitor_merge_batch(
     fmt: str = "parquet",
 ) -> None:
     """One micro-batch of :func:`run_qhist_monitor` (see
-    :func:`cms_monitor_merge_batch` for the watermark/replay contract)."""
-    import shutil
+    :func:`cms_monitor_merge_batch` for the watermark/replay and
+    crash-safe-swap contract)."""
     import uuid
 
     from metadata_driven_data_pipeline_spark.operators.sketch import (
         qhist_merge,
         qhist_shard_sketches,
     )
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
 
     spark = batch_df.sparkSession
+    recover_swap(output_path)
     grid = qhist_merge(
         qhist_shard_sketches(
             batch_df, value_col, F.lit("batch"), lo, hi, bins
@@ -497,5 +509,4 @@ def qhist_monitor_merge_batch(
     grid = grid.withColumn("last_batch_id", F.lit(batch_id))
     staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
     grid.write.format(fmt).mode("overwrite").save(staging)
-    shutil.rmtree(output_path, ignore_errors=True)
-    shutil.move(staging, output_path)
+    atomic_swap(output_path, staging)

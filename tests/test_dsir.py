@@ -142,12 +142,37 @@ def test_topk_is_deterministic_and_weighted(spark, raw_df, target_df):
                 if x.doc_id == r.doc_id
             )
             assert got == pytest.approx(want_key, abs=1e-9)
-    # a different salt gives a different (still deterministic) draw
+    # a different salt must decorrelate the draw: every doc's gumbel
+    # key changes (same weight, different noise), and the alt run is
+    # itself deterministic
+    w_df = DS.dsir_weights(raw_df, target_df, buckets=BUCKETS)
+    k_dsir = {
+        r.doc_id: r.g
+        for r in w_df.select(
+            "doc_id",
+            DS.dsir_gumbel_key(
+                F.col("weight"), F.col("doc_id"), "dsir"
+            ).alias("g"),
+        ).collect()
+    }
+    k_other = {
+        r.doc_id: r.g
+        for r in w_df.select(
+            "doc_id",
+            DS.dsir_gumbel_key(
+                F.col("weight"), F.col("doc_id"), "other"
+            ).alias("g"),
+        ).collect()
+    }
+    assert all(k_dsir[i] != k_other[i] for i in k_dsir)
     alt = DS.dsir_topk(
         raw_df, target_df, k=3, buckets=BUCKETS, salt="other"
     )
+    alt_again = DS.dsir_topk(
+        raw_df, target_df, k=3, buckets=BUCKETS, salt="other"
+    )
     assert [r.doc_id for r in alt.collect()] == [
-        r.doc_id for r in alt.collect()
+        r.doc_id for r in alt_again.collect()
     ]
 
 
@@ -185,3 +210,51 @@ def test_merged_shard_models_equal_whole_corpus_model(spark, raw_df):
     whole = DS.hashed_ngram_counts(raw_df, buckets=BUCKETS)
     as_map = lambda df: {r.bucket: r.cnt for r in df.collect()}  # noqa: E731
     assert as_map(merged) == as_map(whole)
+
+
+def test_stored_model_scoring_matches_pure_python(spark, target_df):
+    """Production path: score a NEW batch against PERSISTED models built
+    from an earlier corpus generation — here the batch contains grams
+    the raw model never saw, so the unobserved-bucket default (both
+    smoothed counts = 1) is exercised, which inline self-scoring can
+    never reach."""
+    old_raw = [t for _, t in RAW]
+    batch = [
+        (50, "market prices and earnings"),      # all grams known
+        (51, "zebra xylophone quartz"),          # none known
+        (52, "the cat plays xylophone"),         # mixed
+    ]
+    t_counts = DS.hashed_ngram_counts(
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(TARGET)]
+        ),
+        buckets=BUCKETS,
+    )
+    r_counts = DS.hashed_ngram_counts(
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(old_raw)]
+        ),
+        buckets=BUCKETS,
+    )
+    batch_df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in batch]
+    )
+    got = {
+        r.doc_id: r.weight
+        for r in DS.dsir_weights(
+            batch_df, buckets=BUCKETS,
+            target_counts=t_counts, raw_counts=r_counts,
+        ).collect()
+    }
+    # pure-python twin with models from the OLD corpora
+    tc, rc = _py_counts(TARGET), _py_counts(old_raw)
+    nt, nr = sum(tc.values()), sum(rc.values())
+    for i, t in batch:
+        w = 0.0
+        for g in _py_ngrams(t):
+            b = _py_bucket(g)
+            w += math.log((tc.get(b, 0) + 1) / (nt + BUCKETS))
+            w -= math.log((rc.get(b, 0) + 1) / (nr + BUCKETS))
+        assert got[i] == pytest.approx(w, abs=1e-9), (i, t)
+    with pytest.raises(ValueError, match="target_df or target_counts"):
+        DS.dsir_weights(batch_df, buckets=BUCKETS, raw_counts=r_counts)

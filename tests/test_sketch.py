@@ -395,12 +395,13 @@ def test_bloom_bitarray_probe_survives_empty_partitions(spark, key_df):
     assert probed.filter(F.col("maybe_seen")).count() == 3
 
 
-def test_bloom_auto_confirm_lane_derives_cap_from_index_files(
+def test_bloom_auto_confirm_lane_derives_cap_from_index_bytes(
     spark, sf_dir, tmp_path
 ):
     """confirm_pushdown_max='auto' sizes the IN-pushdown cap from the
-    stored index's file count (the probe-measured crossover) and must
-    preserve exactness either way."""
+    stored index's byte size — clamp(bytes/96KiB, 1024, 65536), the
+    probe-calibrated crossover (BASELINE.md r5; file count does NOT
+    track it) — and must preserve exactness either way."""
     from metadata_driven_data_pipeline_spark.operators import dedup as DD
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

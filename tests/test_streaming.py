@@ -645,3 +645,72 @@ def test_qhist_monitor_replayed_batch_not_double_counted(spark, tmp_path):
     before = grid()
     qhist_monitor_merge_batch(b1, 1, out, "v", 0.0, 1000.0, 100)
     assert grid() == before and before
+
+
+def test_swap_crash_window_recovers_accumulated_grid(spark, tmp_path):
+    """Crash between the swap's rename-aside and rename-into-place (the
+    old rmtree+move pattern silently lost ALL accumulated state here):
+    recover_swap must roll the previous grid back, and the replayed
+    micro-batch must then hit the watermark instead of bootstrapping a
+    fresh grid from itself."""
+    import os
+
+    from pyspark.sql import Row
+
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        cms_monitor_merge_batch,
+    )
+
+    out = str(tmp_path / "grid")
+    cms_monitor_merge_batch(
+        spark.createDataFrame([Row(doc_id=1, text="the cat sat")]),
+        0, out, depth=2, width=64,
+    )
+    cms_monitor_merge_batch(
+        spark.createDataFrame([Row(doc_id=2, text="the dog")]),
+        1, out, depth=2, width=64,
+    )
+    before = {
+        (r.depth, r.bucket): r.cnt for r in spark.read.parquet(out).collect()
+    }
+    # simulate the crash state: output renamed aside, new grid never
+    # landed
+    os.rename(out, out + "__prev")
+    assert not os.path.exists(out)
+    # restart replays batch 1 (checkpoint never committed): the merge
+    # must first recover the old grid, then skip the replay on the
+    # watermark -- accumulated counts fully intact
+    cms_monitor_merge_batch(
+        spark.createDataFrame([Row(doc_id=2, text="the dog")]),
+        1, out, depth=2, width=64,
+    )
+    after = {
+        (r.depth, r.bucket): r.cnt for r in spark.read.parquet(out).collect()
+    }
+    assert after == before and before
+    assert not os.path.exists(out + "__prev")
+
+
+def test_atomic_swap_primitives(tmp_path):
+    import os
+
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
+
+    path, staging = str(tmp_path / "t"), str(tmp_path / "t__s")
+    os.makedirs(path)
+    open(os.path.join(path, "old.txt"), "w").write("old")
+    os.makedirs(staging)
+    open(os.path.join(staging, "new.txt"), "w").write("new")
+    atomic_swap(path, staging)
+    assert os.listdir(path) == ["new.txt"]
+    assert not os.path.exists(staging)
+    assert not os.path.exists(path + "__prev")
+    # recover is a no-op when the target is present
+    assert recover_swap(path) is False
+    # ... and restores __prev when the target vanished mid-swap
+    os.rename(path, path + "__prev")
+    assert recover_swap(path) is True
+    assert os.listdir(path) == ["new.txt"]

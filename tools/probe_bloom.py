@@ -16,8 +16,10 @@ Per batch, three plans produce identical survivor sets:
             parquet scan — file/row-group pruning turns the confirm
             into point lookups when |candidates| < file count
 - bloom+auto: confirm_pushdown_max='auto' — the cap derived from the
-            index's file count at call time; must match whichever
-            manual lane wins at this candidate volume
+            index's BYTE size at call time (clamp(bytes/96KiB, 1024,
+            65536); see the r5 calibration in BASELINE.md — file count
+            does not track the crossover); must match whichever manual
+            lane wins at this candidate volume
 
 Each lane runs twice: rep1 includes one-time costs (python-worker
 broadcast shipping), rep2 is the steady-state per-batch cost the
