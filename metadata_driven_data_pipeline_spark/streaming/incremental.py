@@ -225,6 +225,48 @@ def _committed_batch(existing: DataFrame) -> int | None:
     return None if row[0] is None else int(row[0])
 
 
+def _merge_additive_grid(
+    batch_grid: DataFrame,
+    batch_id: int,
+    output_path: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Shared micro-batch commit for every additive-counter monitor
+    (CMS, quantile histogram, DSIR n-gram model): fold ``batch_grid``'s
+    ``cnt`` counters into the stored grid by union + re-sum on
+    ``group_cols``, unless ``batch_id`` is already committed (the
+    ``last_batch_id`` watermark every grid row carries — additive
+    counters are NOT idempotent under foreachBatch's at-least-once
+    re-delivery), then commit grid + watermark together via the
+    crash-safe rename-aside swap (sinks/swap.py)."""
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.sinks.swap import (
+        atomic_swap,
+        recover_swap,
+    )
+
+    spark = batch_grid.sparkSession
+    recover_swap(output_path)
+    grid = batch_grid
+    if _output_exists(spark, output_path):
+        existing = spark.read.format(fmt).load(output_path)
+        committed = _committed_batch(existing)
+        if committed is not None and committed >= batch_id:
+            return  # at-least-once replay: already folded in
+        grid = (
+            existing.drop("last_batch_id")
+            .unionByName(grid)
+            .groupBy(*group_cols)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    grid = grid.withColumn("last_batch_id", F.lit(batch_id))
+    staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
+    grid.write.format(fmt).mode("overwrite").save(staging)
+    atomic_swap(output_path, staging)
+
+
 def run_upsert_consolidated(
     df: DataFrame,
     checkpoint_dir: str,
@@ -296,35 +338,18 @@ def cms_monitor_merge_batch(
     crash-safely (sinks/swap.py rename-aside protocol — a crash can
     never leave the accumulated grid unreachable).  Module-level so the
     replay contract is directly testable outside a streaming query."""
-    import uuid
-
     from metadata_driven_data_pipeline_spark.operators.sketch import cms_build
-    from metadata_driven_data_pipeline_spark.sinks.swap import (
-        atomic_swap,
-        recover_swap,
-    )
 
-    spark = batch_df.sparkSession
-    recover_swap(output_path)
-    grid = cms_build(
-        batch_df, text_col=text_col, depth=depth, width=width,
-        hash_fn=hash_fn,
+    _merge_additive_grid(
+        cms_build(
+            batch_df, text_col=text_col, depth=depth, width=width,
+            hash_fn=hash_fn,
+        ),
+        batch_id,
+        output_path,
+        ["depth", "bucket"],
+        fmt,
     )
-    if _output_exists(spark, output_path):
-        existing = spark.read.format(fmt).load(output_path)
-        committed = _committed_batch(existing)
-        if committed is not None and committed >= batch_id:
-            return  # at-least-once replay: already folded in
-        grid = (
-            existing.drop("last_batch_id")
-            .unionByName(grid)
-            .groupBy("depth", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-    grid = grid.withColumn("last_batch_id", F.lit(batch_id))
-    staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
-    grid.write.format(fmt).mode("overwrite").save(staging)
-    atomic_swap(output_path, staging)
 
 
 def run_cms_monitor(
@@ -477,36 +502,79 @@ def qhist_monitor_merge_batch(
     """One micro-batch of :func:`run_qhist_monitor` (see
     :func:`cms_monitor_merge_batch` for the watermark/replay and
     crash-safe-swap contract)."""
-    import uuid
-
     from metadata_driven_data_pipeline_spark.operators.sketch import (
         qhist_merge,
         qhist_shard_sketches,
     )
-    from metadata_driven_data_pipeline_spark.sinks.swap import (
-        atomic_swap,
-        recover_swap,
+
+    _merge_additive_grid(
+        qhist_merge(
+            qhist_shard_sketches(
+                batch_df, value_col, F.lit("batch"), lo, hi, bins
+            )
+        ),
+        batch_id,
+        output_path,
+        ["bin"],
+        fmt,
     )
 
-    spark = batch_df.sparkSession
-    recover_swap(output_path)
-    grid = qhist_merge(
-        qhist_shard_sketches(
-            batch_df, value_col, F.lit("batch"), lo, hi, bins
-        )
+
+def ngram_model_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    text_col: str = "text",
+    buckets: int = 8192,
+    fmt: str = "parquet",
+) -> None:
+    """One micro-batch of :func:`run_ngram_model_monitor` (see
+    :func:`cms_monitor_merge_batch` for the watermark/replay and
+    crash-safe-swap contract)."""
+    from metadata_driven_data_pipeline_spark.operators.dsir import (
+        hashed_ngram_counts,
     )
-    if _output_exists(spark, output_path):
-        existing = spark.read.format(fmt).load(output_path)
-        committed = _committed_batch(existing)
-        if committed is not None and committed >= batch_id:
-            return  # at-least-once replay: already folded in
-        grid = (
-            existing.drop("last_batch_id")
-            .unionByName(grid)
-            .groupBy("bin")
-            .agg(F.sum("cnt").alias("cnt"))
+
+    _merge_additive_grid(
+        hashed_ngram_counts(batch_df, text_col, buckets),
+        batch_id,
+        output_path,
+        ["bucket"],
+        fmt,
+    )
+
+
+def run_ngram_model_monitor(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    text_col: str = "text",
+    buckets: int = 8192,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming DSIR raw-corpus model: maintain the hashed-ngram count
+    table (``operators/dsir.py hashed_ngram_counts``) over everything
+    the stream has delivered, merged per micro-batch — counters are
+    ADDITIVE like the CMS grid, and state is ≤ ``buckets`` rows forever
+    whatever the vocabulary.  This closes the incremental-DSIR loop:
+    each ingestion batch folds into the stored raw model; scoring then
+    reads the model with ``dsir_weights(..., raw_counts=stored)``
+    without ever rescanning history.
+
+    Deterministic and order-independent, so the final table (minus the
+    ``last_batch_id`` watermark) equals :func:`hashed_ngram_counts`
+    over the whole delivered corpus — pinned in tests/test_streaming.py.
+    Same replay watermark and crash-safe swap as the other monitors."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        ngram_model_merge_batch(
+            batch_df, batch_id, output_path, text_col, buckets, fmt
         )
-    grid = grid.withColumn("last_batch_id", F.lit(batch_id))
-    staging = f"{output_path}__staging_{uuid.uuid4().hex[:8]}"
-    grid.write.format(fmt).mode("overwrite").save(staging)
-    atomic_swap(output_path, staging)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

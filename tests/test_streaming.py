@@ -714,3 +714,63 @@ def test_atomic_swap_primitives(tmp_path):
     os.rename(path, path + "__prev")
     assert recover_swap(path) is True
     assert os.listdir(path) == ["new.txt"]
+
+
+def test_ngram_model_monitor_equals_batch_model_and_scores(spark, tmp_path):
+    """Streaming DSIR raw model over two micro-batches equals the
+    one-shot hashed_ngram_counts over the union, and dsir_weights
+    scoring against the STORED model matches scoring against the
+    inline-built one — the full incremental-DSIR loop."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from metadata_driven_data_pipeline_spark.operators import dsir as DS
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        run_ngram_model_monitor,
+    )
+
+    docs = [
+        Row(doc_id=i, text=t)
+        for i, t in enumerate(
+            ["the cat sat", "market prices rose", "the dog ran",
+             "earnings beat expectations"] * 3
+        )
+    ]
+    whole = spark.createDataFrame(docs)
+    src = str(tmp_path / "src")
+    whole.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{src}/p1")
+    whole.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{src}/p2")
+    stream = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    out = str(tmp_path / "model")
+    run_ngram_model_monitor(
+        stream, str(tmp_path / "ck"), out, buckets=512
+    )
+    stored = spark.read.parquet(out)
+    streamed = {
+        r.bucket: r.cnt for r in stored.drop("last_batch_id").collect()
+    }
+    direct = {
+        r.bucket: r.cnt
+        for r in DS.hashed_ngram_counts(whole, buckets=512).collect()
+    }
+    assert streamed == direct and streamed
+    # close the loop: score a new batch against the STORED model
+    target = whole.filter(F.col("text").contains("market"))
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text="market prices fell")]
+    )
+    w_stored = DS.dsir_weights(
+        batch, buckets=512,
+        target_counts=DS.hashed_ngram_counts(target, buckets=512),
+        raw_counts=stored.drop("last_batch_id"),
+    ).collect()[0].weight
+    w_inline = DS.dsir_weights(
+        batch, buckets=512,
+        target_counts=DS.hashed_ngram_counts(target, buckets=512),
+        raw_counts=DS.hashed_ngram_counts(whole, buckets=512),
+    ).collect()[0].weight
+    assert w_stored == w_inline
