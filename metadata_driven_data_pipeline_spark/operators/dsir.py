@@ -116,9 +116,15 @@ def dsir_bucket_ratios(
     Only buckets observed in EITHER corpus are materialized; an
     unobserved bucket's ratio is the constant ln(N_r + B) − ln(N_t + B)
     (both smoothed counts are 1), which :func:`dsir_weights` supplies
-    via coalesce — the table stays ≤ B rows and broadcasts."""
-    t_tot = target_counts.agg(F.sum("cnt").alias("__nt"))
-    r_tot = raw_counts.agg(F.sum("cnt").alias("__nr"))
+    via coalesce — the table stays ≤ B rows and broadcasts.  A
+    token-free corpus contributes N = 0 (uniform add-one prior), not
+    NULL."""
+    t_tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__nt")
+    )
+    r_tot = raw_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__nr")
+    )
     merged = (
         target_counts.withColumnRenamed("cnt", "__t")
         .join(raw_counts.withColumnRenamed("cnt", "__r"), "bucket", "full")
@@ -174,9 +180,16 @@ def dsir_weights(
     # totals computed ONCE and shared by the ratio table and the
     # unobserved-bucket default (both smoothed counts are 1 there);
     # the default branch only fires when scoring documents absent from
-    # the raw model (stored-model scoring of a new batch)
-    t_tot = target_counts.agg(F.sum("cnt").alias("__nt"))
-    r_tot = raw_counts.agg(F.sum("cnt").alias("__nr"))
+    # the raw model (stored-model scoring of a new batch). coalesce:
+    # a token-free corpus has an EMPTY count table, whose sum is NULL —
+    # the model degenerates to the uniform add-one prior, not to NULL
+    # weights (property-test finding).
+    t_tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__nt")
+    )
+    r_tot = raw_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__nr")
+    )
     b = F.lit(float(buckets))
     merged = (
         target_counts.withColumnRenamed("cnt", "__t")
