@@ -57,6 +57,29 @@ def write_sink(
     partition_by = sink.get("partitionBy")
     zorder_by = sink.get("zorderBy")
 
+    if sink.get("table") == "txlog":
+        # ACID tier: every write is one atomic commit in the table's
+        # transaction log (sinks/txlog.py) — snapshot-isolated readers,
+        # optimistic concurrency, time travel. Row counts come from the
+        # commit record itself (footer-derived), not an observe() pass.
+        from metadata_driven_data_pipeline_spark.sinks import txlog
+
+        spark = df.sparkSession
+        if sink.get("merge"):
+            m = sink["merge"]
+            info = txlog.merge(
+                spark, df, path, list(m["keys"]), m["orderBy"]
+            )
+        elif mode == "append":
+            info = txlog.append(spark, df, path)
+        else:
+            info = txlog.overwrite(spark, df, path)
+        return {
+            "records_written": int(info.get("rows_written", 0)),
+            "sink_path": path,
+            "format": "txlog",
+            "table_version": info["version"],
+        }
     obs = Observation(f"sink_{uuid.uuid4().hex[:8]}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
     if sink.get("upsert"):

@@ -578,3 +578,58 @@ def run_ngram_model_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_txlog_sink(
+    df: DataFrame,
+    checkpoint_dir: str,
+    table_root: str,
+    app_id: str,
+    mode: str = "append",
+    key_columns: list[str] | None = None,
+    order_by: str | None = None,
+) -> None:
+    """Stream → transaction-log table (:mod:`..sinks.txlog`), the ACID
+    tier above :func:`run_upsert_partitioned`: every micro-batch lands
+    as ONE atomic commit, so concurrent readers always see a complete
+    snapshot (no partial-partition window at all), and appends carry a
+    ``txn=(app_id, batch_id)`` watermark — an at-least-once
+    ``foreachBatch`` replay after a checkpoint/commit race is a no-op
+    instead of a duplicate batch (exactly-once end to end).
+
+    ``mode="merge"`` upserts each batch keep-latest per ``key_columns``
+    by ``order_by``, pruned to the files whose key range the batch
+    overlaps; merge replays are idempotent by construction (keep-latest
+    over identical inputs), so no txn watermark is needed there.
+    """
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    if mode not in ("append", "merge"):
+        raise ValueError(f"run_txlog_sink mode must be append|merge: {mode}")
+    if mode == "merge" and not (key_columns and order_by):
+        raise ValueError("merge mode needs key_columns + order_by")
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "append":
+            txlog.append(
+                batch_df.sparkSession,
+                batch_df,
+                table_root,
+                txn=(app_id, batch_id),
+            )
+        else:
+            txlog.merge(
+                batch_df.sparkSession,
+                batch_df,
+                table_root,
+                list(key_columns),
+                order_by,
+            )
+
+    q = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

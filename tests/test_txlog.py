@@ -1,0 +1,358 @@
+"""Transaction-log table format (sinks/txlog.py): ACID commits, snapshot
+isolation, time travel, stats-pruned scans, file-pruned MERGE, atomic
+OPTIMIZE, vacuum retention, exactly-once txn appends, concurrency."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_data_pipeline_spark.sinks import txlog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    # one partition → one data file per commit (deterministic file counts)
+    return spark.createDataFrame(pairs, "k int, v string").coalesce(1)
+
+
+def test_append_read_roundtrip_and_accumulate(spark, tmp_path):
+    root = str(tmp_path / "t")
+    r1 = txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    assert r1["version"] == 1 and r1["rows_written"] == 2
+    r2 = txlog.append(spark, _mk(spark, [(3, "c")]), root)
+    assert r2["version"] == 2
+    got = _rows(txlog.read_table(spark, root))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    txlog.overwrite(spark, _mk(spark, [(9, "z")]), root)
+    assert _rows(txlog.read_table(spark, root, version=1)) == [(1, "a")]
+    assert _rows(txlog.read_table(spark, root, version=2)) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert _rows(txlog.read_table(spark, root)) == [(9, "z")]
+    hist = txlog.history(root)
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+    assert hist[2]["files_removed"] >= 1
+
+
+def test_snapshot_isolation_under_overwrite(spark, tmp_path):
+    """A reader's pinned snapshot keeps reading its own (immutable) files
+    even after a concurrent overwrite commits — until vacuum reclaims."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    snap = txlog.load_snapshot(root)
+    df = snap.read(spark)
+    txlog.overwrite(spark, _mk(spark, [(7, "new")]), root)
+    assert _rows(df) == [(1, "a"), (2, "b")]  # old files still on disk
+    assert _rows(txlog.read_table(spark, root)) == [(7, "new")]
+
+
+def test_schema_mismatch_append_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    bad = spark.createDataFrame([(1, "a", 2.0)], "k int, v string, x double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, bad, root)
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    """MERGE rewrites ONLY files whose key range overlaps the batch;
+    update rows win order ties; unmatched keys append."""
+    root = str(tmp_path / "t")
+    low = spark.createDataFrame(
+        [(i, "old", 1) for i in range(0, 50)], "k int, v string, seq int"
+    ).coalesce(1)
+    high = spark.createDataFrame(
+        [(i, "old", 1) for i in range(1000, 1050)], "k int, v string, seq int"
+    ).coalesce(1)
+    txlog.append(spark, low, root)
+    txlog.append(spark, high, root)
+
+    # batch key range [5, 2000] spans both files — both get rewritten
+    updates = spark.createDataFrame(
+        [(5, "upd", 1), (2000, "ins", 1)], "k int, v string, seq int"
+    )
+    res = txlog.merge(spark, updates, root, ["k"], "seq")
+    assert res["version"] == 3
+
+    got = dict(
+        (r["k"], r["v"]) for r in txlog.read_table(spark, root).collect()
+    )
+    assert got[5] == "upd"  # same seq → update wins the tie
+    assert got[2000] == "ins"
+    assert got[6] == "old" and got[1000] == "old"
+    assert len(got) == 101
+
+
+def test_merge_file_pruning_skips_disjoint_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    low = spark.createDataFrame(
+        [(i, "old", 1) for i in range(0, 50)], "k int, v string, seq int"
+    ).coalesce(1)
+    high = spark.createDataFrame(
+        [(i, "old", 1) for i in range(1000, 1050)], "k int, v string, seq int"
+    ).coalesce(1)
+    txlog.append(spark, low, root)
+    txlog.append(spark, high, root)
+    high_files = {
+        p
+        for p, e in txlog.load_snapshot(root).files.items()
+        if e["stats"]["k"]["min"] >= 1000
+    }
+    updates = spark.createDataFrame(
+        [(5, "upd", 2), (7, "upd", 2)], "k int, v string, seq int"
+    )
+    res = txlog.merge(spark, updates, root, ["k"], "seq")
+    assert res["files_rewritten"] == 1  # only the low file
+    snap = txlog.load_snapshot(root)
+    assert high_files <= set(snap.files)  # untouched file survives as-is
+    got = dict(
+        (r["k"], r["v"]) for r in txlog.read_table(spark, root).collect()
+    )
+    assert got[5] == "upd" and got[7] == "upd" and got[1049] == "old"
+
+
+def test_merge_bootstrap_creates_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    updates = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1)], "k int, v string, seq int"
+    )
+    txlog.merge(spark, updates, root, ["k"], "seq")
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a", 2)]
+
+
+def test_scan_skips_files_by_stats(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        txlog.append(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 100)], "k int, v string"
+            ).coalesce(1),
+            root,
+        )
+    df, rep = txlog.scan(spark, root, where=[("k", "==", 250)])
+    assert rep["files_total"] == 4 and rep["files_scanned"] == 1
+    assert rep["rows_skipped"] == 300
+    assert _rows(df) == [(250, "v250")]
+    # range + in predicates, still correct vs a plain filter
+    df2, rep2 = txlog.scan(spark, root, where=[("k", ">=", 350)])
+    assert rep2["files_scanned"] == 1
+    assert df2.count() == 50
+    df3, rep3 = txlog.scan(spark, root, where=[("k", "in", [10, 310])])
+    assert rep3["files_scanned"] == 2 and df3.count() == 2
+
+
+def test_scan_prunes_all_null_file_keeps_missing_stats(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(None, "x"), (None, "y")], "k int, v string"),
+        root,
+    )
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    df, rep = txlog.scan(spark, root, where=[("k", ">=", 0)])
+    assert rep["files_scanned"] < rep["files_total"]  # all-NULL file pruned
+    assert _rows(df) == [(1, "a")]
+    # a file entry stripped of stats must be kept (conservative)
+    snap = txlog.load_snapshot(root)
+    rel = next(iter(snap.files))
+    entry = dict(snap.files[rel])
+    entry["stats"] = {}
+    assert txlog._file_may_match(entry, "k", "==", 123)
+
+
+def test_optimize_compacts_atomically(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(6):
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    before = txlog.load_snapshot(root)
+    assert len(before.files) == 6
+    res = txlog.optimize(spark, root, target_bytes=1 << 30)
+    snap = txlog.load_snapshot(root)
+    assert len(snap.files) == 1 and res["files_before"] == 6
+    assert _rows(txlog.read_table(spark, root)) == [
+        (i, f"v{i}") for i in range(6)
+    ]
+    # pre-optimize snapshot still readable (files immutable until vacuum)
+    assert len(_rows(before.read(spark))) == 6
+
+
+def test_optimize_zorder_tightens_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    txlog.append(spark, df, root)
+    _, rep0 = txlog.scan(spark, root, where=[("x", "<=", 60)])
+    assert rep0["files_scanned"] == rep0["files_total"]  # random layout: no pruning
+    txlog.optimize(spark, root, target_bytes=8_000, zorder_by=["x", "y"])
+    dfz, repz = txlog.scan(spark, root, where=[("x", "<=", 60)])
+    assert repz["files_total"] > 2
+    assert repz["files_scanned"] < repz["files_total"]
+    assert dfz.count() == sum(1 for x, _ in rows if x <= 60)
+
+
+def test_vacuum_reclaims_outside_retention(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
+    txlog.overwrite(spark, _mk(spark, [(3, "c")]), root)
+    old = txlog.load_snapshot(root, version=1)
+    res = txlog.vacuum(root, keep_versions=2)
+    assert res["deleted"] == 1  # v1's file gone; v2 retained, v3 live
+    assert _rows(txlog.read_table(spark, root, version=2)) == [(2, "b")]
+    assert _rows(txlog.read_table(spark, root)) == [(3, "c")]
+    assert not all(os.path.exists(p) for p in old.file_paths())
+
+
+def test_txn_append_is_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "t")
+    r1 = txlog.append(spark, _mk(spark, [(1, "a")]), root, txn=("app", 0))
+    r2 = txlog.append(spark, _mk(spark, [(1, "a")]), root, txn=("app", 0))
+    r3 = txlog.append(spark, _mk(spark, [(2, "b")]), root, txn=("app", 1))
+    assert not r1["skipped"] and r2["skipped"] and not r3["skipped"]
+    assert txlog.read_table(spark, root).count() == 2
+    # a different app's watermark is independent
+    r4 = txlog.append(spark, _mk(spark, [(3, "c")]), root, txn=("other", 0))
+    assert not r4["skipped"]
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(0, "seed")]), root)
+    errs = []
+
+    def work(tag):
+        try:
+            txlog.append(
+                spark, _mk(spark, [(tag, f"w{tag}")]), root
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in (1, 2, 3, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert txlog.read_table(spark, root).count() == 5
+    assert txlog.load_snapshot(root).version == 5  # distinct versions claimed
+
+
+def test_reader_ignores_inflight_tmp_payloads(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    # a crashed writer's partial payload must be invisible to readers
+    with open(os.path.join(root, txlog.LOG_DIR, ".tmp-crashed.json"), "w") as f:
+        f.write('{"version": 99, "add"')  # truncated JSON
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a")]
+    assert txlog.load_snapshot(root).version == 1
+
+
+def test_checkpoint_written_and_equivalent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(12):
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    cp = os.path.join(root, txlog.LOG_DIR, txlog._checkpoint_name(10))
+    assert os.path.exists(cp)
+    with open(cp) as f:
+        payload = json.load(f)
+    assert len(payload["add"]) == 10
+    # snapshot folded from the checkpoint equals the full table
+    assert txlog.read_table(spark, root).count() == 12
+    assert txlog.read_table(spark, root, version=11).count() == 11
+
+
+def test_change_data_feed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    txlog.append(spark, _mk(spark, [(3, "c")]), root)
+    ch = txlog.read_changes(spark, root, since_version=1)
+    got = sorted(
+        (r["k"], r["_commit_version"], r["_commit_op"]) for r in ch.collect()
+    )
+    assert got == [(2, 2, "append"), (3, 3, "append")]
+    empty = txlog.read_changes(spark, root, since_version=3)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+
+
+def test_empty_append_and_empty_table_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.overwrite(spark, _mk(spark, []), root)
+    df = txlog.read_table(spark, root)
+    assert df.count() == 0 and df.columns == ["k", "v"]
+    with pytest.raises(ValueError, match="no commits"):
+        txlog.read_table(spark, str(tmp_path / "missing"))
+
+
+def test_write_sink_txlog_modes(spark, tmp_path):
+    from metadata_driven_data_pipeline_spark.sinks.writer import write_sink
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, seq int"
+    )
+    out = write_sink(base, {"path": root, "table": "txlog", "saveMode": "append"})
+    assert out["records_written"] == 2 and out["table_version"] == 1
+    upd = spark.createDataFrame([(2, "B", 2)], "k int, v string, seq int")
+    out2 = write_sink(
+        upd,
+        {
+            "path": root,
+            "table": "txlog",
+            "merge": {"keys": ["k"], "orderBy": "seq"},
+        },
+    )
+    assert out2["table_version"] == 2
+    got = dict((r["k"], r["v"]) for r in txlog.read_table(spark, root).collect())
+    assert got == {1: "a", 2: "B"}
+
+
+def test_streaming_txlog_sink_exactly_once_across_checkpoint_loss(
+    spark, tmp_path
+):
+    """The txn watermark makes appends exactly-once even when the
+    STREAMING checkpoint is lost (batch ids restart at 0 and the same
+    input re-batches): replayed commits are no-ops."""
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        run_txlog_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(
+        1
+    ).write.mode("overwrite").json(str(src))
+    root = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    run_txlog_sink(stream, str(tmp_path / "chk1"), root, app_id="ingest")
+    assert txlog.read_table(spark, root).count() == 2
+    # checkpoint loss: fresh checkpoint dir, same source, same app_id
+    run_txlog_sink(stream, str(tmp_path / "chk2"), root, app_id="ingest")
+    assert txlog.read_table(spark, root).count() == 2  # no duplicates
+    snap = txlog.load_snapshot(root)
+    assert snap.txns["ingest"] >= 0
