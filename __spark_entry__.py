@@ -3177,6 +3177,132 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table MERGE (sinks/txlog.py): append a base slice
+    of orders, then one atomic merge commit that doubles the price of
+    half the base keys and inserts a disjoint slice — keep-latest per
+    key by seq, pruned to the files whose key range the batch overlaps.
+    The certified output is the post-merge snapshot aggregated by
+    status; the oracle recomputes the merged state in pure SQL. Scale
+    shape: the data plane is plain parquet (one write per commit), the
+    metadata plane is O(files) JSON — no reader ever sees a
+    mid-commit state, closing the window merge_upsert documents."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="txlog_merge_") + "/orders"
+    mod4 = F.col("o_orderkey") % 4
+    base = (
+        orders.filter(mod4 < 2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("seq", F.lit(1))
+    )
+    txlog.append(spark, base.repartition(4), root)
+    updates = (
+        orders.filter((mod4 == 0) | (mod4 == 2))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .withColumn("seq", F.lit(2))
+    )
+    txlog.merge(spark, updates, root, ["o_orderkey"], "seq")
+    merged = txlog.read_table(spark, root)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel: three commits (two appends, one
+    whole-table overwrite) over customer segments; reading version 1, 2
+    and 3 of the SAME table returns three different pinned states —
+    files are immutable, so historic snapshots survive the overwrite
+    until vacuum's retention horizon. Oracle recomputes each version's
+    row count from the segment filters."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="txlog_tt_") + "/customer"
+    txlog.append(spark, cust.filter(F.col("c_mktsegment") == "BUILDING"), root)
+    txlog.append(
+        spark, cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root
+    )
+    txlog.overwrite(
+        spark, cust.filter(F.col("c_mktsegment") == "MACHINERY"), root
+    )
+    parts = [
+        txlog.read_table(spark, root, version=v)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(v).alias("version"), "n_rows")
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_txlog_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned scan: orders range-clustered into 8 files at write
+    time, then a point-range read opens ONLY the files whose footer
+    [min,max] can match — the log carries per-file stats, so skipping
+    needs no directory-naming convention and composes with Z-order
+    layouts. The `pruned` flag pins that file skipping actually
+    happened (files_scanned < files_total) into the certificate; the
+    aggregate proves the pruned read equals the full filtered scan."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_scan_") + "/orders"
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    txlog.append(spark, clustered, root)
+    df, rep = txlog.scan(spark, root, where=[("o_orderkey", "<", 400)])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(rep["files_scanned"] < rep["files_total"])).alias("pruned"),
+    )
+
+
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read: two append commits split the corpus; an
+    incremental consumer that checkpointed version 1 reads ONLY the
+    rows commit 2 added (tagged with the commit version) — O(new data)
+    instead of a table rescan. Oracle recomputes commit 2's slice from
+    the split predicate."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    root = tempfile.mkdtemp(prefix="txlog_cdf_") + "/documents"
+    txlog.append(spark, docs.filter(F.col("doc_id") < 250), root)
+    txlog.append(spark, docs.filter(F.col("doc_id") >= 250), root)
+    ch = txlog.read_changes(spark, root, since_version=1)
+    return ch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("_commit_version").alias("commit_version"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 150) is additionally
@@ -3193,9 +3319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Gumbel top-k selection, operators/dsir.py).  Position 5 is
     hll_incremental_distinct, whose certification was re-cut after the
     r5 sf0.1 sweep showed merged==whole is partitioning-dependent, not
-    an invariant.  Positions 6-50 are the 45 entries whose last
-    driver-green is oldest — all 19 r1 greens and the 26 oldest r2
-    greens; the 3 displaced r2 entries rotate in next round.  Positions
+    an invariant.  Positions 6-9 are NEW this round: the transaction-log
+    table family (sinks/txlog.py — atomic MERGE, time travel,
+    stats-pruned scans, change feed).  Positions 10-50 are the 41
+    stalest driver-greens; the 4 stale entries these additions displace
+    (plus the 3 displaced r2 entries) rotate in next round.  Positions
     51+ are driver-green from r3/r4 at unchanged semantics (and every
     entry is still locally re-certified each round via
     tools/check_oracle.py)."""
@@ -3208,6 +3336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": q_dsir_topk,
         # ==== position 5: semantics changed in round 5 (sf0.1 sweep fix)
         "hll_incremental_distinct": q_hll_incremental_distinct,
+        # ==== positions 6-9: NEW in round 5 (transaction-log tables) ====
+        "txlog_merge_state": q_txlog_merge_state,
+        "txlog_time_travel": q_txlog_time_travel,
+        "txlog_skipping_scan": q_txlog_skipping_scan,
+        "txlog_change_feed": q_txlog_change_feed,
         # ==== positions 6-53: oldest driver-greens (r1/r2); the last 3
         # ==== fall outside the 50-entry window and rotate in r6 ======
         "pricing_summary": q_pricing_summary,
@@ -5999,6 +6132,50 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY w - ln(-ln({_dsir_u})) DESC, doc_id ASC
         LIMIT 50"""
     )
+
+    sql["txlog_merge_state"] = """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CASE WHEN o_orderkey % 4 IN (0, 2)
+                                  THEN o_totalprice * 2
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 1, 2)
+        GROUP BY o_orderstatus
+    """
+
+    sql["txlog_time_travel"] = """
+        SELECT 1 AS version,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_mktsegment = 'BUILDING') AS n_rows
+        UNION ALL
+        SELECT 2 AS version,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS n_rows
+        UNION ALL
+        SELECT 3 AS version,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_mktsegment = 'MACHINERY') AS n_rows
+    """
+
+    sql["txlog_skipping_scan"] = """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS pruned
+        FROM orders
+        WHERE o_orderkey < 400
+    """
+
+    sql["txlog_change_feed"] = """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               2 AS commit_version
+        FROM documents
+        WHERE doc_id >= 250
+        GROUP BY source
+    """
 
     return sql
 
