@@ -3341,7 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_time_travel": q_txlog_time_travel,
         "txlog_skipping_scan": q_txlog_skipping_scan,
         "txlog_change_feed": q_txlog_change_feed,
-        # ==== positions 6-53: oldest driver-greens (r1/r2); the last 3
+        # ==== positions 10-57: oldest driver-greens (r1/r2); the last 7
         # ==== fall outside the 50-entry window and rotate in r6 ======
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,

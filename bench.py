@@ -26,6 +26,8 @@ Two series:
 - CURATION: the round-3 curation/search/PQ surface, previously untracked
   round-over-round (r3 verdict item 3). Reported under "curation"/
   "curation_total" in the same JSON line.
+- SELECTION / TABLES: the round-5 DSIR and transaction-log-table
+  surfaces, tracked the same way ("selection"/"tables" keys).
 
 Output contract (round-5 revision, per the r4 verdict: BENCH_r04.json
 recorded "parsed": null because progress bars + the full spread payload
@@ -105,6 +107,16 @@ CURATION = [
 SELECTION = [
     "dsir_weights",
     "dsir_topk",
+]
+
+# Round-5 transaction-log table surface (sinks/txlog.py) — each query
+# builds its table from scratch (appends + merge/overwrite commits) and
+# reads it back, so the number is commit+snapshot+scan cost end to end.
+TABLES = [
+    "txlog_merge_state",
+    "txlog_time_travel",
+    "txlog_skipping_scan",
+    "txlog_change_feed",
 ]
 
 
@@ -198,6 +210,7 @@ def main() -> None:
     head = run_series(spark, HEADLINE, sf_dir, reps)
     cur = run_series(spark, CURATION, sf_dir, reps)
     sel = run_series(spark, SELECTION, sf_dir, reps)
+    tab = run_series(spark, TABLES, sf_dir, reps)
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": head["total"],
@@ -217,8 +230,20 @@ def main() -> None:
         "selection_total": sel["total"],
         "selection_spread": sel["spread"],
         "selection_min_sum": sel["min_sum"],
+        "tables": tab["queries"],
+        "tables_total": tab["total"],
+        "tables_spread": tab["spread"],
+        "tables_min_sum": tab["min_sum"],
     }
-    _emit(full, drop=("spread", "curation_spread", "selection_spread"))
+    _emit(
+        full,
+        drop=(
+            "spread",
+            "curation_spread",
+            "selection_spread",
+            "tables_spread",
+        ),
+    )
     spark.stop()
 
 

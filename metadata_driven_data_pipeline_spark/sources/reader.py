@@ -68,6 +68,32 @@ def read_source(
     enforce = bool(schema_def) and bool(enforcement.get("enabled", False))
 
     try:
+        if source.get("table") == "txlog":
+            # transaction-log table source (sinks/txlog.py): snapshot-
+            # isolated read, optional time travel (`version`) and
+            # stats-pruned predicates (`where`: [[col, op, value], ...])
+            # — file skipping happens at the log-metadata layer, before
+            # any parquet footer is opened
+            from metadata_driven_data_pipeline_spark.sinks import txlog
+
+            version = source.get("version")
+            if source.get("where"):
+                df, _ = txlog.scan(
+                    spark,
+                    path,
+                    where=[tuple(w) for w in source["where"]],
+                    version=version,
+                )
+            else:
+                df = txlog.read_table(spark, path, version=version)
+            return SourceReadResult(
+                name=name,
+                df=df,
+                status="success",
+                path=path,
+                schema_enforced=False,
+                required=required,
+            )
         if enforce:
             expected_schema = build_struct_type(schema_def)
             reader = spark.read.schema(expected_schema).format(fmt).options(**options)

@@ -356,3 +356,43 @@ def test_streaming_txlog_sink_exactly_once_across_checkpoint_loss(
     assert txlog.read_table(spark, root).count() == 2  # no duplicates
     snap = txlog.load_snapshot(root)
     assert snap.txns["ingest"] >= 0
+
+
+def test_read_source_txlog_roundtrip(spark, tmp_path):
+    """Declarative parity: a pipeline can WRITE a txlog table through the
+    sink spec and READ it back through the source spec — with time
+    travel and stats-pruned predicates — no code outside metadata."""
+    from metadata_driven_data_pipeline_spark.sinks.writer import write_sink
+    from metadata_driven_data_pipeline_spark.sources.reader import read_source
+
+    root = str(tmp_path / "t")
+    write_sink(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        {"path": root, "table": "txlog", "saveMode": "append"},
+    )
+    write_sink(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        {"path": root, "table": "txlog", "saveMode": "append"},
+    )
+    res = read_source(spark, {"name": "t", "path": root, "table": "txlog"})
+    assert res.status == "success" and res.df.count() == 3
+    v1 = read_source(
+        spark, {"name": "t", "path": root, "table": "txlog", "version": 1}
+    )
+    assert v1.df.count() == 2
+    filt = read_source(
+        spark,
+        {"name": "t", "path": root, "table": "txlog", "where": [["k", ">=", 3]]},
+    )
+    assert [r["v"] for r in filt.df.collect()] == ["c"]
+    # optional missing table → skipped, not raised
+    miss = read_source(
+        spark,
+        {
+            "name": "gone",
+            "path": str(tmp_path / "missing"),
+            "table": "txlog",
+            "required": False,
+        },
+    )
+    assert miss.status == "skipped"
