@@ -121,6 +121,10 @@ AUDITED = [
     "hybrid_search",
     "dsir_weights",
     "dsir_topk",
+    "txlog_merge_state",
+    "txlog_time_travel",
+    "txlog_skipping_scan",
+    "txlog_change_feed",
 ]
 
 
