@@ -50,6 +50,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python DataSource filter pushdown (txlog source stats pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long +
         # convert (see tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -58,6 +60,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Engine-provided Python data sources (registration is per-session
+    # and idempotent — re-registering the same name just replaces it).
+    from metadata_driven_data_pipeline_spark.sources.txlog_datasource import (
+        register as _register_txlog,
+    )
+
+    _register_txlog(spark)
     return spark
 
 

@@ -1,0 +1,152 @@
+"""Python DataSource over txlog tables (sources/txlog_datasource.py):
+format("txlog") batch snapshot / time travel / change feed, pushed-filter
+file pruning, and the micro-batch streaming source with checkpoint resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from metadata_driven_data_pipeline_spark.sinks import txlog
+from metadata_driven_data_pipeline_spark.sources import txlog_datasource as tds
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string").coalesce(1)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    txlog.append(spark, _mk(spark, [(3, "c"), (4, "d")]), root)
+    return root
+
+
+def test_batch_read_matches_read_table(spark, table):
+    got = spark.read.format("txlog").load(table)
+    assert _rows(got) == _rows(txlog.read_table(spark, table))
+    assert got.schema == txlog.load_snapshot(table).schema
+
+
+def test_time_travel_option(spark, table):
+    v1 = spark.read.format("txlog").option("version", 1).load(table)
+    assert _rows(v1) == [(1, "a"), (2, "b")]
+
+
+def test_filter_applied_and_results_exact(spark, table):
+    got = spark.read.format("txlog").load(table).filter(F.col("k") >= 3)
+    assert _rows(got) == [(3, "c"), (4, "d")]
+
+
+def test_pushed_filters_prune_files_before_open(spark, table):
+    """Unit-level: the reader's partitions() drops files whose footer
+    [min,max] cannot match the pushed predicate — commit 1 holds k∈[1,2],
+    commit 2 k∈[3,4], so k>=3 plans exactly one file slice."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    snap = txlog.load_snapshot(table)
+    reader = tds.TxlogBatchReader(table, snap.schema, None)
+    unsupported = reader.pushFilters([GreaterThanOrEqual(("k",), 3)])
+    # every filter is returned unsupported (Spark re-applies post-scan)
+    assert len(list(unsupported)) == 1
+    parts = reader.partitions()
+    assert len(parts) == 1 and len(snap.files) == 2
+
+
+def test_fully_pruned_scan_returns_empty_not_error(spark, table):
+    got = spark.read.format("txlog").load(table).filter(F.col("k") > 99)
+    assert got.count() == 0
+
+
+def test_subset_schema_prunes_columns_at_file_read(spark, table):
+    one = StructType([txlog.load_snapshot(table).schema["k"]])
+    got = spark.read.format("txlog").schema(one).load(table)
+    assert _rows(got) == [(1,), (2,), (3,), (4,)]
+
+
+def test_batch_change_feed_since_to_and_cdf_columns(spark, table):
+    cf = (
+        spark.read.format("txlog")
+        .option("sinceVersion", 1)
+        .option("cdf", "true")
+        .load(table)
+    )
+    assert _rows(cf) == [(3, "c", 2, "append"), (4, "d", 2, "append")]
+    none = (
+        spark.read.format("txlog").option("sinceVersion", 2).load(table)
+    )
+    assert none.count() == 0
+
+
+def test_not_a_table_raises(spark, tmp_path):
+    with pytest.raises(Exception, match="not a txlog table"):
+        spark.read.format("txlog").load(str(tmp_path / "missing")).count()
+
+
+def test_streaming_source_incremental_with_checkpoint_resume(
+    spark, tmp_path
+):
+    """availableNow drains all commits; a third commit + restart from the
+    SAME checkpoint reads ONLY the new commit — offsets are commit
+    versions, so resume is exact, never a rescan."""
+    root = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    txlog.append(spark, _mk(spark, [(3, "c")]), root)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("cdf", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 3
+    assert _rows(got.select("k", "_commit_version")) == [
+        (1, 1),
+        (2, 1),
+        (3, 2),
+    ]
+
+    txlog.append(spark, _mk(spark, [(4, "d")]), root)
+    drain()
+    got2 = spark.read.parquet(sink)
+    # exactly one new row — commits 1-2 were NOT re-read
+    assert _rows(got2.select("k", "_commit_version")) == [
+        (1, 1),
+        (2, 1),
+        (3, 2),
+        (4, 3),
+    ]
+
+
+def test_streaming_since_version_skips_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    q = (
+        spark.readStream.format("txlog")
+        .option("sinceVersion", 1)
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("txlog_since")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.sql("select * from txlog_since")) == [(2, "b")]
