@@ -3303,6 +3303,41 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the txlog commit log through the
+    registered Python DataSource (sources/txlog_datasource.py): two
+    append commits split the corpus, then ``readStream.format("txlog")``
+    with cdf=true drains availableNow into a memory sink, every row
+    tagged with the commit that added it. Offsets ARE commit versions
+    (checkpoint restart resumes after the last planned version — pinned
+    in tests/test_txlog_datasource.py), so the certified per-(commit,
+    source) counts prove each micro-batch contained exactly its commit's
+    files. The oracle recomputes both slices from the split predicate."""
+    import tempfile
+    import uuid
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+    from metadata_driven_data_pipeline_spark.sources import txlog_datasource
+    from metadata_driven_data_pipeline_spark.streaming.incremental import (
+        run_to_memory,
+    )
+
+    # the driver/oracle harness may hand us a session built outside
+    # get_spark — registration is idempotent
+    txlog_datasource.register(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    root = tempfile.mkdtemp(prefix="txlog_stream_") + "/documents"
+    txlog.append(spark, docs.filter(F.col("doc_id") < 250), root)
+    txlog.append(spark, docs.filter(F.col("doc_id") >= 250), root)
+    stream = spark.readStream.format("txlog").option("cdf", "true").load(root)
+    agg = stream.groupBy(
+        F.col("_commit_version").alias("commit_version"), "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    name = f"txlog_feed_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 150) is additionally
@@ -3319,14 +3354,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Gumbel top-k selection, operators/dsir.py).  Position 5 is
     hll_incremental_distinct, whose certification was re-cut after the
     r5 sf0.1 sweep showed merged==whole is partitioning-dependent, not
-    an invariant.  Positions 6-9 are NEW this round: the transaction-log
+    an invariant.  Positions 6-10 are NEW this round: the transaction-log
     table family (sinks/txlog.py — atomic MERGE, time travel,
-    stats-pruned scans, change feed).  Positions 10-50 are the 41
-    stalest driver-greens; the 4 stale entries these additions displace
-    (plus the 3 displaced r2 entries) rotate in next round.  Positions
-    51+ are driver-green from r3/r4 at unchanged semantics (and every
-    entry is still locally re-certified each round via
-    tools/check_oracle.py)."""
+    stats-pruned scans, change feed) plus the Python DataSource
+    streaming read over the commit log (sources/txlog_datasource.py).
+    Positions 11-50 are the 40 stalest driver-greens; the 5 stale
+    entries these additions displace (plus the 3 displaced r2 entries)
+    rotate in next round.  Positions 51+ are driver-green from r3/r4 at
+    unchanged semantics (and every entry is still locally re-certified
+    each round via tools/check_oracle.py)."""
     return {
         # ==== positions 1-2: semantics/shape changed in round 5 =========
         "bpe_train": q_bpe_train,
@@ -3341,7 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_time_travel": q_txlog_time_travel,
         "txlog_skipping_scan": q_txlog_skipping_scan,
         "txlog_change_feed": q_txlog_change_feed,
-        # ==== positions 10-57: oldest driver-greens (r1/r2); the last 7
+        "txlog_stream_feed": q_txlog_stream_feed,
+        # ==== positions 11-58: oldest driver-greens (r1/r2); the last 8
         # ==== fall outside the 50-entry window and rotate in r6 ======
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -6175,6 +6212,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id >= 250
         GROUP BY source
+    """
+
+    sql["txlog_stream_feed"] = """
+        SELECT commit_version, source, COUNT(*) AS n_docs
+        FROM (
+            SELECT 1 AS commit_version, source
+            FROM documents WHERE doc_id < 250
+            UNION ALL
+            SELECT 2 AS commit_version, source
+            FROM documents WHERE doc_id >= 250
+        )
+        GROUP BY commit_version, source
     """
 
     return sql

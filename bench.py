@@ -117,6 +117,7 @@ TABLES = [
     "txlog_time_travel",
     "txlog_skipping_scan",
     "txlog_change_feed",
+    "txlog_stream_feed",
 ]
 
 

@@ -314,5 +314,12 @@ class TxlogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``txlog`` format on a session."""
+    """Idempotently register the ``txlog`` format on a session.
+
+    Also enables Python-DataSource filter pushdown (a runtime SQL conf,
+    default false) — without it Spark refuses to plan a reader that
+    implements pushFilters. ``get_spark`` calls this automatically;
+    foreign sessions (a driver harness building its own SparkSession)
+    call it once before ``format("txlog")``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxlogDataSource)
