@@ -3338,6 +3338,84 @@ def q_txlog_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_txlog_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on a txlog table (sinks/txlog.py): orders
+    range-clustered into 8 files, then DELETE o_orderkey < 30% of the
+    key range — files whose footer stats prove every row matches are
+    dropped by PURE METADATA (zero data I/O; the 100 TB fast path for a
+    clustered retention purge), only the boundary file is rewritten,
+    and the rest are never opened. The `metadata_drop` flag pins that at
+    least one file was dropped without a rewrite; the aggregate proves
+    the surviving state equals the SQL-recomputed remainder."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_delete_") + "/orders"
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    txlog.append(spark, clustered, root)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    threshold = int(mx * 0.3)
+    rep = txlog.delete(spark, root, [("o_orderkey", "<", threshold)])
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(rep["files_dropped"] >= 1)).alias("metadata_drop"),
+        F.lit(bool(rep["files_rewritten"] <= 2)).alias("bounded_rewrite"),
+    )
+
+
+def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit schema evolution: commit 1 appends customers WITHOUT
+    the balance column, commit 2 appends a different segment WITH it
+    (merge_schema=True widens the table schema atomically; historic
+    files read the new column as NULL, so snapshot isolation and time
+    travel are untouched — pinned in tests/test_txlog.py). Certified
+    per-segment: row count, non-NULL count of the evolved column, and
+    its sum — the oracle recomputes the NULL backfill in SQL."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="txlog_evolve_") + "/customer"
+    txlog.append(
+        spark,
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        root,
+    )
+    txlog.append(
+        spark,
+        cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        root,
+        merge_schema=True,
+    )
+    return (
+        txlog.read_table(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c_acctbal").alias("n_scored"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_bal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 150) is additionally
@@ -3354,11 +3432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Gumbel top-k selection, operators/dsir.py).  Position 5 is
     hll_incremental_distinct, whose certification was re-cut after the
     r5 sf0.1 sweep showed merged==whole is partitioning-dependent, not
-    an invariant.  Positions 6-10 are NEW this round: the transaction-log
+    an invariant.  Positions 6-12 are NEW this round: the transaction-log
     table family (sinks/txlog.py — atomic MERGE, time travel,
-    stats-pruned scans, change feed) plus the Python DataSource
+    stats-pruned scans, change feed, row-level DELETE with metadata-only
+    file drops, in-commit schema evolution) plus the Python DataSource
     streaming read over the commit log (sources/txlog_datasource.py).
-    Positions 11-50 are the 40 stalest driver-greens; the 5 stale
+    Positions 13-50 are the 38 stalest driver-greens; the 7 stale
     entries these additions displace (plus the 3 displaced r2 entries)
     rotate in next round.  Positions 51+ are driver-green from r3/r4 at
     unchanged semantics (and every entry is still locally re-certified
@@ -3378,7 +3457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_skipping_scan": q_txlog_skipping_scan,
         "txlog_change_feed": q_txlog_change_feed,
         "txlog_stream_feed": q_txlog_stream_feed,
-        # ==== positions 11-58: oldest driver-greens (r1/r2); the last 8
+        "txlog_delete_purge": q_txlog_delete_purge,
+        "txlog_schema_evolution": q_txlog_schema_evolution,
+        # ==== positions 13-60: oldest driver-greens (r1/r2); the last 10
         # ==== fall outside the 50-entry window and rotate in r6 ======
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -6212,6 +6293,36 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id >= 250
         GROUP BY source
+    """
+
+    sql["txlog_delete_purge"] = """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS metadata_drop,
+               TRUE AS bounded_rewrite
+        FROM orders
+        WHERE o_orderkey >= CAST(FLOOR(
+            (SELECT MAX(o_orderkey) FROM orders) * 0.3) AS BIGINT)
+    """
+
+    sql["txlog_schema_evolution"] = """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rows,
+               CAST(0 AS BIGINT) AS n_scored,
+               CAST(NULL AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rows,
+               COUNT(c_acctbal) AS n_scored,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                          AS DOUBLE), 6) AS sum_bal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+        GROUP BY c_mktsegment
     """
 
     sql["txlog_stream_feed"] = """

@@ -118,6 +118,8 @@ TABLES = [
     "txlog_skipping_scan",
     "txlog_change_feed",
     "txlog_stream_feed",
+    "txlog_delete_purge",
+    "txlog_schema_evolution",
 ]
 
 

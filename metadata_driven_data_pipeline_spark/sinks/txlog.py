@@ -49,7 +49,10 @@ files), which buys:
   commit is atomic (no reader-visible partial partition, the exact
   window ``maintenance.py:124-134`` documents);
 - :func:`optimize` compaction/Z-order as a remove+add commit readers
-  never observe mid-flight.
+  never observe mid-flight;
+- :func:`delete` row-level deletes where stats-proven all-match files
+  are dropped by PURE METADATA (zero data I/O for a clustered range
+  purge) and only boundary files are rewritten.
 
 Exactly-once streaming: ``append(..., txn=("app", batch_id))`` records a
 per-app high-watermark in the log; an at-least-once ``foreachBatch``
@@ -401,17 +404,37 @@ def _commit_loop(
     raise RuntimeError(f"txlog commit contention: {_MAX_COMMIT_RETRIES} retries at {root}")
 
 
-def _schema_compatible(existing_json: str | None, df: DataFrame) -> str:
+def _schema_compatible(
+    existing_json: str | None, df: DataFrame, merge_schema: bool = False
+) -> str:
     if existing_json is None:
         return df.schema.json()
     existing = StructType.fromJson(json.loads(existing_json))
-    if set(existing.fieldNames()) != set(df.schema.fieldNames()):
-        raise ValueError(
-            "txlog append schema mismatch: table has "
-            f"{sorted(existing.fieldNames())}, batch has "
-            f"{sorted(df.schema.fieldNames())}"
-        )
-    return existing_json
+    ex_names = set(existing.fieldNames())
+    batch_names = set(df.schema.fieldNames())
+    for f in df.schema.fields:
+        if f.name in ex_names and existing[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"txlog append type mismatch on {f.name!r}: table has "
+                f"{existing[f.name].dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    if not merge_schema:
+        if ex_names != batch_names:
+            raise ValueError(
+                "txlog append schema mismatch: table has "
+                f"{sorted(ex_names)}, batch has {sorted(batch_names)} "
+                "(pass merge_schema=True to evolve)"
+            )
+        return existing_json
+    # evolution: table schema ∪ batch schema, new columns nullable (old
+    # files lack them — Spark's parquet reader fills missing columns with
+    # NULL, so historic snapshots and time travel keep reading cleanly)
+    widened = StructType(list(existing.fields))
+    for f in df.schema.fields:
+        if f.name not in ex_names:
+            widened = widened.add(f.name, f.dataType, nullable=True)
+    return widened.json()
 
 
 def append(
@@ -419,11 +442,18 @@ def append(
     df: DataFrame,
     root: str,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Atomic append. With ``txn=(app_id, batch_id)``, an already-
     committed batch is skipped — exactly-once under at-least-once
     ``foreachBatch`` replay. Appends never conflict: losing a version
-    race just re-claims the next number (staged files are reused)."""
+    race just re-claims the next number (staged files are reused).
+
+    ``merge_schema=True`` evolves the table schema in the same commit:
+    batch columns the table lacks are added as nullable fields (historic
+    files read them as NULL — snapshot isolation and time travel are
+    unaffected); batch-missing table columns read as NULL from the new
+    files the same way. Type changes on an existing column always raise."""
     if txn is not None:
         snap = load_snapshot(root)
         if snap.txns.get(txn[0], -1) >= txn[1]:
@@ -437,7 +467,7 @@ def append(
         return {
             "version": version,
             "op": "append",
-            "schema": _schema_compatible(snap.schema_json, df),
+            "schema": _schema_compatible(snap.schema_json, df, merge_schema),
             "add": adds,
             "remove": [],
             "txn": {"app_id": txn[0], "batch_id": txn[1]} if txn else None,
@@ -658,6 +688,152 @@ def merge(
             return res | {"files_rewritten": len(candidates)}
         # conflicted: orphaned staged files left for vacuum; replan
     raise RuntimeError(f"txlog merge contention at {root}")
+
+
+def _file_all_match(entry: dict, col: str, op: str, value) -> bool:
+    """True only when the footer stats PROVE every row of the file
+    satisfies the clause: [min,max] lies entirely inside the predicate
+    and the file has no NULLs in ``col`` (NULL never satisfies a
+    comparison, so a NULL row must be kept by a delete). Conservative
+    False whenever stats are missing."""
+    st = entry.get("stats", {}).get(col)
+    if st is None or "min" not in st or st.get("nulls", 1) != 0:
+        return False
+    lo, hi = st["min"], st["max"]
+    vals = list(value) if op == "in" else [value]
+    vals = [_json_stat(v) for v in vals]
+    if any(v is None for v in vals):
+        return False
+    if op in ("==", "="):
+        return lo == hi == vals[0]
+    if op == "in":
+        return lo == hi and lo in vals
+    if op == ">=":
+        return lo >= vals[0]
+    if op == ">":
+        return lo > vals[0]
+    if op == "<=":
+        return hi <= vals[0]
+    return hi < vals[0]
+
+
+def _where_column(where: list[tuple]):
+    cond = F.lit(True)
+    for c, op, v in where:
+        col = F.col(c)
+        if op in ("==", "="):
+            cond = cond & (col == v)
+        elif op == "in":
+            cond = cond & col.isin(list(v))
+        elif op == ">=":
+            cond = cond & (col >= v)
+        elif op == ">":
+            cond = cond & (col > v)
+        elif op == "<=":
+            cond = cond & (col <= v)
+        else:
+            cond = cond & (col < v)
+    return cond
+
+
+def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
+    """Row-level DELETE as one atomic commit, pruned at FILE granularity
+    by the log's footer stats. ``where`` is the same ``(col, op, value)``
+    conjunction :func:`scan` takes. Three file classes:
+
+    - stats prove NO row matches → untouched (never opened);
+    - stats prove EVERY row matches (and no NULLs in the tested
+      columns) → dropped by pure metadata — the 100 TB fast path:
+      deleting a clustered date range is O(files) JSON, zero data I/O;
+    - may-match → read once, keep surviving rows, rewrite.
+
+    Optimistic concurrency mirrors :func:`merge`: a concurrent commit
+    that removed one of our candidates or added a may-match file forces
+    a replan; disjoint appends just re-claim the next version."""
+    for _, op, _v in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported delete op: {op}")
+    if not where:
+        raise ValueError("delete requires a predicate; use overwrite to empty")
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        snap = load_snapshot(root)
+        if snap.schema_json is None:
+            raise ValueError(f"not a txlog table (no commits): {root}")
+
+        def may_match(entry: dict) -> bool:
+            return all(_file_may_match(entry, c, op, v) for c, op, v in where)
+
+        def all_match(entry: dict) -> bool:
+            return all(_file_all_match(entry, c, op, v) for c, op, v in where)
+
+        drops, rewrites = [], []
+        rows_dropped = 0
+        for rel in sorted(snap.files):
+            e = snap.files[rel]
+            if not may_match(e):
+                continue
+            if all_match(e):
+                drops.append(rel)
+                rows_dropped += e.get("rows", 0)
+            else:
+                rewrites.append(rel)
+
+        adds: list[dict] = []
+        rows_rewritten_away = 0
+        if rewrites:
+            existing = spark.read.schema(snap.schema).parquet(
+                *[os.path.join(root, p) for p in rewrites]
+            )
+            # DELETE removes rows where the predicate is TRUE; NULL rows
+            # (tri-valued: ~NULL is NULL, which filter() drops) are KEPT
+            cond = _where_column(where)
+            kept = existing.filter(cond.isNull() | ~cond)
+            staged = _stage_files(spark, kept, root)
+            adds = _collect_adds(spark, root, staged)
+            before = sum(snap.files[p].get("rows", 0) for p in rewrites)
+            rows_rewritten_away = before - sum(a["rows"] for a in adds)
+        removed = drops + rewrites
+        if not removed:
+            return {
+                "version": snap.version,
+                "skipped": True,
+                "rows_deleted": 0,
+                "files_dropped": 0,
+                "files_rewritten": 0,
+            }
+
+        conflicted = False
+
+        def build(cur: Snapshot, version: int):
+            nonlocal conflicted
+            if cur.version != snap.version:
+                for p in removed:
+                    if p not in cur.files:
+                        conflicted = True
+                        return None
+                for p, e in cur.files.items():
+                    if p not in snap.files and may_match(e):
+                        conflicted = True
+                        return None
+            return {
+                "version": version,
+                "op": "delete",
+                "schema": snap.schema_json,
+                "add": adds,
+                "remove": removed,
+                "txn": None,
+            }
+
+        res = _commit_loop(root, build)
+        if not res.get("skipped") or not conflicted:
+            return res | {
+                "rows_deleted": rows_dropped + rows_rewritten_away,
+                "files_dropped": len(drops),
+                "files_rewritten": len(rewrites),
+            }
+        # conflicted: staged files (if any) left for vacuum; replan
+    raise RuntimeError(f"txlog delete contention at {root}")
 
 
 # ---------------------------------------------------------------- optimize

@@ -121,8 +121,14 @@ def _read_file_batches(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     extra = extra or {}
-    file_cols = [f.name for f in schema.fields if f.name not in extra]
-    tbl = pq.read_table(path, columns=file_cols)
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    # schema evolution: a file written before a column was added simply
+    # lacks it — read the columns it has, fill the rest with NULL
+    file_cols = [
+        f.name for f in schema.fields if f.name not in extra and f.name in present
+    ]
+    tbl = pf.read(columns=file_cols)
     n = tbl.num_rows
     arrays, fields = [], []
     target = to_arrow_schema(schema)
@@ -130,6 +136,8 @@ def _read_file_batches(
         at = target.field(field.name).type
         if field.name in extra:
             arrays.append(pa.array([extra[field.name]] * n, type=at))
+        elif field.name not in present:
+            arrays.append(pa.nulls(n, type=at))
         else:
             arrays.append(tbl.column(field.name).combine_chunks().cast(at))
         fields.append(target.field(field.name))

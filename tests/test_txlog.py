@@ -396,3 +396,134 @@ def test_read_source_txlog_roundtrip(spark, tmp_path):
         },
     )
     assert miss.status == "skipped"
+
+
+# ------------------------------------------------------------- delete
+
+
+def _mk_range(spark, lo, hi, v="x"):
+    return spark.createDataFrame(
+        [(i, v) for i in range(lo, hi)], "k int, v string"
+    ).coalesce(1)
+
+
+def test_delete_rewrites_only_boundary_files(spark, tmp_path):
+    """Three clustered files [0,10) [10,20) [20,30); delete k<15: file 1
+    is dropped by pure metadata (stats prove all-match), file 2 is
+    rewritten, file 3 is never touched."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_range(spark, 0, 10), root)
+    txlog.append(spark, _mk_range(spark, 10, 20), root)
+    txlog.append(spark, _mk_range(spark, 20, 30), root)
+    rep = txlog.delete(spark, root, [("k", "<", 15)])
+    assert rep["files_dropped"] == 1
+    assert rep["files_rewritten"] == 1
+    assert rep["rows_deleted"] == 15
+    got = sorted(r["k"] for r in txlog.read_table(spark, root).collect())
+    assert got == list(range(15, 30))
+    # untouched file is still the ORIGINAL file object in the snapshot
+    snap = txlog.load_snapshot(root)
+    assert any(e["stats"]["k"]["min"] == 20 for e in snap.files.values())
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE removes rows where the predicate is TRUE; a NULL in the
+    tested column makes the predicate NULL, not TRUE — the row stays."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (9, "z")], "k int, v string"
+    ).coalesce(1)
+    txlog.append(spark, df, root)
+    rep = txlog.delete(spark, root, [("k", "<", 5)])
+    assert rep["rows_deleted"] == 1
+    got = {tuple(r) for r in txlog.read_table(spark, root).collect()}
+    assert got == {(9, "z"), (None, "n")}
+
+
+def test_delete_no_match_is_noop_commit_free(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_range(spark, 0, 10), root)
+    rep = txlog.delete(spark, root, [("k", ">", 100)])
+    assert rep["skipped"] and rep["rows_deleted"] == 0
+    assert txlog.load_snapshot(root).version == 1  # no new commit
+
+
+def test_delete_preserves_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_range(spark, 0, 10), root)
+    txlog.delete(spark, root, [("k", ">=", 5)])
+    assert txlog.read_table(spark, root).count() == 5
+    assert txlog.read_table(spark, root, version=1).count() == 10
+    assert [h["op"] for h in txlog.history(root)] == ["append", "delete"]
+
+
+def test_delete_requires_predicate_and_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="not a txlog table"):
+        txlog.delete(spark, root, [("k", "<", 1)])
+    txlog.append(spark, _mk_range(spark, 0, 3), root)
+    with pytest.raises(ValueError, match="requires a predicate"):
+        txlog.delete(spark, root, [])
+    with pytest.raises(ValueError, match="unsupported delete op"):
+        txlog.delete(spark, root, [("k", "!=", 1)])
+
+
+# ---------------------------------------------------- schema evolution
+
+
+def test_append_merge_schema_adds_nullable_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    wider = spark.createDataFrame(
+        [(3, "c", 1.5)], "k int, v string, score double"
+    ).coalesce(1)
+    # without merge_schema: rejected (unchanged contract)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, wider, root)
+    txlog.append(spark, wider, root, merge_schema=True)
+    got = txlog.read_table(spark, root)
+    assert got.schema["score"].nullable
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # time travel to v1 keeps the ORIGINAL two-column schema
+    v1 = txlog.read_table(spark, root, version=1)
+    assert v1.columns == ["k", "v"]
+
+
+def test_append_merge_schema_batch_missing_column_reads_null(spark, tmp_path):
+    root = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(1, "a", 1.0)], "k int, v string, score double"
+    ).coalesce(1)
+    txlog.append(spark, wide, root)
+    narrow = _mk(spark, [(2, "b")])
+    txlog.append(spark, narrow, root, merge_schema=True)
+    rows = {r["k"]: r["score"] for r in txlog.read_table(spark, root).collect()}
+    assert rows == {1: 1.0, 2: None}
+
+
+def test_append_type_change_always_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    bad = spark.createDataFrame([(1.5, "a")], "k double, v string")
+    with pytest.raises(ValueError, match="type mismatch"):
+        txlog.append(spark, bad, root, merge_schema=True)
+
+
+def test_evolved_table_stats_pruning_still_sound(spark, tmp_path):
+    """Old files carry no stats for the evolved column → conservative
+    keep on scan; a delete on the new column must not drop old-file rows
+    (their value is NULL, the predicate is never TRUE)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    wider = spark.createDataFrame(
+        [(3, "c", 9.0)], "k int, v string, score double"
+    ).coalesce(1)
+    txlog.append(spark, wider, root, merge_schema=True)
+    df, rep = txlog.scan(spark, root, where=[("score", ">=", 5.0)])
+    assert rep["files_scanned"] == rep["files_total"] == 2
+    assert [r["k"] for r in df.collect()] == [3]
+    rep2 = txlog.delete(spark, root, [("score", ">=", 5.0)])
+    assert rep2["rows_deleted"] == 1
+    got = sorted(r["k"] for r in txlog.read_table(spark, root).collect())
+    assert got == [1, 2]

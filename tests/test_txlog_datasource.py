@@ -150,3 +150,17 @@ def test_streaming_since_version_skips_history(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _rows(spark.sql("select * from txlog_since")) == [(2, "b")]
+
+
+def test_evolved_table_reads_through_datasource(spark, tmp_path):
+    """A file written before a column was added lacks it physically; the
+    per-file Arrow read fills NULLs instead of erroring."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    wider = spark.createDataFrame(
+        [(2, "b", 5.0)], "k int, v string, score double"
+    ).coalesce(1)
+    txlog.append(spark, wider, root, merge_schema=True)
+    got = spark.read.format("txlog").load(root)
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: 5.0}
