@@ -71,7 +71,9 @@ def write_sink(
                 spark, df, path, list(m["keys"]), m["orderBy"]
             )
         elif mode == "append":
-            info = txlog.append(spark, df, path)
+            info = txlog.append(
+                spark, df, path, merge_schema=bool(sink.get("mergeSchema"))
+            )
         else:
             info = txlog.overwrite(spark, df, path)
         return {

@@ -527,3 +527,64 @@ def test_evolved_table_stats_pruning_still_sound(spark, tmp_path):
     assert rep2["rows_deleted"] == 1
     got = sorted(r["k"] for r in txlog.read_table(spark, root).collect())
     assert got == [1, 2]
+
+
+def test_write_sink_txlog_merge_schema_option(spark, tmp_path):
+    from metadata_driven_data_pipeline_spark.sinks.writer import write_sink
+
+    root = str(tmp_path / "t")
+    write_sink(
+        _mk(spark, [(1, "a")]),
+        {"path": root, "table": "txlog", "saveMode": "append"},
+    )
+    wider = spark.createDataFrame(
+        [(2, "b", 7.0)], "k int, v string, score double"
+    ).coalesce(1)
+    # without the option the evolution is still rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_sink(
+            wider, {"path": root, "table": "txlog", "saveMode": "append"}
+        )
+    out = write_sink(
+        wider,
+        {
+            "path": root,
+            "table": "txlog",
+            "saveMode": "append",
+            "mergeSchema": True,
+        },
+    )
+    assert out["table_version"] == 2
+    rows = {r["k"]: r["score"] for r in txlog.read_table(spark, root).collect()}
+    assert rows == {1: None, 2: 7.0}
+
+
+def test_delete_replans_on_conflicting_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A commit that lands between delete's plan and its claim, adding a
+    file that MAY match the predicate, must force a replan — the retry
+    deletes from the new snapshot, so the late-arriving matching rows are
+    removed too (serializable outcome: append THEN delete)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer appends an overlapping (may-match) file
+            # AFTER the delete planned its candidates
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            txlog.append(spark_, _mk(spark_, [(3, "late")]), root_)
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    rep = txlog.delete(spark, root, [("k", ">=", 2)])
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    assert rep["rows_deleted"] == 2  # k=2 AND the late k=3
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a")]

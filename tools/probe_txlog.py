@@ -8,7 +8,11 @@ The structural claims being measured (sinks/txlog.py):
   PREDICATE TOUCHES, not the table size;
 - a MERGE whose batch touches a narrow key band rewrites only the
   overlapping files — flat in table size, while the overwrite lane
-  pays O(table) per batch.
+  pays O(table) per batch;
+- a DELETE of a clustered key range drops stats-proven all-match files
+  by pure metadata and rewrites only the two boundary files — near-zero
+  data I/O regardless of how many rows the range holds, while the
+  rewrite lane (filter + overwrite) pays O(table).
 
 Usage: python tools/probe_txlog.py [n_rows] [n_chunks] [batch_rows]
 """
@@ -114,6 +118,32 @@ def main():
         f"whole-table overwrite {t_overwrite:.2f}s "
         f"-> {t_overwrite / max(t_merge, 1e-9):.2f}x  "
         f"(seed {t_seed:.1f}s)"
+    )
+
+    # -------- C: metadata DELETE vs filter-and-rewrite ------------------
+    # delete a 25% clustered range: interior files drop by metadata,
+    # only the two boundary files rewrite
+    dlo, dhi = n_rows // 4, n_rows // 2
+    t0 = time.time()
+    drep = txlog.delete(
+        spark, root, [("id", ">=", dlo), ("id", "<", dhi)]
+    )
+    t_delete = time.time() - t0
+
+    t0 = time.time()
+    cur = txlog.read_table(spark, over_root)
+    kept = cur.filter(~((F.col("id") >= dlo) & (F.col("id") < dhi)))
+    txlog.overwrite(spark, kept, over_root)
+    t_rewrite = time.time() - t0
+    n_after = txlog.read_table(spark, root).count()
+    n_after_rw = txlog.read_table(spark, over_root).count()
+    assert n_after == n_after_rw, (n_after, n_after_rw)
+    print(
+        f"delete[{n_rows}]: metadata-drop {t_delete:.2f}s "
+        f"({drep['files_dropped']} files dropped, "
+        f"{drep['files_rewritten']} rewritten, "
+        f"{drep['rows_deleted']} rows) vs filter+overwrite "
+        f"{t_rewrite:.2f}s -> {t_rewrite / max(t_delete, 1e-9):.2f}x"
     )
 
     shutil.rmtree(root, ignore_errors=True)
