@@ -588,3 +588,20 @@ def test_delete_replans_on_conflicting_concurrent_append(
     monkeypatch.setattr(txlog, "_stage_files", real_stage)
     assert rep["rows_deleted"] == 2  # k=2 AND the late k=3
     assert _rows(txlog.read_table(spark, root)) == [(1, "a")]
+
+
+def test_delete_everything_in_maymatch_file_leaves_valid_table(spark, tmp_path):
+    """A may-match file whose rows ALL actually match (stats not tight
+    enough to prove it) rewrites to an empty file set — the commit
+    removes without adding, and the table stays readable."""
+    root = str(tmp_path / "t")
+    # spanning files (min<max): an `in` predicate can never be stats-proven
+    # all-match, so both files take the rewrite path yet keep zero rows
+    txlog.append(spark, _mk(spark, [(1, "a"), (9, "b")]), root)
+    txlog.append(spark, _mk(spark, [(2, "c"), (8, "d")]), root)
+    rep = txlog.delete(spark, root, [("k", "in", [1, 2, 8, 9])])
+    assert rep["rows_deleted"] == 4 and rep["files_dropped"] == 0
+    assert rep["files_rewritten"] == 2
+    got = txlog.read_table(spark, root)
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]  # schema survives an emptied table
