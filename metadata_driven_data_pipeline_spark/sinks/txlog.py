@@ -164,7 +164,9 @@ def _collect_adds(spark: SparkSession, root: str, staged: list[str]) -> list[dic
     root-relative paths. Driver-side for small commits; a Spark job over
     the path list when a commit adds many files (footer reads are
     embarrassingly parallel and O(KB) each — the DATA never moves)."""
-    if len(staged) <= _STATS_DISTRIBUTED_THRESHOLD:
+    if spark is None or len(staged) <= _STATS_DISTRIBUTED_THRESHOLD:
+        # spark=None: caller runs outside a live session (e.g. the Python
+        # DataSource writer's commit hook) — footer reads stay local
         infos = [_footer_stats(p) for p in staged]
     else:
         import pandas as pd
@@ -405,14 +407,14 @@ def _commit_loop(
 
 
 def _schema_compatible(
-    existing_json: str | None, df: DataFrame, merge_schema: bool = False
+    existing_json: str | None, schema: StructType, merge_schema: bool = False
 ) -> str:
     if existing_json is None:
-        return df.schema.json()
+        return schema.json()
     existing = StructType.fromJson(json.loads(existing_json))
     ex_names = set(existing.fieldNames())
-    batch_names = set(df.schema.fieldNames())
-    for f in df.schema.fields:
+    batch_names = set(schema.fieldNames())
+    for f in schema.fields:
         if f.name in ex_names and existing[f.name].dataType != f.dataType:
             raise ValueError(
                 f"txlog append type mismatch on {f.name!r}: table has "
@@ -431,7 +433,7 @@ def _schema_compatible(
     # files lack them — Spark's parquet reader fills missing columns with
     # NULL, so historic snapshots and time travel keep reading cleanly)
     widened = StructType(list(existing.fields))
-    for f in df.schema.fields:
+    for f in schema.fields:
         if f.name not in ex_names:
             widened = widened.add(f.name, f.dataType, nullable=True)
     return widened.json()
@@ -467,7 +469,9 @@ def append(
         return {
             "version": version,
             "op": "append",
-            "schema": _schema_compatible(snap.schema_json, df, merge_schema),
+            "schema": _schema_compatible(
+                snap.schema_json, df.schema, merge_schema
+            ),
             "add": adds,
             "remove": [],
             "txn": {"app_id": txn[0], "batch_id": txn[1]} if txn else None,
@@ -490,6 +494,43 @@ def overwrite(spark: SparkSession, df: DataFrame, root: str) -> dict:
             "add": adds,
             "remove": sorted(snap.files),
             "txn": None,
+        }
+
+    return _commit_loop(root, build)
+
+
+def commit_staged(
+    spark: SparkSession,
+    root: str,
+    staged: list[str],
+    schema: StructType,
+    overwrite: bool = False,
+    txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
+) -> dict:
+    """Commit data files that were ALREADY written into ``data/`` under
+    commit-unique names (invisible until referenced — the writer-task
+    protocol the Python DataSource writer uses: each executor task
+    writes its own file and ships the path back in its commit message).
+    ``overwrite=True`` removes every currently-live file in the same
+    commit; ``txn`` gives per-app exactly-once (same contract as
+    :func:`append`)."""
+    adds = _collect_adds(spark, root, staged)
+
+    def build(snap: Snapshot, version: int):
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return None
+        return {
+            "version": version,
+            "op": "overwrite" if overwrite else "append",
+            "schema": (
+                schema.json()
+                if overwrite
+                else _schema_compatible(snap.schema_json, schema, merge_schema)
+            ),
+            "add": adds,
+            "remove": sorted(snap.files) if overwrite else [],
+            "txn": {"app_id": txn[0], "batch_id": txn[1]} if txn else None,
         }
 
     return _commit_loop(root, build)

@@ -18,6 +18,17 @@ the standard reader surface instead of a module-level helper:
   a checkpoint restart resumes exactly after the last planned version
   (exactly-once with an idempotent/txn sink). ``.option("cdf", "true")``
   adds the commit columns.
+- ``df.write.format("txlog").mode("append"|"overwrite").save(root)`` —
+  executor tasks stage one parquet file each directly into ``data/``
+  (invisible until referenced), and the driver-side commit folds every
+  staged path into ONE atomic log commit; a failed job aborts by
+  unlinking its staged files. ``.option("mergeSchema", "true")`` evolves
+  the schema in the same commit.
+- ``writeStream.format("txlog")`` — every micro-batch is one atomic
+  commit carrying ``txn=(txnAppId, batchId)``: an at-least-once replay
+  of an already-committed batch is a metadata no-op, giving exactly-once
+  end to end through the standard streaming API (the same public
+  contract as Delta's txnAppId/txnVersion).
 
 Scale shape: planning is O(files-in-range) driver-side JSON folding (the
 same bounded work every log-structured table format does); the data
@@ -44,7 +55,9 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -53,6 +66,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import IntegerType, StringType, StructType
 
@@ -275,6 +289,123 @@ class TxlogStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; the log is immutable
 
 
+@dataclass
+class _StagedWrite(WriterCommitMessage):
+    """One task's staged data file (None when the task saw no rows)."""
+
+    path: str | None
+    rows: int
+
+
+def _write_staged_file(root: str, iterator) -> _StagedWrite:
+    """Executor-task write: drain the Arrow batches into ONE parquet file
+    placed directly in ``data/`` under a commit-unique name — invisible
+    to every reader until a log commit references it, so a failed task
+    leaks only an orphan that vacuum sweeps, never state."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _StagedWrite(None, 0)
+    tbl = pa.Table.from_batches(batches)
+    data_dir = os.path.join(root, txlog.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
+    pq.write_table(tbl, dst)
+    return _StagedWrite(dst, tbl.num_rows)
+
+
+def _abort_staged(messages) -> None:
+    for m in messages or []:
+        if m is not None and m.path:
+            try:
+                os.unlink(m.path)
+            except FileNotFoundError:
+                pass
+
+
+def _active_session():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
+class TxlogBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("txlog")`` — tasks stage files, the driver-side
+    commit() folds every staged path into ONE atomic log commit (append,
+    or remove-all+add for ``mode("overwrite")``). A failed job aborts by
+    unlinking its staged files; readers never saw them."""
+
+    def __init__(
+        self, root: str, schema: StructType, overwrite: bool, merge_schema: bool
+    ):
+        self._root = root
+        self._schema = schema
+        self._overwrite = overwrite
+        self._merge_schema = merge_schema
+
+    def write(self, iterator):
+        return _write_staged_file(self._root, iterator)
+
+    def commit(self, messages):
+        staged = [m.path for m in messages if m is not None and m.path]
+        txlog.commit_staged(
+            _active_session(),
+            self._root,
+            staged,
+            self._schema,
+            overwrite=self._overwrite,
+            merge_schema=self._merge_schema,
+        )
+
+    def abort(self, messages):
+        _abort_staged(messages)
+
+
+class TxlogStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("txlog")`` — every micro-batch is one atomic
+    log commit carrying ``txn=(txnAppId, batchId)``, so an at-least-once
+    replay of an already-committed batch is a metadata no-op: EXACTLY-ONCE
+    end to end without foreachBatch plumbing. Concurrent stream writers
+    to the same table need distinct ``txnAppId`` options (same public
+    contract as Delta's txnAppId/txnVersion)."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        truncate: bool,
+        merge_schema: bool,
+        app_id: str,
+    ):
+        self._root = root
+        self._schema = schema
+        self._truncate = truncate  # complete/truncate output mode
+        self._merge_schema = merge_schema
+        self._app_id = app_id
+
+    def write(self, iterator):
+        return _write_staged_file(self._root, iterator)
+
+    def commit(self, messages, batchId: int):
+        staged = [m.path for m in messages if m is not None and m.path]
+        txlog.commit_staged(
+            _active_session(),
+            self._root,
+            staged,
+            self._schema,
+            overwrite=self._truncate,
+            txn=(self._app_id, int(batchId)),
+            merge_schema=self._merge_schema,
+        )
+
+    def abort(self, messages, batchId: int):
+        _abort_staged(messages)
+
+
 class TxlogDataSource(DataSource):
     """``format("txlog")`` — see module docstring for the option surface:
     ``version`` (time travel), ``sinceVersion``/``toVersion`` (change
@@ -319,6 +450,25 @@ class TxlogDataSource(DataSource):
         root = self._root()
         since = int(self.options.get("sinceversion", 0))
         return TxlogStreamReader(root, schema, since)
+
+    def writer(self, schema: StructType, overwrite: bool) -> TxlogBatchWriter:
+        return TxlogBatchWriter(
+            self._root(),
+            schema,
+            overwrite,
+            _as_bool(self.options, "mergeschema"),
+        )
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> TxlogStreamWriter:
+        return TxlogStreamWriter(
+            self._root(),
+            schema,
+            overwrite,
+            _as_bool(self.options, "mergeschema"),
+            self.options.get("txnappid", "txlog-stream-writer"),
+        )
 
 
 def register(spark) -> None:

@@ -164,3 +164,118 @@ def test_evolved_table_reads_through_datasource(spark, tmp_path):
     got = spark.read.format("txlog").load(root)
     rows = {r["k"]: r["score"] for r in got.collect()}
     assert rows == {1: None, 2: 5.0}
+
+
+# ------------------------------------------------------------- writers
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).repartition(2)
+    df.write.format("txlog").mode("append").save(root)
+    assert _rows(txlog.read_table(spark, root)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    hist = txlog.history(root)
+    assert [h["op"] for h in hist] == ["append"] and hist[0]["rows_added"] == 3
+    _mk(spark, [(9, "z")]).write.format("txlog").mode("overwrite").save(root)
+    assert _rows(txlog.read_table(spark, root)) == [(9, "z")]
+    # pre-overwrite snapshot still time-travels
+    assert txlog.read_table(spark, root, version=1).count() == 3
+
+
+def test_batch_write_schema_evolution_option(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, [(1, "a")]).write.format("txlog").mode("append").save(root)
+    wider = spark.createDataFrame([(2, "b", 1.5)], "k int, v string, s double")
+    with pytest.raises(Exception, match="schema mismatch"):
+        wider.write.format("txlog").mode("append").save(root)
+    wider.write.format("txlog").mode("append").option(
+        "mergeSchema", "true"
+    ).save(root)
+    rows = {r["k"]: r["s"] for r in txlog.read_table(spark, root).collect()}
+    assert rows == {1: None, 2: 1.5}
+
+
+def test_empty_write_still_establishes_table_schema(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, []).write.format("txlog").mode("append").save(root)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 0 and got.columns == ["k", "v"]
+
+
+def test_stream_writer_microbatch_commit_is_exactly_once(spark, tmp_path):
+    """The replay mechanism itself: committing the SAME (appId, batchId)
+    twice folds the staged files once — the second commit is a metadata
+    no-op, so foreachBatch-style at-least-once re-delivery cannot
+    double-append."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "t")
+    schema = txlog.StructType.fromDDL("k int, v string")
+    w = tds.TxlogStreamWriter(root, schema, False, False, "app1")
+    batch = pa.RecordBatch.from_pydict({"k": [1, 2], "v": ["a", "b"]})
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    assert txlog.read_table(spark, root).count() == 2
+    # replay of batch 0: new staged file, same txn → skipped (orphan
+    # swept by vacuum), table unchanged
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=0)
+    assert txlog.read_table(spark, root).count() == 2
+    assert txlog.load_snapshot(root).version == 1
+    # the NEXT batch commits normally
+    msg3 = w.write(iter([batch]))
+    w.commit([msg3], batchId=1)
+    assert txlog.read_table(spark, root).count() == 4
+
+
+def test_abort_unlinks_staged_files(spark, tmp_path):
+    import pyarrow as pa
+
+    root = str(tmp_path / "t")
+    schema = txlog.StructType.fromDDL("k int, v string")
+    w = tds.TxlogBatchWriter(root, schema, False, False)
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"k": [1], "v": ["a"]})]))
+    assert msg.path and txlog.os.path.exists(msg.path)
+    w.abort([msg, None])
+    assert not txlog.os.path.exists(msg.path)
+
+
+def test_stream_txlog_to_txlog_pipeline_resumes(spark, tmp_path):
+    """readStream(txlog) -> writeStream(txlog): an incremental table-to-
+    table pipeline through the standard streaming API. After a restart,
+    only the new source commit lands in the sink (reader offsets) and
+    the sink's txn watermark advances (writer exactly-once)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), src)
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .load(src)
+            .writeStream.format("txlog")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _rows(txlog.read_table(spark, dst)) == [(1, "a"), (2, "b")]
+    txlog.append(spark, _mk(spark, [(3, "c")]), src)
+    run()
+    assert _rows(txlog.read_table(spark, dst)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # each drained micro-batch is one sink commit
+    assert [h["op"] for h in txlog.history(dst)] == ["append", "append"]
