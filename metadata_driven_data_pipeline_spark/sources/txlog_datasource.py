@@ -258,7 +258,15 @@ class TxlogStreamReader(DataSourceStreamReader):
     reads exactly the files added by commits in ``(start, end]`` — O(new
     data) per batch, never a table rescan. The commit log is the source
     of truth, so ``commit()`` has nothing to persist (Spark's checkpoint
-    stores the planned offsets)."""
+    stores the planned offsets).
+
+    Backfill note: the first batch spans (sinceVersion, latest] — on a
+    long history start from a recent ``sinceVersion`` (or a fresh
+    ``optimize``d snapshot) rather than version 0. Per-trigger commit
+    caps aren't expressible here: the Python DS offset API gives
+    ``latestOffset()`` no committed-offset input, so a self-throttling
+    source can deadlock after a checkpoint restart (it would cap below
+    the already-committed offset and never advance)."""
 
     def __init__(self, root: str, schema: StructType, since_version: int):
         self._root = root

@@ -125,6 +125,8 @@ AUDITED = [
     "txlog_time_travel",
     "txlog_skipping_scan",
     "txlog_change_feed",
+    "txlog_delete_purge",
+    "txlog_schema_evolution",
 ]
 
 
