@@ -138,13 +138,16 @@ def run_dag(
     setup: Callable[[], Any] | None = None,
     pre_gates: list[tuple[str, Gate]] | None = None,
     post_gates: list[tuple[str, Gate]] | None = None,
+    maintenance: list[dict[str, Any]] | None = None,
 ) -> dict[str, Any]:
     """Execute the full gated lifecycle and return the finalized run log.
 
     Stage order mirrors the reference DAG: ``init_run`` → optional ``setup``
     (the generate-data analog) → pre gates → ``Engine.run()`` (appends its
     own ``spark_pipeline`` stage to the shared log) → post gates →
-    finalize. The log is saved to ``log_path`` after every stage
+    optional ``maintenance`` (declarative txlog upkeep specs, see
+    :func:`run_table_maintenance` — the nightly OPTIMIZE/VACUUM task
+    analog) → finalize. The log is saved to ``log_path`` after every stage
     transition and once more in ``finally`` so a crashed run still leaves
     its partial log behind.
     """
@@ -203,6 +206,30 @@ def run_dag(
         _flush()
 
         _run_gates(log, "post_pipeline_tests", post_gates or [])
+        _flush()
+
+        if maintenance:
+            stage = log.start_stage("table_maintenance")
+            t0 = RunLog.now()
+            try:
+                reports = run_table_maintenance(spark, maintenance)
+            except Exception as e:
+                stage["sub_stages"].append(
+                    RunLog.sub_stage("maintenance", "maintenance", t0,
+                                     "failed", error=str(e))
+                )
+                log.end_stage(stage, "failed")
+                raise
+            for rep in reports:
+                stage["sub_stages"].append(
+                    RunLog.sub_stage(
+                        rep.pop("table"), "maintenance", t0, "success",
+                        **rep,
+                    )
+                )
+            log.end_stage(stage, "success")
+            _flush()
+
         return log.finalize("success")
     except Exception:
         log.finalize("failed")
@@ -210,6 +237,49 @@ def run_dag(
     finally:
         # cleanup_run_id analog: TriggerRule.ALL_DONE — always flush
         _flush()
+
+
+def run_table_maintenance(
+    spark: SparkSession, specs: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Execute declarative transaction-log maintenance — the runbook
+    analog of a nightly OPTIMIZE/VACUUM DAG task. Each spec names a
+    txlog ``table`` root and any of (applied in this order, each one
+    atomic commit):
+
+    - ``"delete": {"where": [[col, op, value], ...]}`` — row-level
+      retention purge (stats-proven files drop by pure metadata);
+    - ``"optimize": {"targetBytes": ..., "zorderBy": [...]}`` —
+      compaction / Z-order clustering;
+    - ``"vacuum": {"keepVersions": N}`` — physical reclamation of files
+      outside the retention horizon (runs LAST so it never reclaims
+      snapshots the same run still needs).
+
+    Returns one report dict per spec; the DAG lifecycle folds them into
+    a ``table_maintenance`` run-log stage."""
+    from metadata_driven_data_pipeline_spark.sinks import txlog as _txlog
+
+    reports: list[dict[str, Any]] = []
+    for spec in specs:
+        root = spec["table"]
+        rep: dict[str, Any] = {"table": root}
+        if "delete" in spec:
+            where = [tuple(c) for c in spec["delete"]["where"]]
+            rep["delete"] = _txlog.delete(spark, root, where)
+        if "optimize" in spec:
+            o = spec["optimize"]
+            rep["optimize"] = _txlog.optimize(
+                spark,
+                root,
+                target_bytes=int(o.get("targetBytes", 128 * 1024 * 1024)),
+                zorder_by=o.get("zorderBy"),
+            )
+        if "vacuum" in spec:
+            rep["vacuum"] = _txlog.vacuum(
+                root, keep_versions=int(spec["vacuum"].get("keepVersions", 2))
+            )
+        reports.append(rep)
+    return reports
 
 
 def pytest_gate(
@@ -316,7 +386,8 @@ def run_dag_config(
     Document fields: ``pipeline_name``, ``metadata`` (path to a metadata
     JSON, unless an inline ``metadata`` dict is passed), ``manifest``,
     ``log_path``, ``pre_gates`` / ``post_gates`` (lists of gate specs, see
-    :func:`_gate_from_spec`). Returns the finalized run-log document;
+    :func:`_gate_from_spec`), ``maintenance`` (txlog upkeep specs, see
+    :func:`run_table_maintenance`). Returns the finalized run-log document;
     raises :class:`GateFailure` at the first red gate exactly like
     :func:`run_dag`.
     """
@@ -344,6 +415,7 @@ def run_dag_config(
             _gate_from_spec(s, rid, log_path)
             for s in dag.get("post_gates", [])
         ],
+        maintenance=dag.get("maintenance"),
     )
 
 

@@ -378,3 +378,74 @@ def test_dag_cli_runbook_end_to_end(tmp_path):
         "post_pipeline_tests",
     ]
     assert doc["status"] == "success"
+
+
+def test_dag_table_maintenance_stage(spark, tmp_path):
+    """Declarative txlog maintenance as the final DAG stage: retention
+    delete -> optimize compaction -> vacuum, each an atomic commit, all
+    reported into one table_maintenance run-log stage."""
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    root = str(tmp_path)
+    log_path = f"{root}/run_log.json"
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+
+    table = f"{root}/events_table"
+    for lo in (0, 100, 200):
+        txlog.append(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 100)], "k int, v string"
+            ).coalesce(1),
+            table,
+        )
+
+    doc = run_dag(
+        spark,
+        meta,
+        run_id="dagmaint1",
+        log_path=log_path,
+        maintenance=[
+            {
+                "table": table,
+                "delete": {"where": [["k", "<", 100]]},
+                "optimize": {"targetBytes": 1 << 30},
+                "vacuum": {"keepVersions": 1},
+            }
+        ],
+    )
+    assert doc["status"] == "success"
+    assert _stages(doc)[-1] == "table_maintenance"
+    stage = doc["stages"][-1]
+    sub = stage["sub_stages"][0]
+    assert sub["name"] == table and sub["status"] == "success"
+    assert sub["delete"]["rows_deleted"] == 100
+    assert sub["delete"]["files_dropped"] == 1
+    assert sub["optimize"]["files_before"] == 2
+    assert sub["vacuum"]["deleted"] >= 2  # pre-optimize files reclaimed
+    got = txlog.read_table(spark, table)
+    assert got.count() == 200
+    assert [h["op"] for h in txlog.history(table)] == [
+        "append", "append", "append", "delete", "optimize",
+    ]
+
+
+def test_dag_maintenance_failure_fails_the_run(spark, tmp_path):
+    root = str(tmp_path)
+    generate_batches(root, num_batches=1, records_per_batch=50)
+    meta = motor_metadata(root)
+    with pytest.raises(ValueError, match="not a txlog table"):
+        run_dag(
+            spark,
+            meta,
+            run_id="dagmaint2",
+            log_path=f"{root}/run_log.json",
+            maintenance=[
+                {"table": f"{root}/missing", "delete": {"where": [["k", "<", 1]]}}
+            ],
+        )
+    with open(f"{root}/run_log.json") as f:
+        doc = json.load(f)
+    assert doc["status"] == "failed"
+    assert _stages(doc)[-1] == "table_maintenance"
