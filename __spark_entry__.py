@@ -3418,7 +3418,7 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 150) is additionally
+    the FIRST 50 entries only; every entry (all 157) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
