@@ -52,7 +52,9 @@ files), which buys:
   never observe mid-flight;
 - :func:`delete` row-level deletes where stats-proven all-match files
   are dropped by PURE METADATA (zero data I/O for a clustered range
-  purge) and only boundary files are rewritten.
+  purge) and only boundary files are rewritten;
+- :func:`restore` rollback-to-version as a new auditable commit (pure
+  metadata; refuses to reference vacuumed files).
 
 Exactly-once streaming: ``append(..., txn=("app", batch_id))`` records a
 per-app high-watermark in the log; an at-least-once ``foreachBatch``
@@ -930,6 +932,40 @@ def optimize(
 
     res = _commit_loop(root, build)
     return res | {"files_before": len(snap.files), "target_files": n_files}
+
+
+def restore(spark: SparkSession, root: str, version: int) -> dict:
+    """Roll the table back to snapshot ``version`` as a NEW commit (the
+    history is never rewritten — a restore is itself time-travelable and
+    auditable). Pure metadata: the commit removes live files the target
+    lacks and re-adds target files not currently live; no data moves.
+    Requires the target snapshot's files to still exist — restore past
+    vacuum's retention horizon raises instead of committing dangling
+    references."""
+    target = load_snapshot(root, version)
+    if target.schema_json is None or target.version != version:
+        raise ValueError(f"no retained snapshot v{version} at {root}")
+    for rel in target.files:
+        if not os.path.exists(os.path.join(root, rel)):
+            raise ValueError(
+                f"cannot restore to v{version}: {rel} was vacuumed"
+            )
+
+    def build(cur: Snapshot, v: int):
+        return {
+            "version": v,
+            "op": "restore",
+            "schema": target.schema_json,
+            "add": [
+                target.files[p] for p in sorted(target.files)
+                if p not in cur.files
+            ],
+            "remove": sorted(p for p in cur.files if p not in target.files),
+            "txn": None,
+        }
+
+    res = _commit_loop(root, build)
+    return res | {"restored_to": version}
 
 
 # ---------------------------------------------------------------- vacuum

@@ -605,3 +605,50 @@ def test_delete_everything_in_maymatch_file_leaves_valid_table(spark, tmp_path):
     got = txlog.read_table(spark, root)
     assert got.count() == 0
     assert got.columns == ["k", "v"]  # schema survives an emptied table
+
+
+# -------------------------------------------------------------- restore
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE is a metadata commit, not a history rewrite: the rolled-
+    back state is current, the bad commit stays auditable, and the
+    restore itself can be time-travelled past."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    txlog.overwrite(spark, _mk(spark, [(9, "oops")]), root)  # bad deploy
+    rep = txlog.restore(spark, root, version=2)
+    assert rep["restored_to"] == 2 and rep["version"] == 4
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a"), (2, "b")]
+    # the bad state is still readable at its version (auditable)
+    assert _rows(txlog.read_table(spark, root, version=3)) == [(9, "oops")]
+    assert [h["op"] for h in txlog.history(root)] == [
+        "append", "append", "overwrite", "restore",
+    ]
+
+
+def test_restore_recovers_pre_delete_and_pre_evolution_schema(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (5, "e")]), root)
+    wider = spark.createDataFrame(
+        [(7, "g", 1.0)], "k int, v string, s double"
+    ).coalesce(1)
+    txlog.append(spark, wider, root, merge_schema=True)
+    txlog.delete(spark, root, [("k", ">=", 5)])
+    rep = txlog.restore(spark, root, version=1)
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "v"]  # pre-evolution schema restored
+    assert _rows(got) == [(1, "a"), (5, "e")]
+    assert rep["version"] == 4  # append, evolve-append, delete, restore
+
+
+def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
+    txlog.vacuum(root, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.restore(spark, root, version=1)
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        txlog.restore(spark, root, version=99)
