@@ -247,6 +247,8 @@ def run_table_maintenance(
     txlog ``table`` root and any of (applied in this order, each one
     atomic commit):
 
+    - ``"restore": {"version": N}`` — roll back to a retained snapshot
+      first (the recover-then-clean shape);
     - ``"delete": {"where": [[col, op, value], ...]}`` — row-level
       retention purge (stats-proven files drop by pure metadata);
     - ``"optimize": {"targetBytes": ..., "zorderBy": [...]}`` —
@@ -263,6 +265,10 @@ def run_table_maintenance(
     for spec in specs:
         root = spec["table"]
         rep: dict[str, Any] = {"table": root}
+        if "restore" in spec:
+            rep["restore"] = _txlog.restore(
+                spark, root, int(spec["restore"]["version"])
+            )
         if "delete" in spec:
             where = [tuple(c) for c in spec["delete"]["where"]]
             rep["delete"] = _txlog.delete(spark, root, where)

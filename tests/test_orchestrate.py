@@ -449,3 +449,29 @@ def test_dag_maintenance_failure_fails_the_run(spark, tmp_path):
         doc = json.load(f)
     assert doc["status"] == "failed"
     assert _stages(doc)[-1] == "table_maintenance"
+
+
+def test_dag_maintenance_restore_spec(spark, tmp_path):
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    table = str(tmp_path / "t")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        table,
+    )
+    txlog.overwrite(
+        spark,
+        spark.createDataFrame([(9, "bad")], "k int, v string").coalesce(1),
+        table,
+    )
+    reports = run_table_maintenance(
+        spark, [{"table": table, "restore": {"version": 1}}]
+    )
+    assert reports[0]["restore"]["restored_to"] == 1
+    assert [tuple(r) for r in txlog.read_table(spark, table).collect()] == [
+        (1, "a")
+    ]
