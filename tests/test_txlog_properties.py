@@ -1,8 +1,8 @@
 """Model-based property test for the transaction-log table family:
-a random sequence of append / merge / delete / overwrite commits must
-leave the table equal to a pure-Python dict model after EVERY commit,
-and every retained historical version must time-travel to the model's
-snapshot at that version.
+a random sequence of append / merge / delete / overwrite / optimize /
+restore commits must leave the table equal to a pure-Python dict model
+after EVERY commit, and every retained historical version must
+time-travel to the model's snapshot at that version.
 
 Appends draw from disjoint key blocks (one clustered file per commit,
 the layout merge's file pruning is designed for), merges upsert
@@ -32,7 +32,9 @@ def _table_rows(spark, root, version=None):
     return {(r["k"], r["v"], r["seq"]) for r in df.collect()}
 
 
-_op = st.sampled_from(["append", "merge", "delete", "overwrite"])
+_op = st.sampled_from(
+    ["append", "merge", "delete", "overwrite", "optimize", "restore"]
+)
 
 
 @st.composite
@@ -103,13 +105,26 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, ops, data):
                 # no-op delete claims no version; skip snapshot bookkeeping
                 assert not expect_deleted
                 continue
-        else:  # overwrite
+        elif op == "overwrite":
             n = data.draw(st.integers(min_value=0, max_value=4), label="n_ow")
             keys = [block * 100 + i for i in range(n)]
             block += 1
             rows = [(k, f"o{k}", seq) for k in keys]
             rep = txlog.overwrite(spark, _df(spark, rows), root)
             model = {k: (v, s) for k, v, s in rows}
+        elif op == "optimize":
+            if not history:
+                continue
+            rep = txlog.optimize(spark, root, target_bytes=1 << 30)
+            # compaction is content-preserving: model unchanged
+        else:  # restore
+            if not history:
+                continue
+            target = data.draw(
+                st.sampled_from(sorted(history)), label="restore_v"
+            )
+            rep = txlog.restore(spark, root, target)
+            model = dict(history[target])
 
         version = rep["version"]
         history[version] = dict(model)
