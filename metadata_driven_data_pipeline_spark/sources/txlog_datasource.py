@@ -143,7 +143,9 @@ def _read_file_batches(
         f.name for f in schema.fields if f.name not in extra and f.name in present
     ]
     tbl = pf.read(columns=file_cols)
-    n = tbl.num_rows
+    # a column-less projection (e.g. only CDF columns requested) reads a
+    # zero-column table whose num_rows is unreliable — use the footer's
+    n = tbl.num_rows if file_cols else pf.metadata.num_rows
     arrays, fields = [], []
     target = to_arrow_schema(schema)
     for field in schema.fields:

@@ -279,3 +279,29 @@ def test_stream_txlog_to_txlog_pipeline_resumes(spark, tmp_path):
     ]
     # each drained micro-batch is one sink commit
     assert [h["op"] for h in txlog.history(dst)] == ["append", "append"]
+
+
+def test_cdf_only_projection_keeps_row_counts(spark, tmp_path):
+    """A user schema naming ONLY the commit columns reads a column-less
+    slice of each file — row counts must come from the footer, one
+    tagged row per source row."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    only = (
+        StructType()
+        .add("_commit_version", IntegerType())
+        .add("_commit_op", StringType())
+    )
+    got = (
+        spark.read.format("txlog")
+        .schema(only)
+        .option("sinceVersion", 0)
+        .option("cdf", "true")
+        .load(root)
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        (1, "append"),
+        (1, "append"),
+    ]
