@@ -213,9 +213,18 @@ def run_dag(
             t0 = RunLog.now()
             try:
                 reports = run_table_maintenance(spark, maintenance)
-            except Exception as e:
+            except MaintenanceFailure as e:
+                # specs that already ran had permanent effects (vacuum
+                # deletes files) — their reports must reach the log
+                for rep in e.completed:
+                    stage["sub_stages"].append(
+                        RunLog.sub_stage(
+                            rep.pop("table"), "maintenance", t0, "success",
+                            **rep,
+                        )
+                    )
                 stage["sub_stages"].append(
-                    RunLog.sub_stage("maintenance", "maintenance", t0,
+                    RunLog.sub_stage(e.table, "maintenance", t0,
                                      "failed", error=str(e))
                 )
                 log.end_stage(stage, "failed")
@@ -258,34 +267,59 @@ def run_table_maintenance(
       snapshots the same run still needs).
 
     Returns one report dict per spec; the DAG lifecycle folds them into
-    a ``table_maintenance`` run-log stage."""
+    a ``table_maintenance`` run-log stage. On failure the raised
+    :class:`MaintenanceFailure` carries the failing table AND the
+    reports of every spec that already completed — some of those ops
+    (vacuum) are irreversible, so the audit trail must survive the
+    error."""
     from metadata_driven_data_pipeline_spark.sinks import txlog as _txlog
 
     reports: list[dict[str, Any]] = []
     for spec in specs:
         root = spec["table"]
         rep: dict[str, Any] = {"table": root}
-        if "restore" in spec:
-            rep["restore"] = _txlog.restore(
-                spark, root, int(spec["restore"]["version"])
-            )
-        if "delete" in spec:
-            where = [tuple(c) for c in spec["delete"]["where"]]
-            rep["delete"] = _txlog.delete(spark, root, where)
-        if "optimize" in spec:
-            o = spec["optimize"]
-            rep["optimize"] = _txlog.optimize(
-                spark,
-                root,
-                target_bytes=int(o.get("targetBytes", 128 * 1024 * 1024)),
-                zorder_by=o.get("zorderBy"),
-            )
-        if "vacuum" in spec:
-            rep["vacuum"] = _txlog.vacuum(
-                root, keep_versions=int(spec["vacuum"].get("keepVersions", 2))
-            )
+        try:
+            _apply_maintenance_spec(_txlog, spark, spec, root, rep)
+        except Exception as e:
+            raise MaintenanceFailure(root, reports, e) from e
         reports.append(rep)
     return reports
+
+
+class MaintenanceFailure(Exception):
+    """A maintenance spec failed; ``completed`` holds the reports of the
+    specs that already ran (their effects — vacuum especially — are
+    permanent and must reach the run log)."""
+
+    def __init__(self, table: str, completed: list[dict], cause: Exception):
+        super().__init__(f"maintenance failed on table {table!r}: {cause}")
+        self.table = table
+        self.completed = completed
+
+
+def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
+    if "restore" in spec:
+        rep["restore"] = _txlog.restore(
+            spark, root, int(spec["restore"]["version"])
+        )
+    if "delete" in spec:
+        where = [tuple(c) for c in spec["delete"]["where"]]
+        rep["delete"] = _txlog.delete(spark, root, where)
+    if "optimize" in spec:
+        o = spec["optimize"]
+        rep["optimize"] = _txlog.optimize(
+            spark,
+            root,
+            target_bytes=int(o.get("targetBytes", 128 * 1024 * 1024)),
+            zorder_by=o.get("zorderBy"),
+        )
+    if "vacuum" in spec:
+        v = spec["vacuum"]
+        rep["vacuum"] = _txlog.vacuum(
+            root,
+            keep_versions=int(v.get("keepVersions", 2)),
+            min_age_seconds=float(v.get("minAgeSeconds", 3600.0)),
+        )
 
 
 def pytest_gate(

@@ -610,20 +610,8 @@ def scan(
         )
     else:
         df = spark.createDataFrame([], snap.schema)
-    for c, op, v in where:
-        col = F.col(c)
-        if op in ("==", "="):
-            df = df.filter(col == v)
-        elif op == "in":
-            df = df.filter(col.isin(list(v)))
-        elif op == ">=":
-            df = df.filter(col >= v)
-        elif op == ">":
-            df = df.filter(col > v)
-        elif op == "<=":
-            df = df.filter(col <= v)
-        else:
-            df = df.filter(col < v)
+    if where:
+        df = df.filter(_where_column(where))
     report = {
         "files_total": len(snap.files),
         "files_scanned": len(keep),
@@ -720,7 +708,10 @@ def merge(
             return {
                 "version": version,
                 "op": "merge",
-                "schema": snap.schema_json,
+                # carry the CURRENT schema forward, not the plan-time one:
+                # a concurrent schema-evolving append that passed the
+                # conflict check must not be silently reverted
+                "schema": cur.schema_json,
                 "add": adds,
                 "remove": candidates,
                 "txn": None,
@@ -862,7 +853,8 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
             return {
                 "version": version,
                 "op": "delete",
-                "schema": snap.schema_json,
+                # current schema, not plan-time: see merge()
+                "schema": cur.schema_json,
                 "add": adds,
                 "remove": removed,
                 "txn": None,
@@ -922,7 +914,8 @@ def optimize(
         return {
             "version": version,
             "op": "optimize",
-            "schema": snap.schema_json,
+            # current schema, not plan-time: see merge()
+            "schema": cur.schema_json,
             "add": adds,
             # remove what's live NOW — a concurrent append between plan
             # and claim keeps its files (they're simply not compacted)
@@ -971,11 +964,22 @@ def restore(spark: SparkSession, root: str, version: int) -> dict:
 # ---------------------------------------------------------------- vacuum
 
 
-def vacuum(root: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    root: str, keep_versions: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Physically delete data files unreferenced by every retained
     snapshot (the latest ``keep_versions``), plus staging leftovers.
     Time travel keeps working within the horizon; older versions become
-    unreadable — the standard retention trade. Driver-side O(files)."""
+    unreadable — the standard retention trade. Driver-side O(files).
+
+    ``min_age_seconds`` guards in-flight writers: the Python DataSource
+    writer stages task files directly into ``data/`` that stay
+    unreferenced until the job's driver-side commit, so vacuum skips
+    anything younger than the grace window (mtime-based — the same
+    public retention-guard shape as Delta's deletedFileRetentionDuration).
+    Pass ``0`` only when no writer can be active."""
+    import time as _time
+
     commits, _ = _list_log(root)
     if not commits:
         return {"deleted": 0}
@@ -983,23 +987,70 @@ def vacuum(root: str, keep_versions: int = 2) -> dict:
     live: set[str] = set()
     for v in retained:
         live |= set(load_snapshot(root, v).files)
+    cutoff = _time.time() - min_age_seconds
     data_dir = os.path.join(root, DATA_DIR)
-    deleted = 0
+    deleted = skipped_young = 0
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             rel = os.path.join(DATA_DIR, name)
-            if rel not in live:
-                os.unlink(os.path.join(data_dir, name))
-                deleted += 1
+            if rel in live:
+                continue
+            path = os.path.join(data_dir, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    skipped_young += 1
+                    continue
+                os.unlink(path)
+            except FileNotFoundError:
+                continue  # another vacuum raced us
+            deleted += 1
     import shutil
 
     for name in os.listdir(root):
         if name.startswith("_staging-"):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    return {"deleted": deleted, "retained_versions": retained}
+            path = os.path.join(root, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    skipped_young += 1
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+    return {
+        "deleted": deleted,
+        "retained_versions": retained,
+        "skipped_young": skipped_young,
+    }
 
 
 # ------------------------------------------------------------ change feed
+
+
+def list_changes(
+    root: str, since_version: int, to_version: int | None = None
+) -> list[dict]:
+    """Enumerate the files ADDED by commits in ``(since, to]`` as
+    ``{"path": <abs>, "version": v, "op": <commit op>}`` units — the one
+    shared slicer behind :func:`read_changes` AND the Python DataSource's
+    change-feed/streaming partitions, so the boundary semantics and the
+    adds-only CDF policy live in exactly one place."""
+    commits, _ = _list_log(root)
+    hi = to_version if to_version is not None else (commits[-1] if commits else 0)
+    log_dir = _log_path(root)
+    out: list[dict] = []
+    for v in commits:
+        if v <= since_version or v > hi:
+            continue
+        c = _read_json(os.path.join(log_dir, _commit_name(v)))
+        for a in c.get("add", []):
+            out.append(
+                {
+                    "path": os.path.join(root, a["path"]),
+                    "version": v,
+                    "op": c.get("op"),
+                }
+            )
+    return out
 
 
 def read_changes(
@@ -1020,20 +1071,16 @@ def read_changes(
     snap = load_snapshot(root, hi)
     if snap.schema is None:
         raise ValueError(f"not a txlog table (no commits): {root}")
+    by_commit: dict[tuple[int, str], list[str]] = {}
+    for u in list_changes(root, since_version, hi):
+        by_commit.setdefault((u["version"], u["op"]), []).append(u["path"])
     parts = []
-    log_dir = _log_path(root)
-    for v in commits:
-        if v <= since_version or v > hi:
-            continue
-        c = _read_json(os.path.join(log_dir, _commit_name(v)))
-        paths = [os.path.join(root, a["path"]) for a in c.get("add", [])]
-        if not paths:
-            continue
+    for (v, op), paths in sorted(by_commit.items()):
         parts.append(
             spark.read.schema(snap.schema)
             .parquet(*paths)
             .withColumn("_commit_version", F.lit(v))
-            .withColumn("_commit_op", F.lit(c.get("op")))
+            .withColumn("_commit_op", F.lit(op))
         )
     if not parts:
         from pyspark.sql.types import IntegerType, StringType

@@ -231,19 +231,10 @@ class TxlogChangeFeedReader(DataSourceReader):
 def _change_slices(
     root: str, since: int, to: int | None
 ) -> list[_FileSlice]:
-    commits, _ = txlog._list_log(root)
-    hi = to if to is not None else (commits[-1] if commits else 0)
-    log_dir = txlog._log_path(root)
-    parts: list[_FileSlice] = []
-    for v in commits:
-        if v <= since or v > hi:
-            continue
-        c = txlog._read_json(os.path.join(log_dir, txlog._commit_name(v)))
-        for a in c.get("add", []):
-            parts.append(
-                _FileSlice(os.path.join(root, a["path"]), v, c.get("op"))
-            )
-    return parts
+    return [
+        _FileSlice(u["path"], u["version"], u["op"])
+        for u in txlog.list_changes(root, since, to)
+    ]
 
 
 def _cdf_extras(schema: StructType, part: _FileSlice) -> dict:
@@ -377,11 +368,14 @@ class TxlogBatchWriter(DataSourceArrowWriter):
 
 class TxlogStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("txlog")`` — every micro-batch is one atomic
-    log commit carrying ``txn=(txnAppId, batchId)``, so an at-least-once
-    replay of an already-committed batch is a metadata no-op: EXACTLY-ONCE
-    end to end without foreachBatch plumbing. Concurrent stream writers
-    to the same table need distinct ``txnAppId`` options (same public
-    contract as Delta's txnAppId/txnVersion)."""
+    log commit. With ``.option("txnAppId", ...)`` set, the commit carries
+    ``txn=(txnAppId, batchId)`` so an at-least-once replay of an
+    already-committed batch is a metadata no-op: EXACTLY-ONCE end to end
+    without foreachBatch plumbing. Txn dedup is OPT-IN (same public
+    contract as Delta's txnAppId/txnVersion): a defaulted app id would
+    silently drop genuinely-new batches whenever a second query — or the
+    same query restarted with a fresh checkpoint, whose batchIds restart
+    at 0 — writes to the same table."""
 
     def __init__(
         self,
@@ -389,7 +383,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         schema: StructType,
         truncate: bool,
         merge_schema: bool,
-        app_id: str,
+        app_id: str | None,
     ):
         self._root = root
         self._schema = schema
@@ -402,13 +396,14 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int):
         staged = [m.path for m in messages if m is not None and m.path]
+        txn = (self._app_id, int(batchId)) if self._app_id else None
         txlog.commit_staged(
             _active_session(),
             self._root,
             staged,
             self._schema,
             overwrite=self._truncate,
-            txn=(self._app_id, int(batchId)),
+            txn=txn,
             merge_schema=self._merge_schema,
         )
 
@@ -451,6 +446,13 @@ class TxlogDataSource(DataSource):
             return TxlogChangeFeedReader(
                 root, schema, int(since), int(to) if to is not None else None
             )
+        if _as_bool(self.options, "cdf"):
+            # a snapshot has no per-row commit identity — NULL tags would
+            # be plausible-looking wrong data, so demand the CDF range
+            raise ValueError(
+                "txlog batch read with cdf=true requires sinceVersion "
+                "(use sinceVersion=0 for the full change history)"
+            )
         version = self.options.get("version")
         return TxlogBatchReader(
             root, schema, int(version) if version is not None else None
@@ -477,7 +479,7 @@ class TxlogDataSource(DataSource):
             schema,
             overwrite,
             _as_bool(self.options, "mergeschema"),
-            self.options.get("txnappid", "txlog-stream-writer"),
+            self.options.get("txnappid"),  # txn dedup is opt-in
         )
 
 

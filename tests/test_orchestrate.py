@@ -411,7 +411,7 @@ def test_dag_table_maintenance_stage(spark, tmp_path):
                 "table": table,
                 "delete": {"where": [["k", "<", 100]]},
                 "optimize": {"targetBytes": 1 << 30},
-                "vacuum": {"keepVersions": 1},
+                "vacuum": {"keepVersions": 1, "minAgeSeconds": 0},
             }
         ],
     )
@@ -432,23 +432,43 @@ def test_dag_table_maintenance_stage(spark, tmp_path):
 
 
 def test_dag_maintenance_failure_fails_the_run(spark, tmp_path):
+    """A failing spec fails the run, names the failing table, and keeps
+    the reports of specs that already ran (vacuum is irreversible — the
+    audit trail must survive the error)."""
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        MaintenanceFailure,
+    )
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
     root = str(tmp_path)
     generate_batches(root, num_batches=1, records_per_batch=50)
     meta = motor_metadata(root)
-    with pytest.raises(ValueError, match="not a txlog table"):
+    good = f"{root}/good_table"
+    txlog.append(
+        spark,
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        good,
+    )
+    with pytest.raises(MaintenanceFailure, match="not a txlog table"):
         run_dag(
             spark,
             meta,
             run_id="dagmaint2",
             log_path=f"{root}/run_log.json",
             maintenance=[
-                {"table": f"{root}/missing", "delete": {"where": [["k", "<", 1]]}}
+                {"table": good, "optimize": {"targetBytes": 1 << 30}},
+                {"table": f"{root}/missing", "delete": {"where": [["k", "<", 1]]}},
             ],
         )
     with open(f"{root}/run_log.json") as f:
         doc = json.load(f)
     assert doc["status"] == "failed"
     assert _stages(doc)[-1] == "table_maintenance"
+    subs = doc["stages"][-1]["sub_stages"]
+    # completed spec's report survives; failed sub names the bad table
+    assert subs[0]["name"] == good and subs[0]["status"] == "success"
+    assert subs[0]["optimize"]["files_before"] == 1
+    assert subs[1]["name"] == f"{root}/missing" and subs[1]["status"] == "failed"
 
 
 def test_dag_maintenance_restore_spec(spark, tmp_path):

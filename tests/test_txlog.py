@@ -215,7 +215,7 @@ def test_vacuum_reclaims_outside_retention(spark, tmp_path):
     txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
     txlog.overwrite(spark, _mk(spark, [(3, "c")]), root)
     old = txlog.load_snapshot(root, version=1)
-    res = txlog.vacuum(root, keep_versions=2)
+    res = txlog.vacuum(root, keep_versions=2, min_age_seconds=0)
     assert res["deleted"] == 1  # v1's file gone; v2 retained, v3 live
     assert _rows(txlog.read_table(spark, root, version=2)) == [(2, "b")]
     assert _rows(txlog.read_table(spark, root)) == [(3, "c")]
@@ -647,8 +647,84 @@ def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
     root = str(tmp_path / "t")
     txlog.append(spark, _mk(spark, [(1, "a")]), root)
     txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
-    txlog.vacuum(root, keep_versions=1)
+    txlog.vacuum(root, keep_versions=1, min_age_seconds=0)
     with pytest.raises(ValueError, match="vacuumed"):
         txlog.restore(spark, root, version=1)
     with pytest.raises(ValueError, match="no retained snapshot"):
         txlog.restore(spark, root, version=99)
+
+
+def test_delete_keeps_concurrently_evolved_schema(spark, tmp_path, monkeypatch):
+    """Review fix: a commit must carry the CURRENT schema, not the
+    plan-time one. A merge_schema append that lands mid-delete (disjoint
+    keys, so no conflict replan) keeps its evolved schema after the
+    delete commits."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            wide = spark_.createDataFrame(
+                [(500, "w", 9.0)], "k int, v string, score double"
+            ).coalesce(1)
+            txlog.append(spark_, wide, root_, merge_schema=True)
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    # point predicate: the concurrent file (k=500) can't match -> no replan
+    txlog.delete(spark, root, [("k", "==", 2)])
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    got = txlog.read_table(spark, root)
+    assert "score" in got.columns  # evolution survived the delete commit
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 500: 9.0}
+
+
+def test_optimize_keeps_concurrently_evolved_schema(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            wide = spark_.createDataFrame(
+                [(500, "w", 9.0)], "k int, v string, score double"
+            ).coalesce(1)
+            txlog.append(spark_, wide, root_, merge_schema=True)
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    got = txlog.read_table(spark, root)
+    assert "score" in got.columns
+    assert got.count() == 3  # concurrent append's file survived compaction
+
+
+def test_vacuum_age_guard_protects_inflight_staged_files(spark, tmp_path):
+    """Review fix: a writer's just-staged (not yet committed) data/ file
+    must survive a concurrent vacuum inside the grace window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    staged = os.path.join(root, txlog.DATA_DIR, "deadbeef-w.parquet")
+    pq.write_table(pa.table({"k": [2], "v": ["b"]}), staged)
+    rep = txlog.vacuum(root, keep_versions=1)  # default grace window
+    assert os.path.exists(staged) and rep["skipped_young"] >= 1
+    rep0 = txlog.vacuum(root, keep_versions=1, min_age_seconds=0)
+    assert not os.path.exists(staged) and rep0["deleted"] >= 1

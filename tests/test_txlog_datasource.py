@@ -305,3 +305,27 @@ def test_cdf_only_projection_keeps_row_counts(spark, tmp_path):
         (1, "append"),
         (1, "append"),
     ]
+
+
+def test_stream_writer_without_txn_appid_never_drops_batches(spark, tmp_path):
+    """Review fix: txn dedup is opt-in. Without txnAppId, a second query
+    (or a restarted checkpoint) whose batchIds restart at 0 appends
+    normally instead of being silently skipped."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "t")
+    schema = txlog.StructType.fromDDL("k int, v string")
+    batch = pa.RecordBatch.from_pydict({"k": [1, 2], "v": ["a", "b"]})
+    w1 = tds.TxlogStreamWriter(root, schema, False, False, None)
+    w1.commit([w1.write(iter([batch]))], batchId=0)
+    w2 = tds.TxlogStreamWriter(root, schema, False, False, None)
+    w2.commit([w2.write(iter([batch]))], batchId=0)  # fresh query, batch 0
+    assert txlog.read_table(spark, root).count() == 4  # nothing dropped
+    assert txlog.load_snapshot(root).txns == {}
+
+
+def test_batch_cdf_without_since_version_errors(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    with pytest.raises(Exception, match="requires sinceVersion"):
+        spark.read.format("txlog").option("cdf", "true").load(root).count()
