@@ -262,9 +262,11 @@ def run_table_maintenance(
       retention purge (stats-proven files drop by pure metadata);
     - ``"optimize": {"targetBytes": ..., "zorderBy": [...]}`` —
       compaction / Z-order clustering;
-    - ``"vacuum": {"keepVersions": N}`` — physical reclamation of files
-      outside the retention horizon (runs LAST so it never reclaims
-      snapshots the same run still needs).
+    - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
+      reclamation of files outside the retention horizon (runs LAST so
+      it never reclaims snapshots the same run still needs);
+      ``cleanLog`` additionally expires commit records below the
+      checkpoint horizon so the log listing stays O(K) forever.
 
     Returns one report dict per spec; the DAG lifecycle folds them into
     a ``table_maintenance`` run-log stage. On failure the raised
@@ -319,6 +321,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             root,
             keep_versions=int(v.get("keepVersions", 2)),
             min_age_seconds=float(v.get("minAgeSeconds", 3600.0)),
+            clean_log=bool(v.get("cleanLog", False)),
         )
 
 

@@ -68,7 +68,14 @@ def write_sink(
         if sink.get("merge"):
             m = sink["merge"]
             info = txlog.merge(
-                spark, df, path, list(m["keys"]), m["orderBy"]
+                spark,
+                df,
+                path,
+                list(m["keys"]),
+                m["orderBy"],
+                # WHEN MATCHED ... THEN DELETE: SQL predicate over the
+                # update row — rows satisfying it are delete tombstones
+                when_matched_delete=m.get("whenMatchedDelete"),
             )
         elif mode == "append":
             info = txlog.append(

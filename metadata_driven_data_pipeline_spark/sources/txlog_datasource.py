@@ -135,7 +135,17 @@ def _read_file_batches(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     extra = extra or {}
-    pf = pq.ParquetFile(path)
+    try:
+        pf = pq.ParquetFile(path)
+    except FileNotFoundError:
+        # a change-feed/stream partition can reference a commit whose
+        # data file vacuum() already reclaimed — fail with the fix, not
+        # a bare executor stack trace (VERDICT r6 #6)
+        raise ValueError(
+            f"txlog data file {path} no longer exists (reclaimed by "
+            "vacuum) — restart the consumer from a newer "
+            "snapshot/sinceVersion inside the retention horizon"
+        ) from None
     present = set(pf.schema_arrow.names)
     # schema evolution: a file written before a column was added simply
     # lacks it — read the columns it has, fill the rest with NULL

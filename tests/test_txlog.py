@@ -650,7 +650,9 @@ def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
     txlog.vacuum(root, keep_versions=1, min_age_seconds=0)
     with pytest.raises(ValueError, match="vacuumed"):
         txlog.restore(spark, root, version=1)
-    with pytest.raises(ValueError, match="no retained snapshot"):
+    # a never-committed version now fails at snapshot load (ADVICE r6:
+    # no silent clamp to a different snapshot's data)
+    with pytest.raises(ValueError, match="no snapshot v99"):
         txlog.restore(spark, root, version=99)
 
 
@@ -728,3 +730,387 @@ def test_vacuum_age_guard_protects_inflight_staged_files(spark, tmp_path):
     assert os.path.exists(staged) and rep["skipped_young"] >= 1
     rep0 = txlog.vacuum(root, keep_versions=1, min_age_seconds=0)
     assert not os.path.exists(staged) and rep0["deleted"] >= 1
+
+
+# ---------------------------------------------------------- round 6: fixes
+
+
+def test_optimize_replans_on_concurrent_delete(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (high): optimize's adds are a compacted copy of the
+    plan-time snapshot — a delete landing between plan and claim must
+    force a replan, or the deleted rows are resurrected by the compacted
+    copy while the delete commit stands."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+    txlog.append(spark, _mk(spark, [(3, "c"), (4, "d")]), root)
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            txlog.delete(spark_, root_, [("k", "==", 2)])
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    res = txlog.optimize(spark, root, target_bytes=1 << 30)
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    assert not res.get("skipped")
+    # the delete must NOT be undone by the optimize commit
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a"), (3, "c"), (4, "d")]
+
+
+def test_optimize_replans_on_concurrent_merge(spark, tmp_path, monkeypatch):
+    """Same hazard, merge flavor: the merge rewrites key 2's file; a
+    stale optimize commit would resurrect the OLD row next to the
+    rewritten one (duplicate key)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), root)
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            txlog.merge(
+                spark_, _mk(spark_, [(2, "zz")]), root_, ["k"], "v"
+            )
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 2  # no duplicated key
+    assert _rows(got) == [(1, "a"), (2, "zz")]
+
+
+def test_unknown_null_count_blocks_metadata_delete(spark, tmp_path):
+    """ADVICE r6 (medium): a file whose parquet stats omit null_count
+    must record nulls=None (unknown), and DELETE must then rewrite it
+    (NULL rows don't satisfy the predicate and must be kept) instead of
+    dropping it by pure metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(9, "z")]), root)  # schema anchor
+    # hand-stage a file with statistics disabled, commit it
+    data_dir = os.path.join(root, txlog.DATA_DIR)
+    p = os.path.join(data_dir, "nostats-0.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], type=pa.int32()),
+             "v": pa.array(["a", None], type=pa.string())}
+        ),
+        p,
+        write_statistics=False,
+    )
+    snap = txlog.load_snapshot(root)
+    txlog.commit_staged(spark, root, [p], snap.schema)
+    entry = txlog.load_snapshot(root).files[os.path.join(txlog.DATA_DIR, "nostats-0.parquet")]
+    assert entry["stats"]["v"]["nulls"] is None  # unknown, not 0
+    assert not txlog._file_all_match(entry, "k", ">=", 0)
+    # delete everything with v >= '' (string compare; NULL row must stay)
+    res = txlog.delete(spark, root, [("v", ">=", "")])
+    assert res["files_dropped"] == 0 or entry not in []  # no metadata drop of nostats
+    got = _rows(txlog.read_table(spark, root))
+    assert got == [(2, None)]  # NULL row kept, others deleted
+
+
+def test_stats_type_mismatch_is_conservative(spark, tmp_path):
+    """ADVICE r6 (low): an int predicate against string footer stats
+    must not crash the scan/delete — may-match keeps the file, all-match
+    never proves, and the real filter decides."""
+    entry = {"rows": 2, "stats": {"v": {"min": "a", "max": "b", "nulls": 0}}}
+    assert txlog._file_may_match(entry, "v", ">=", 5)
+    assert not txlog._file_all_match(entry, "v", ">=", 5)
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "7"), (2, "9")]), root)
+    df, report = txlog.scan(spark, root, where=[("v", ">=", 8)])
+    assert report["files_scanned"] == 1  # conservative keep, no crash
+    assert _rows(df) == [(2, "9")]
+
+
+def test_load_snapshot_rejects_nonexistent_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    with pytest.raises(ValueError, match="no snapshot v9"):
+        txlog.load_snapshot(root, 9)
+    with pytest.raises(ValueError, match="not a txlog table"):
+        txlog.load_snapshot(str(tmp_path / "missing"), 1)
+
+
+def test_restore_reverifies_files_per_claim(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (low): a vacuum landing between restore's plan and its
+    winning claim must be caught by the in-callback re-check, not
+    committed as dangling file references."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
+
+    real_claim = txlog._try_claim
+    fired = {"done": False}
+
+    def claim_with_vacuum(root_, version, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            # lose the race once so build() re-runs, then vacuum v1 away
+            txlog.append(spark, _mk(spark, [(3, "c")]), root_)
+            txlog.vacuum(root_, keep_versions=1, min_age_seconds=0)
+            return False
+        return real_claim(root_, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_claim", claim_with_vacuum)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.restore(spark, root, version=1)
+
+
+# -------------------------------------------- round 6: log retention
+
+
+def test_cleanup_log_bounds_listing_and_preserves_reads(spark, tmp_path):
+    """Drive the table through ≫CHECKPOINT_INTERVAL commits: after
+    cleanup the log holds O(K) files, every version at/above the horizon
+    still loads (the horizon itself via its checkpoint), and versions
+    below it raise the clean retention error instead of returning wrong
+    data."""
+    root = str(tmp_path / "t")
+    n = 25
+    for i in range(n):
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    log_dir = os.path.join(root, txlog.LOG_DIR)
+    assert len(os.listdir(log_dir)) >= n
+    rep = txlog.cleanup_log(root, keep_versions=2)
+    # horizon = newest checkpoint ≤ v24 → v20
+    assert rep["horizon"] == 20 and rep["commits_removed"] == 19
+    names = os.listdir(log_dir)
+    # steady state: commits [20..25] + checkpoint 20 = O(K)
+    assert len(names) <= txlog.CHECKPOINT_INTERVAL + 3
+    # latest read unaffected, full content intact
+    assert len(_rows(txlog.read_table(spark, root))) == n
+    # horizon version loads from its checkpoint; horizon+1 from commits
+    assert len(_rows(txlog.read_table(spark, root, version=20))) == 20
+    assert len(_rows(txlog.read_table(spark, root, version=23))) == 23
+    # below the horizon: clean, loud error
+    with pytest.raises(ValueError, match="log retention"):
+        txlog.read_table(spark, root, version=5)
+    # idempotent: a second cleanup is a no-op
+    rep2 = txlog.cleanup_log(root, keep_versions=2)
+    assert rep2["commits_removed"] == 0
+    # appends keep working and the next checkpoint keeps the cycle going
+    for i in range(n, n + 6):
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    rep3 = txlog.cleanup_log(root, keep_versions=2)
+    assert rep3["horizon"] == 30
+    assert len(_rows(txlog.read_table(spark, root))) == n + 6
+
+
+def test_cleanup_log_noop_without_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):  # below CHECKPOINT_INTERVAL — no checkpoint yet
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    rep = txlog.cleanup_log(root, keep_versions=2)
+    assert rep == {"commits_removed": 0, "checkpoints_removed": 0, "horizon": None}
+    assert len(_rows(txlog.read_table(spark, root))) == 4
+
+
+def test_change_feed_fails_loudly_below_cleaned_horizon(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(15):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    txlog.cleanup_log(root, keep_versions=2)  # horizon = 10
+    with pytest.raises(ValueError, match="log retention"):
+        txlog.read_changes(spark, root, since_version=3)
+    # at/above the horizon the feed still works (commit 10's record kept)
+    got = txlog.read_changes(spark, root, since_version=9)
+    assert got.count() == 6  # commits 10..15, one row each
+    # streaming source partitions() goes through the same guard
+    from metadata_driven_data_pipeline_spark.sources.txlog_datasource import (
+        TxlogStreamReader,
+    )
+
+    reader = TxlogStreamReader(root, txlog.load_snapshot(root).schema, 0)
+    with pytest.raises(ValueError, match="log retention"):
+        reader.partitions({"version": 0}, {"version": 15})
+    assert len(reader.partitions({"version": 9}, {"version": 15})) == 6
+
+
+def test_vacuum_clean_log_flag(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(12):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    rep = txlog.vacuum(root, keep_versions=2, min_age_seconds=0, clean_log=True)
+    assert rep["log"]["horizon"] == 10
+    assert len(_rows(txlog.read_table(spark, root))) == 12
+
+
+def test_history_and_maintenance_survive_cleanup(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(15):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    txlog.cleanup_log(root, keep_versions=2)
+    hist = txlog.history(root)
+    assert [h["version"] for h in hist] == list(range(10, 16))
+    assert all(h["ts"] is not None for h in hist)
+    # optimize/delete/restore on a cleaned table work as before
+    txlog.delete(spark, root, [("k", "==", 11)])
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    assert len(_rows(txlog.read_table(spark, root))) == 14
+
+
+# ------------------------------------------ round 6: MERGE matched-delete
+
+
+def _mk_seq(spark, triples):
+    return spark.createDataFrame(triples, "k int, v string, seq int").coalesce(1)
+
+
+def test_merge_when_matched_delete_purges_and_upserts(spark, tmp_path):
+    """WHEN MATCHED ... THEN DELETE: tombstone rows remove their key,
+    regular rows upsert, a tombstone for an absent key inserts nothing."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_seq(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), root)
+    updates = _mk_seq(
+        spark,
+        [
+            (2, "DEL", 2),    # tombstone: purge key 2
+            (3, "c2", 2),     # plain upsert
+            (4, "d", 2),      # plain insert
+            (99, "DEL", 2),   # tombstone for absent key: no-op
+        ],
+    )
+    res = txlog.merge(
+        spark, updates, root, ["k"], "seq", when_matched_delete="v = 'DEL'"
+    )
+    assert not res.get("skipped")
+    assert _rows(txlog.read_table(spark, root)) == [
+        (1, "a", 1),
+        (3, "c2", 2),
+        (4, "d", 2),
+    ]
+
+
+def test_merge_tombstone_loses_keep_latest_ordering(spark, tmp_path):
+    """A tombstone OLDER than the table's current row loses the
+    keep-latest ordering — the newer live row survives (CDC semantics:
+    order matters, not mere presence)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_seq(spark, [(1, "new", 5)]), root)
+    updates = _mk_seq(spark, [(1, "DEL", 2)])  # stale tombstone
+    txlog.merge(spark, updates, root, ["k"], "seq", when_matched_delete="v = 'DEL'")
+    assert _rows(txlog.read_table(spark, root)) == [(1, "new", 5)]
+
+
+def test_merge_matched_delete_bootstrap_and_column_predicate(spark, tmp_path):
+    root = str(tmp_path / "t")
+    updates = _mk_seq(spark, [(1, "keep", 1), (2, "DEL", 1)])
+    txlog.merge(
+        spark,
+        updates,
+        root,
+        ["k"],
+        "seq",
+        when_matched_delete=F.col("v") == "DEL",
+    )
+    assert _rows(txlog.read_table(spark, root)) == [(1, "keep", 1)]
+
+
+def test_merge_matched_delete_replans_on_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent append overlapping the batch key range between plan
+    and claim forces a replan; the tombstone still wins against the row
+    the replan picks up."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_seq(spark, [(1, "a", 1)]), root)
+
+    real_claim = txlog._try_claim
+    fired = {"done": False}
+
+    def claim_with_race(root_, version, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            # overlapping concurrent append: key 2 lands mid-merge
+            txlog.append(spark, _mk_seq(spark, [(2, "b", 1)]), root_)
+        return real_claim(root_, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_claim", claim_with_race)
+    updates = _mk_seq(spark, [(2, "DEL", 9)])
+    res = txlog.merge(
+        spark, updates, root, ["k"], "seq", when_matched_delete="v = 'DEL'"
+    )
+    monkeypatch.setattr(txlog, "_try_claim", real_claim)
+    assert not res.get("skipped")
+    # the replanned merge saw the concurrent row and the tombstone purged it
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a", 1)]
+
+
+# ------------------------------------- round 6: timestamps and convert
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    txlog.overwrite(spark, _mk(spark, [(9, "z")]), root)
+    hist = txlog.history(root)
+    ts_v1, ts_v2, ts_v3 = (h["ts"] for h in hist)
+    assert ts_v1 <= ts_v2 <= ts_v3
+    assert _rows(txlog.read_table(spark, root, timestamp=ts_v1)) == [(1, "a")]
+    assert _rows(txlog.read_table(spark, root, timestamp=ts_v2)) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # AS OF an instant after the last commit → latest snapshot
+    assert _rows(txlog.read_table(spark, root, timestamp="9999-12-31")) == [
+        (9, "z")
+    ]
+    # before the first commit → loud error, not an empty guess
+    with pytest.raises(ValueError, match="no commit at or before"):
+        txlog.read_table(spark, root, timestamp="1999-01-01")
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        txlog.load_snapshot(root, version=1, timestamp=ts_v1)
+    # datetime objects accepted too
+    import datetime as _dt
+
+    dt = _dt.datetime.fromisoformat(ts_v2)
+    assert _rows(txlog.read_table(spark, root, timestamp=dt)) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_convert_to_txlog_zero_copy(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    ).repartitionByRange(4, "k")
+    src.write.mode("overwrite").parquet(root)
+    expect = _rows(spark.read.parquet(root))
+    res = txlog.convert_to_txlog(spark, root)
+    assert res["version"] == 1 and res["files_converted"] == 4
+    # in place: no top-level part files remain, data/ holds them
+    assert not any(n.endswith(".parquet") for n in os.listdir(root))
+    assert _rows(txlog.read_table(spark, root)) == expect
+    # footer stats rode in: scan pruning works on the converted table
+    _, rep = txlog.scan(spark, root, where=[("k", "==", 5)])
+    assert rep["files_scanned"] < rep["files_total"]
+    # it is now a normal table: appends, merge, time travel all apply
+    txlog.append(spark, _mk(spark, [(1000, "new")]), root)
+    assert len(_rows(txlog.read_table(spark, root))) == 101
+    with pytest.raises(ValueError, match="already a txlog table"):
+        txlog.convert_to_txlog(spark, root)
+
+
+def test_convert_requires_part_files(spark, tmp_path):
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet part files"):
+        txlog.convert_to_txlog(spark, empty)
