@@ -3177,6 +3177,43 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_incremental_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR STORED-MODEL lane (the production path at scale, VERDICT r5
+    #5): the raw-corpus model is built as two per-shard hashed-ngram
+    count tables (doc_id parity), one shard is deliberately RE-MERGED
+    (an at-least-once replay) and collapsed by merge_ngram_counts'
+    shard-key replay guard, and a batch (src1 documents) is scored
+    against the PERSISTED models via dsir_weights(target_counts=...,
+    raw_counts=...) — no inline model build. The oracle recomputes the
+    weights from the shard union, so a double-counted replay or a
+    stored-model scoring defect hash-mismatches. Scale shape: each
+    shard's model is ≤B rows and merges additively; scoring a new batch
+    never rescans corpus history (operators/dsir.py:96,145)."""
+    from metadata_driven_data_pipeline_spark.operators import dsir as ds
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    target_counts = ds.hashed_ngram_counts(
+        docs.filter(src_num == 0), buckets=4096
+    )
+    shard0 = ds.hashed_ngram_counts(
+        docs.filter(F.col("doc_id") % 2 == 0), buckets=4096
+    ).withColumn("shard", F.lit(0))
+    shard1 = ds.hashed_ngram_counts(
+        docs.filter(F.col("doc_id") % 2 == 1), buckets=4096
+    ).withColumn("shard", F.lit(1))
+    # at-least-once delivery: shard 0 arrives twice; the guard collapses it
+    stored = shard0.unionByName(shard1).unionByName(shard0)
+    raw_counts = ds.merge_ngram_counts(stored, shard_col="shard")
+    batch = docs.filter(src_num == 1)
+    return ds.dsir_weights(
+        batch,
+        buckets=4096,
+        target_counts=target_counts,
+        raw_counts=raw_counts,
+    ).select("doc_id", F.round("weight", 6).alias("weight"))
+
+
 def q_txlog_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log table MERGE (sinks/txlog.py): append a base slice
     of orders, then one atomic merge commit that doubles the price of
@@ -3416,42 +3453,166 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WHEN MATCHED ... THEN DELETE (sinks/txlog.py:merge,
+    when_matched_delete — NEW r6, VERDICT r5 #4): one atomic merge
+    commit carries upserts AND delete tombstones — orders in segment-
+    BUILDING custkeys are tombstoned (GDPR-style purge-on-match), a
+    disjoint slice upserts, and a stale tombstone (lower seq than the
+    live row) correctly LOSES the keep-latest ordering. The oracle
+    recomputes the post-merge state including the deletions; any
+    resurrection or over-delete hash-mismatches. Scale shape: tombstones
+    ride the same key-range file pruning as upserts — a clustered purge
+    rewrites only boundary files, in one reader-invisible commit."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="txlog_mergedel_") + "/orders"
+    base = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("seq", F.lit(2))
+    )
+    txlog.append(spark, base.repartition(4), root)
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    # tombstones for every BUILDING order in the table: seq 3 beats the
+    # live seq-2 rows, EXCEPT the deliberately stale seq-1 tombstones
+    # for orderkey % 9 == 0 (they lose keep-latest and purge nothing)
+    tombs = (
+        base.join(building, "o_custkey", "inner")
+        .withColumn(
+            "seq",
+            F.when(F.col("o_orderkey") % 9 == 0, F.lit(1)).otherwise(F.lit(3)),
+        )
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("__op", F.lit("D"))
+    )
+    upserts = (
+        orders.filter(F.col("o_orderkey") % 3 == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("seq", F.lit(3))
+        .withColumn("__op", F.lit("U"))
+    )
+    txlog.merge(
+        spark,
+        tombs.unionByName(upserts),
+        root,
+        ["o_orderkey"],
+        "seq",
+        when_matched_delete="__op = 'D'",
+    )
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count_distinct("o_custkey").alias("n_custkeys"),
+    )
+
+
+def q_txlog_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel AS OF a timestamp (NEW r6): every commit records its
+    wall-clock ``ts`` in the log, and read_table(timestamp=...) resolves
+    to the newest commit at-or-before the instant. The entry reads each
+    of three commits' states back BY ITS OWN RECORDED TIMESTAMP (from
+    history()), so the certificate pins timestamp→version resolution +
+    snapshot reconstruction; wall-clock values never enter the output."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    root = tempfile.mkdtemp(prefix="txlog_ts_") + "/part"
+    txlog.append(spark, part.filter(F.col("p_partkey") % 3 == 0), root)
+    txlog.append(spark, part.filter(F.col("p_partkey") % 3 == 1), root)
+    txlog.overwrite(spark, part.filter(F.col("p_partkey") % 3 == 2), root)
+    stamps = {h["version"]: h["ts"] for h in txlog.history(root)}
+    parts = [
+        txlog.read_table(spark, root, timestamp=stamps[v])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(v).alias("version"), "n_rows")
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_txlog_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CONVERT (sinks/txlog.py:convert_to_txlog — NEW r6): a
+    plain-parquet directory (8 range-clustered files of lineitem) is
+    adopted IN PLACE — part files renamed into data/, footer stats read,
+    one ``convert`` commit — then immediately used as an ACID table: a
+    stats-pruned scan (the `pruned` flag pins that skipping bites on
+    the converted files' stats) and an append commit on top. At 100 TB
+    this is O(files) metadata vs a rewrite's O(bytes) — how an existing
+    estate adopts the table format without a migration window."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="txlog_convert_") + "/lineitem"
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(root)
+    txlog.convert_to_txlog(spark, root)
+    extra = li.filter(F.col("l_orderkey") < 40).withColumn(
+        "l_quantity", F.col("l_quantity") + 100
+    )
+    txlog.append(spark, extra, root)
+    df, rep = txlog.scan(spark, root, where=[("l_orderkey", "<", 40)])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(
+        "n_rows",
+        "sum_qty",
+        F.lit(bool(rep["files_scanned"] < rep["files_total"])).alias("pruned"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 157) is additionally
+    the FIRST 50 entries only; every entry (all 161) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-5 window (staleness-ranked, r4 verdict item 6): positions 1-2
-    changed this round — bpe_train was re-cut as an invariant projection
-    with a real oracle (its first driver row with a hash certificate),
-    and streaming_cms_monitor's stored grid gained the last_batch_id
-    replay watermark (the query's 3-column projection is unchanged, but
-    the changed write path belongs in the window).  Positions 3-4 are
-    NEW this round: the DSIR importance-resampling pair (weights +
-    Gumbel top-k selection, operators/dsir.py).  Position 5 is
-    hll_incremental_distinct, whose certification was re-cut after the
-    r5 sf0.1 sweep showed merged==whole is partitioning-dependent, not
-    an invariant.  Positions 6-12 are NEW this round: the transaction-log
-    table family (sinks/txlog.py — atomic MERGE, time travel,
-    stats-pruned scans, change feed, row-level DELETE with metadata-only
-    file drops, in-commit schema evolution) plus the Python DataSource
-    streaming read over the commit log (sources/txlog_datasource.py).
-    Positions 13-50 are the 38 stalest driver-greens; the 7 stale
-    entries these additions displace (plus the 3 displaced r2 entries)
-    rotate in next round.  Positions 51+ are driver-green from r3/r4 at
-    unchanged semantics (and every entry is still locally re-certified
-    each round via tools/check_oracle.py)."""
+    Round-6 window (staleness-ranked, r5 verdict item 2): positions 1-4
+    are NEW this round — the MERGE matched-delete lane
+    (txlog_merge_delete), time travel AS OF a timestamp
+    (txlog_timestamp_travel), the zero-copy plain-parquet CONVERT
+    (txlog_convert), and the DSIR stored-model scoring lane with the
+    shard replay guard (dsir_incremental_weights).  Positions 5-11 are
+    the seven existing txlog entries — their write path changed this
+    round (every commit now records ts; optimize gained the
+    removed-file conflict check; metadata DELETE now requires a
+    known-zero null count; the log gained retention), so they belong in
+    the window.  Positions 12-21 are the ten r1/r2 entries the round-5
+    additions displaced (registry positions 51-60 last round); positions
+    22-50 are the 29 stalest r3 driver-greens, so no entry's driver
+    signal ages past ~3 rounds.  Positions 51+ are driver-green from
+    r3-r5 at unchanged semantics (every entry is still locally
+    re-certified each round via tools/check_oracle.py)."""
     return {
-        # ==== positions 1-2: semantics/shape changed in round 5 =========
-        "bpe_train": q_bpe_train,
-        "streaming_cms_monitor": q_streaming_cms_monitor,
-        # ==== positions 3-4: NEW in round 5 (DSIR importance resampling)
-        "dsir_weights": q_dsir_weights,
-        "dsir_topk": q_dsir_topk,
-        # ==== position 5: semantics changed in round 5 (sf0.1 sweep fix)
-        "hll_incremental_distinct": q_hll_incremental_distinct,
-        # ==== positions 6-9: NEW in round 5 (transaction-log tables) ====
+        # ==== positions 1-4: NEW in round 6 (merge matched-delete,
+        # ==== timestamp travel, zero-copy convert, DSIR stored-model lane)
+        "txlog_merge_delete": q_txlog_merge_delete,
+        "txlog_timestamp_travel": q_txlog_timestamp_travel,
+        "txlog_convert": q_txlog_convert,
+        "dsir_incremental_weights": q_dsir_incremental_weights,
+        # ==== positions 5-11: txlog family — write path changed in r6
+        # ==== (commit ts, optimize conflict check, null-count guard, retention)
         "txlog_merge_state": q_txlog_merge_state,
         "txlog_time_travel": q_txlog_time_travel,
         "txlog_skipping_scan": q_txlog_skipping_scan,
@@ -3459,8 +3620,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_stream_feed": q_txlog_stream_feed,
         "txlog_delete_purge": q_txlog_delete_purge,
         "txlog_schema_evolution": q_txlog_schema_evolution,
-        # ==== positions 13-60: oldest driver-greens (r1/r2); the last 10
-        # ==== fall outside the 50-entry window and rotate in r6 ======
+        # ==== positions 12-21: the 10 displaced r1/r2 entries (r5 verdict #2)
+        "corpus_clean": q_corpus_clean,
+        "pii_redact": q_pii_redact,
+        "tfidf_topterms": q_tfidf_topterms,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "hash_sample": q_hash_sample,
+        "train_test_split": q_train_test_split,
+        "multimodal_frames": q_multimodal_frames,
+        "hourly_gap_fill": q_hourly_gap_fill,
+        # ==== positions 22-50: the 29 stalest r3 driver-greens
+        "click_purchase_common_users": q_click_purchase_common_users,
+        "conditional_agg": q_conditional_agg,
+        "big_orders_having": q_big_orders_having,
+        "rich_idle_customers": q_rich_idle_customers,
+        "order_deciles": q_order_deciles,
+        "price_range_frame": q_price_range_frame,
+        "daily_activity": q_daily_activity,
+        "first_event_funnel": q_first_event_funnel,
+        "similar_part_names": q_similar_part_names,
+        "salted_dedup_latest": q_salted_dedup_latest,
+        "sliding_window_counts": q_sliding_window_counts,
+        "order_line_numbers": q_order_line_numbers,
+        "stratified_sample": q_stratified_sample,
+        "unpivot_metrics": q_unpivot_metrics,
+        "order_percent_rank": q_order_percent_rank,
+        "corr_stats": q_corr_stats,
+        "nation_trade_flows": q_nation_trade_flows,
+        "market_share": q_market_share,
+        "profit_by_nation_year": q_profit_by_nation_year,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "returned_item_customers": q_returned_item_customers,
+        "order_count_distribution": q_order_count_distribution,
+        "small_qty_order_revenue": q_small_qty_order_revenue,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "kmeans_assign": q_kmeans_assign,
+        "important_part_volumes": q_important_part_volumes,
+        "brand_filter_revenue": q_brand_filter_revenue,
+        "user_first_last_events": q_user_first_last_events,
+        # ==== position 51+: driver-green r3-r5 at unchanged semantics =
+        "bpe_train": q_bpe_train,
+        "streaming_cms_monitor": q_streaming_cms_monitor,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "hll_incremental_distinct": q_hll_incremental_distinct,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "customers_no_pending": q_customers_no_pending,
@@ -3499,17 +3705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_profile": q_text_profile,
-        "corpus_clean": q_corpus_clean,
-        "pii_redact": q_pii_redact,
-        "tfidf_topterms": q_tfidf_topterms,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "hash_sample": q_hash_sample,
-        "train_test_split": q_train_test_split,
-        "multimodal_frames": q_multimodal_frames,
-        "hourly_gap_fill": q_hourly_gap_fill,
-        # ==== position 54+: driver-green in r3/r4 at unchanged semantics =
         "forecast_revenue_change": q_forecast_revenue_change,
         "part_supplier_variety": q_part_supplier_variety,
         "large_volume_customers": q_large_volume_customers,
@@ -3557,35 +3752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": q_customer_order_counts,
         "percentile_by_priority": q_percentile_by_priority,
         "cube_lineitem": q_cube_lineitem,
-        "click_purchase_common_users": q_click_purchase_common_users,
-        "conditional_agg": q_conditional_agg,
-        "big_orders_having": q_big_orders_having,
-        "rich_idle_customers": q_rich_idle_customers,
-        "order_deciles": q_order_deciles,
-        "price_range_frame": q_price_range_frame,
-        "daily_activity": q_daily_activity,
-        "first_event_funnel": q_first_event_funnel,
-        "similar_part_names": q_similar_part_names,
-        "salted_dedup_latest": q_salted_dedup_latest,
-        "sliding_window_counts": q_sliding_window_counts,
-        "order_line_numbers": q_order_line_numbers,
-        "stratified_sample": q_stratified_sample,
-        "unpivot_metrics": q_unpivot_metrics,
-        "order_percent_rank": q_order_percent_rank,
-        "corr_stats": q_corr_stats,
-        "nation_trade_flows": q_nation_trade_flows,
-        "market_share": q_market_share,
-        "profit_by_nation_year": q_profit_by_nation_year,
-        "promo_revenue_share": q_promo_revenue_share,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "returned_item_customers": q_returned_item_customers,
-        "order_count_distribution": q_order_count_distribution,
-        "small_qty_order_revenue": q_small_qty_order_revenue,
-        "dominant_part_suppliers": q_dominant_part_suppliers,
-        "kmeans_assign": q_kmeans_assign,
-        "important_part_volumes": q_important_part_volumes,
-        "brand_filter_revenue": q_brand_filter_revenue,
-        "user_first_last_events": q_user_first_last_events,
         "priority_late_ship_counts": q_priority_late_ship_counts,
         "cohort_retention": q_cohort_retention,
         "price_band_histogram": q_price_band_histogram,
@@ -6237,6 +6403,17 @@ def oracle_sql() -> dict[str, str]:
         _dsir_common
         + "SELECT doc_id, round(w, 6) AS weight FROM wt"
     )
+    # stored-model lane: the models are IDENTICAL to the inline ones when
+    # the shard merge is replay-guarded (shard0 ∪ shard1 = full corpus;
+    # the duplicated shard0 delivery collapses), so the oracle is the
+    # full-corpus weight table restricted to the scored batch — any
+    # double count or stored-model scoring defect shifts every ratio.
+    sql["dsir_incremental_weights"] = (
+        _dsir_common
+        + """SELECT wt.doc_id, round(wt.w, 6) AS weight
+        FROM wt JOIN documents d ON wt.doc_id = d.doc_id
+        WHERE CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) = 1"""
+    )
     _dsir_u = (
         "((("
         + _sql_h60("'dsir:' || CAST(doc_id AS VARCHAR)")
@@ -6323,6 +6500,57 @@ def oracle_sql() -> dict[str, str]:
         FROM customer
         WHERE c_mktsegment = 'MACHINERY'
         GROUP BY c_mktsegment
+    """
+
+    # merge matched-delete: final state = base (orderkey%3=0) minus the
+    # WINNING tombstones (BUILDING custkeys whose seq-3 tombstone beats
+    # the seq-2 live row; the deliberately stale seq-1 tombstones at
+    # orderkey%9=0 lose keep-latest and purge nothing) plus the upserted
+    # disjoint slice (orderkey%3=1).
+    sql["txlog_merge_delete"] = """
+        WITH building AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        base AS (
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 0),
+        kept AS (
+            SELECT * FROM base
+            WHERE NOT (o_custkey IN (SELECT c_custkey FROM building)
+                       AND o_orderkey % 9 <> 0)),
+        ins AS (
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 1),
+        final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+               COUNT(DISTINCT o_custkey) AS n_custkeys
+        FROM final
+    """
+
+    sql["txlog_timestamp_travel"] = """
+        SELECT 1 AS version,
+               (SELECT COUNT(*) FROM part WHERE p_partkey % 3 = 0) AS n_rows
+        UNION ALL
+        SELECT 2 AS version,
+               (SELECT COUNT(*) FROM part WHERE p_partkey % 3 IN (0, 1))
+        UNION ALL
+        SELECT 3 AS version,
+               (SELECT COUNT(*) FROM part WHERE p_partkey % 3 = 2)
+    """
+
+    sql["txlog_convert"] = """
+        WITH base AS (
+            SELECT l_orderkey, l_quantity FROM lineitem),
+        extra AS (
+            SELECT l_orderkey, l_quantity + 100 AS l_quantity FROM lineitem
+            WHERE l_orderkey < 40),
+        allr AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+               TRUE AS pruned
+        FROM allr WHERE l_orderkey < 40
     """
 
     sql["txlog_stream_feed"] = """

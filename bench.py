@@ -122,6 +122,16 @@ TABLES = [
     "txlog_schema_evolution",
 ]
 
+# Round-6 additions (kept OUT of TABLES/SELECTION so those series stay
+# round-over-round comparable): MERGE matched-delete, timestamp travel,
+# zero-copy convert, DSIR stored-model scoring.
+ROUND6 = [
+    "txlog_merge_delete",
+    "txlog_timestamp_travel",
+    "txlog_convert",
+    "dsir_incremental_weights",
+]
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
@@ -135,6 +145,11 @@ def run_series(
     qs = entrymod.queries()
 
     def one_rep(measure: bool) -> float:
+        # machine-load marker (r5 verdict item 8): the 1-minute loadavg
+        # BEFORE each rep makes a driver-side inflated run self-explaining
+        # in the artifact (r5's +12% was uniform machine load, which took
+        # a same-HEAD quiet re-run to prove; now the marker says it)
+        loadavgs.append(round(os.getloadavg()[0], 2))
         t_rep = time.time()
         for name in names:
             t0 = time.time()
@@ -149,6 +164,7 @@ def run_series(
         return round(time.time() - t_rep, 3)
 
     samples: dict[str, list[float]] = {name: [] for name in names}
+    loadavgs: list[float] = []
     warmup_total = one_rep(measure=False)
     rep_totals = [one_rep(measure=True) for _ in range(reps)]
 
@@ -164,6 +180,7 @@ def run_series(
         "rep_totals": rep_totals,
         "warmup_total": warmup_total,
         "min_sum": round(sum(min(xs) for xs in samples.values()), 3),
+        "loadavg": loadavgs,  # 1-min loadavg before warmup + each rep
     }
 
 
@@ -205,6 +222,7 @@ def main() -> None:
             "spread": cur["spread"],
             "rep_totals": cur["rep_totals"],
             "value_min_sum": cur["min_sum"],
+            "loadavg": cur["loadavg"],
         }
         _emit(full, drop=("spread",))
         spark.stop()
@@ -214,6 +232,7 @@ def main() -> None:
     cur = run_series(spark, CURATION, sf_dir, reps)
     sel = run_series(spark, SELECTION, sf_dir, reps)
     tab = run_series(spark, TABLES, sf_dir, reps)
+    r6 = run_series(spark, ROUND6, sf_dir, reps)
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": head["total"],
@@ -225,18 +244,27 @@ def main() -> None:
         "rep_totals": head["rep_totals"],
         "warmup_total": head["warmup_total"],
         "value_min_sum": head["min_sum"],
+        "loadavg": head["loadavg"],
         "curation": cur["queries"],
         "curation_total": cur["total"],
         "curation_spread": cur["spread"],
         "curation_min_sum": cur["min_sum"],
+        "curation_loadavg": cur["loadavg"],
         "selection": sel["queries"],
         "selection_total": sel["total"],
         "selection_spread": sel["spread"],
         "selection_min_sum": sel["min_sum"],
+        "selection_loadavg": sel["loadavg"],
         "tables": tab["queries"],
         "tables_total": tab["total"],
         "tables_spread": tab["spread"],
         "tables_min_sum": tab["min_sum"],
+        "tables_loadavg": tab["loadavg"],
+        "round6": r6["queries"],
+        "round6_total": r6["total"],
+        "round6_spread": r6["spread"],
+        "round6_min_sum": r6["min_sum"],
+        "round6_loadavg": r6["loadavg"],
     }
     _emit(
         full,
@@ -245,6 +273,7 @@ def main() -> None:
             "curation_spread",
             "selection_spread",
             "tables_spread",
+            "round6_spread",
         ),
     )
     spark.stop()

@@ -142,6 +142,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # hard error: a typo'd name must not yield a vacuous green
+        # "all queries match" over fewer queries than intended (r5
+        # verdict item 7 — and round 6 hit exactly this, live)
+        print(f"ERROR: unknown query name(s): {', '.join(sorted(unknown))}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
