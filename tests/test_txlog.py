@@ -1114,3 +1114,51 @@ def test_convert_requires_part_files(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no parquet part files"):
         txlog.convert_to_txlog(spark, empty)
+
+
+def test_write_sink_merge_when_matched_delete_option(spark, tmp_path):
+    """Declarative parity: the metadata-driven merge sink exposes the
+    WHEN MATCHED ... THEN DELETE lane via merge.whenMatchedDelete."""
+    from metadata_driven_data_pipeline_spark.sinks.writer import write_sink
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, seq int"
+    )
+    write_sink(base, {"path": root, "table": "txlog", "saveMode": "append"})
+    upd = spark.createDataFrame(
+        [(2, "DEL", 2), (3, "c", 2)], "k int, v string, seq int"
+    )
+    write_sink(
+        upd,
+        {
+            "path": root,
+            "table": "txlog",
+            "merge": {
+                "keys": ["k"],
+                "orderBy": "seq",
+                "whenMatchedDelete": "v = 'DEL'",
+            },
+        },
+    )
+    got = dict((r["k"], r["v"]) for r in txlog.read_table(spark, root).collect())
+    assert got == {1: "a", 3: "c"}  # key 2 purged, key 3 inserted
+
+
+def test_maintenance_spec_clean_log(spark, tmp_path):
+    """Declarative parity: vacuum.cleanLog in the maintenance spec runs
+    cleanup_log and folds its report into the stage output."""
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(12):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    reports = run_table_maintenance(
+        spark,
+        [{"table": root,
+          "vacuum": {"keepVersions": 2, "minAgeSeconds": 0, "cleanLog": True}}],
+    )
+    assert reports[0]["vacuum"]["log"]["horizon"] == 10
+    assert len(_rows(txlog.read_table(spark, root))) == 12

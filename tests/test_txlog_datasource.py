@@ -329,3 +329,26 @@ def test_batch_cdf_without_since_version_errors(spark, tmp_path):
     txlog.append(spark, _mk(spark, [(1, "a")]), root)
     with pytest.raises(Exception, match="requires sinceVersion"):
         spark.read.format("txlog").option("cdf", "true").load(root).count()
+
+
+def test_stream_or_cdf_read_of_vacuumed_file_is_actionable(spark, tmp_path):
+    """VERDICT r6 #6: a change-feed (or streaming) partition referencing
+    a commit whose data file vacuum() reclaimed must fail with an
+    actionable message, not an empty batch or a bare FileNotFoundError
+    executor trace."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.overwrite(spark, _mk(spark, [(2, "b")]), root)
+    txlog.vacuum(root, keep_versions=1, min_age_seconds=0)  # v1's file gone
+    df = (
+        spark.read.format("txlog")
+        .option("sinceVersion", 0)
+        .load(root)
+    )
+    with pytest.raises(Exception, match="vacuum"):
+        df.collect()
+
+
+def test_version_option_rejects_nonexistent_version(spark, table):
+    with pytest.raises(Exception, match="no snapshot v99"):
+        spark.read.format("txlog").option("version", 99).load(table).collect()
