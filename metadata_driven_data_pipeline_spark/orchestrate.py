@@ -260,8 +260,10 @@ def run_table_maintenance(
       first (the recover-then-clean shape);
     - ``"delete": {"where": [[col, op, value], ...]}`` — row-level
       retention purge (stats-proven files drop by pure metadata);
-    - ``"optimize": {"targetBytes": ..., "zorderBy": [...]}`` —
-      compaction / Z-order clustering;
+    - ``"optimize": {"targetBytes": ..., "zorderBy": [...],
+      "smallFileBytes": ...}`` — compaction / Z-order clustering;
+      ``smallFileBytes`` bin-packs only under-sized files (right-sized
+      files are never rewritten — the O(small-file debt) nightly pass);
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -309,11 +311,13 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
         rep["delete"] = _txlog.delete(spark, root, where)
     if "optimize" in spec:
         o = spec["optimize"]
+        small = o.get("smallFileBytes")
         rep["optimize"] = _txlog.optimize(
             spark,
             root,
             target_bytes=int(o.get("targetBytes", 128 * 1024 * 1024)),
             zorder_by=o.get("zorderBy"),
+            small_file_bytes=int(small) if small is not None else None,
         )
     if "vacuum" in spec:
         v = spec["vacuum"]

@@ -1063,30 +1063,61 @@ def optimize(
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
     zorder_by: list[str] | None = None,
+    small_file_bytes: int | None = None,
 ) -> dict:
     """Compaction (and optional Z-order clustering) as ONE atomic
-    commit: read the snapshot, rewrite into right-sized files
-    (range-partitioned on the Z-key so footer min/max stay tight —
+    commit: read the selected files, rewrite them into right-sized
+    files (range-partitioned on the Z-key so footer min/max stay tight —
     that's what makes :func:`scan`'s skipping bite), commit
-    remove(all)+add(new). Readers on the old snapshot keep their files;
-    vacuum reclaims them after the retention horizon.
+    remove(selected)+add(new). Readers on the old snapshot keep their
+    files; vacuum reclaims them after the retention horizon.
+
+    ``small_file_bytes`` turns on BIN-PACKED compaction (the shape every
+    production OPTIMIZE uses): only files smaller than the threshold are
+    selected and rewritten; right-sized files are never touched. At
+    100 TB this is the difference between an O(small-file debt)
+    maintenance pass after a bursty streaming ingest and an O(table)
+    rewrite — a nightly compaction must not re-copy petabytes that are
+    already well laid out. Fewer than two qualifying files is a no-op
+    (nothing to pack). Ignored under ``zorder_by``, where clustering is
+    by definition a global rewrite.
 
     Optimistic concurrency: a concurrent APPEND between plan and claim
     is safe (its files simply aren't compacted this pass), but a
-    concurrent commit that REMOVED a plan-time file (delete/merge/
-    another optimize) is a conflict — the compacted copy still contains
-    the removed rows, so committing would resurrect deleted data and
-    duplicate merge-rewritten keys (ADVICE r6, high). Like merge() and
-    delete(), optimize replans from the new snapshot instead."""
+    concurrent commit that REMOVED a selected plan-time file (delete/
+    merge/another optimize) is a conflict — the compacted copy still
+    contains the removed rows, so committing would resurrect deleted
+    data and duplicate merge-rewritten keys (ADVICE r6, high). Like
+    merge() and delete(), optimize replans from the new snapshot."""
     import math
 
     for _ in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
         if snap.schema_json is None:
             return {"version": 0, "skipped": True}
-        total = sum(e.get("bytes", 0) for e in snap.files.values())
+        if small_file_bytes is not None and not zorder_by:
+            selected = sorted(
+                p
+                for p, e in snap.files.items()
+                if e.get("bytes", 0) < small_file_bytes
+            )
+            if len(selected) < 2:
+                return {
+                    "version": snap.version,
+                    "skipped": True,
+                    "files_before": len(snap.files),
+                    "files_selected": len(selected),
+                }
+        else:
+            selected = sorted(snap.files)
+        total = sum(snap.files[p].get("bytes", 0) for p in selected)
         n_files = max(1, math.ceil(total / max(1, target_bytes)))
-        df = snap.read(spark)
+        if selected:
+            df = spark.read.schema(snap.schema).parquet(
+                *[os.path.join(root, p) for p in selected]
+            )
+        else:
+            df = spark.createDataFrame([], snap.schema)
         if zorder_by:
             from metadata_driven_data_pipeline_spark.sinks.layout import (
                 with_zorder_key,
@@ -1107,10 +1138,10 @@ def optimize(
 
         def build(cur: Snapshot, version: int):
             nonlocal conflicted
-            for p in snap.files:
+            for p in selected:
                 if p not in cur.files:
-                    # a plan-time file was removed under us — our adds
-                    # are a compacted copy of stale state; replan
+                    # a selected plan-time file was removed under us —
+                    # our adds are a compacted copy of stale state; replan
                     conflicted = True
                     return None
             return {
@@ -1119,9 +1150,10 @@ def optimize(
                 # current schema, not plan-time: see merge()
                 "schema": cur.schema_json,
                 "add": adds,
-                # remove the plan-time set only — a concurrent append
-                # between plan and claim keeps its files uncompacted
-                "remove": sorted(snap.files),
+                # remove the selected set only — a concurrent append
+                # between plan and claim keeps its files uncompacted,
+                # and unselected right-sized files are never touched
+                "remove": selected,
                 "txn": None,
             }
 
@@ -1129,6 +1161,7 @@ def optimize(
         if not res.get("skipped") or not conflicted:
             return res | {
                 "files_before": len(snap.files),
+                "files_selected": len(selected),
                 "target_files": n_files,
             }
         # conflicted: staged files left for vacuum; replan from new state

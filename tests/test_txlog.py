@@ -1162,3 +1162,82 @@ def test_maintenance_spec_clean_log(spark, tmp_path):
     )
     assert reports[0]["vacuum"]["log"]["horizon"] == 10
     assert len(_rows(txlog.read_table(spark, root))) == 12
+
+
+# ------------------------------------------ round 6: bin-packed OPTIMIZE
+
+
+def test_optimize_small_file_bytes_packs_only_small_files(spark, tmp_path):
+    """Bin-packed compaction: only files under the threshold are
+    rewritten; the right-sized file keeps its IDENTITY (same path in the
+    new snapshot — zero data I/O for it), and the table reads back
+    identically."""
+    root = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, "big") for i in range(20000)], "k int, v string"
+    ).coalesce(1)
+    txlog.append(spark, big, root)
+    for i in range(5):
+        txlog.append(spark, _mk(spark, [(100000 + i, f"s{i}")]), root)
+    snap0 = txlog.load_snapshot(root)
+    big_rel = max(snap0.files, key=lambda p: snap0.files[p]["bytes"])
+    threshold = snap0.files[big_rel]["bytes"]  # strictly-below keeps big
+    res = txlog.optimize(
+        spark, root, target_bytes=1 << 30, small_file_bytes=threshold
+    )
+    assert not res.get("skipped")
+    assert res["files_selected"] == 5 and res["files_before"] == 6
+    snap1 = txlog.load_snapshot(root)
+    assert big_rel in snap1.files  # untouched, same physical file
+    assert len(snap1.files) == 2  # big + one packed file
+    assert txlog.read_table(spark, root).count() == 20005
+    small = txlog.read_table(spark, root).filter(F.col("k") >= 100000)
+    assert sorted(r["v"] for r in small.collect()) == [f"s{i}" for i in range(5)]
+
+
+def test_optimize_small_file_bytes_noop_below_two_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    res = txlog.optimize(spark, root, small_file_bytes=1 << 20)
+    assert res["skipped"] and res["files_selected"] == 1
+    assert txlog.load_snapshot(root).version == 1  # no commit written
+
+
+def test_optimize_small_file_conflict_only_on_selected_files(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent delete that removes an UNSELECTED (right-sized) file
+    is NOT a conflict for a bin-packed optimize — the packed copy holds
+    no rows from it; the commit lands first try and the delete stands."""
+    root = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, "big") for i in range(20000)], "k int, v string"
+    ).coalesce(1)
+    txlog.append(spark, big, root)
+    for i in range(3):
+        txlog.append(spark, _mk(spark, [(100000 + i, f"s{i}")]), root)
+    snap0 = txlog.load_snapshot(root)
+    threshold = max(e["bytes"] for e in snap0.files.values())
+
+    real_stage = txlog._stage_files
+    fired = {"done": False}
+
+    def stage_with_race(spark_, df, root_):
+        out = real_stage(spark_, df, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(txlog, "_stage_files", real_stage)
+            # delete lives entirely in the BIG (unselected) file
+            txlog.delete(spark_, root_, [("k", "<", 10000)])
+            monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_files", stage_with_race)
+    res = txlog.optimize(
+        spark, root, target_bytes=1 << 30, small_file_bytes=threshold
+    )
+    monkeypatch.setattr(txlog, "_stage_files", real_stage)
+    assert not res.get("skipped") and res["files_selected"] == 3
+    got = txlog.read_table(spark, root)
+    assert got.filter(F.col("k") < 10000).count() == 0  # delete stands
+    assert got.count() == 20000 - 10000 + 3
