@@ -127,6 +127,7 @@ TABLES = [
 # zero-copy convert, DSIR stored-model scoring.
 ROUND6 = [
     "txlog_merge_delete",
+    "txlog_optimize_compact",
     "txlog_timestamp_travel",
     "txlog_convert",
     "dsir_incremental_weights",
