@@ -265,11 +265,38 @@ def _now_iso() -> str:
 
 
 def _ts_str(timestamp) -> str:
-    if isinstance(timestamp, datetime.datetime):
-        if timestamp.tzinfo is None:
-            timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
-        return timestamp.astimezone(datetime.timezone.utc).isoformat(sep=" ")
-    return str(timestamp)
+    """Normalize a user-supplied instant (datetime, or any ISO-8601
+    string — 'T'-separated, date-only, non-UTC offset) into the log's
+    stored form, so the lexicographic compare in _resolve_timestamp is
+    a true instant compare. Raw pass-through would mis-order
+    '...T10:00' ('T' > ' ') and '+02:00' offsets (review r6 #1)."""
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if timestamp.tzinfo is None:
+        timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
+    return timestamp.astimezone(datetime.timezone.utc).isoformat(sep=" ")
+
+
+def _stamp_ts(root: str, snap: "Snapshot") -> str:
+    """In-commit timestamp, MONOTONIZED in version order: a wall-clock
+    regression (NTP step) between commits would otherwise make AS-OF
+    resolution return a snapshot containing data committed after the
+    requested instant (review r6 #5 — same public fix as Delta's
+    in-commit timestamp monotonization: ts = max(now, prev_ts + 1µs))."""
+    now = _now_iso()
+    if snap.version > 0:
+        try:
+            prev = _read_json(
+                os.path.join(_log_path(root), _commit_name(snap.version))
+            ).get("ts")
+        except FileNotFoundError:
+            prev = None  # checkpoint-only horizon version — no ts to beat
+        if prev is not None and prev >= now:
+            bumped = datetime.datetime.fromisoformat(prev) + datetime.timedelta(
+                microseconds=1
+            )
+            now = bumped.isoformat(sep=" ")
+    return now
 
 
 def _resolve_timestamp(root: str, commits: list[int], timestamp) -> int:
@@ -347,7 +374,15 @@ def load_snapshot(
     for v in range(start, target + 1):
         p = os.path.join(log_dir, _commit_name(v))
         if not os.path.exists(p):
-            continue
+            # versions are claimed contiguously, so a missing commit in
+            # (checkpoint, target] can only mean cleanup_log expired it
+            # between our listing and this read — fail loud and let the
+            # caller retry from a fresh listing, never return a snapshot
+            # silently missing commits (review r6 #3)
+            raise ValueError(
+                f"commit v{v} at {root} disappeared during snapshot load "
+                "(expired by log retention mid-read) — retry the read"
+            )
         c = _read_json(p)
         for r in c.get("remove", []):
             files.pop(r, None)
@@ -483,7 +518,8 @@ def _commit_loop(
         payload = build_payload(snap, version)
         if payload is None:  # idempotent skip (txn replay)
             return {"version": snap.version, "skipped": True}
-        payload.setdefault("ts", _now_iso())  # in-commit timestamp (AS OF)
+        # in-commit timestamp (AS OF), monotonized in version order
+        payload.setdefault("ts", _stamp_ts(root, snap))
         if _try_claim(root, version, payload):
             _maybe_checkpoint(root, version)
             return {
@@ -626,6 +662,9 @@ def commit_staged(
     return _commit_loop(root, build)
 
 
+_CONVERT_MANIFEST = "_convert-manifest.json"
+
+
 def convert_to_txlog(spark: SparkSession, root: str) -> dict:
     """Convert an existing plain-parquet directory into a txlog table
     IN PLACE and ZERO-COPY (the public ``CONVERT TO DELTA`` shape): the
@@ -637,42 +676,105 @@ def convert_to_txlog(spark: SparkSession, root: str) -> dict:
     rewrite's O(bytes) — the only way an existing estate adopts the
     ACID tier without a migration window.
 
+    Crash/race safety (review r6 #4): the full src→dst rename plan plus
+    the schema are first written to ``_convert-manifest.json`` via an
+    O_EXCL create — the put-if-absent claim that serializes concurrent
+    converts (the loser raises before touching any file). Every later
+    step is idempotent against the manifest: a crash mid-rename, after
+    the renames, or after the commit is resumed by simply calling
+    convert_to_txlog again (renames skip already-moved files, the
+    commit is skipped if it exists, the manifest is removed last). No
+    crash point strands the directory in an unrecoverable state.
+
     Flat directories only (the standard non-partitioned Spark output
     layout); ``_SUCCESS``/dot files are left alone. Raises if the
     directory is already a txlog table or holds no part files."""
+    manifest_path = os.path.join(root, _CONVERT_MANIFEST)
     commits, checkpoints = _list_log(root)
-    if commits or checkpoints:
+    if (commits or checkpoints) and not os.path.exists(manifest_path):
         raise ValueError(f"already a txlog table: {root}")
-    parts = sorted(
-        n
-        for n in os.listdir(root)
-        if n.endswith(".parquet") and not n.startswith(("_", "."))
-    )
-    if not parts:
-        raise ValueError(f"no parquet part files to convert at {root}")
-    # schema from the files themselves, read BEFORE the rename
-    schema = spark.read.parquet(root).schema
-    tag = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(root, DATA_DIR)
-    os.makedirs(data_dir, exist_ok=True)
-    moved = []
-    for i, name in enumerate(parts):
-        dst = os.path.join(data_dir, f"{tag}-{i:05d}.parquet")
-        os.rename(os.path.join(root, name), dst)
-        moved.append(dst)
-    adds = _collect_adds(spark, root, moved)
 
-    def build(snap: Snapshot, version: int):
-        return {
-            "version": version,
-            "op": "convert",
-            "schema": schema.json(),
-            "add": adds,
-            "remove": [],
-            "txn": None,
+    if os.path.exists(manifest_path):
+        plan = _read_json(manifest_path)  # resume an interrupted convert
+    else:
+        parts = sorted(
+            n
+            for n in os.listdir(root)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        if not parts:
+            raise ValueError(f"no parquet part files to convert at {root}")
+        # schema from the files themselves, read BEFORE any rename
+        schema_json = spark.read.parquet(root).schema.json()
+        tag = uuid.uuid4().hex[:12]
+        plan = {
+            "schema": schema_json,
+            "moves": [
+                {
+                    "src": name,
+                    "dst": os.path.join(DATA_DIR, f"{tag}-{i:05d}.parquet"),
+                }
+                for i, name in enumerate(parts)
+            ],
         }
+        tmp = os.path.join(root, f".{_CONVERT_MANIFEST}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, manifest_path)  # atomic claim: one converter wins
+        except FileExistsError:
+            raise ValueError(
+                f"another convert_to_txlog is in progress at {root} "
+                "(found _convert-manifest.json)"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
-    return _commit_loop(root, build) | {"files_converted": len(moved)}
+    os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+    moved = []
+    for mv in plan["moves"]:
+        src, dst = os.path.join(root, mv["src"]), os.path.join(root, mv["dst"])
+        try:
+            os.rename(src, dst)
+        except FileNotFoundError:
+            # already moved by an earlier attempt (or a concurrent
+            # resumer executing the SAME manifest plan) — verify
+            if not os.path.exists(dst):
+                raise ValueError(
+                    f"convert resume at {root}: {mv['src']} is missing and "
+                    f"{mv['dst']} was never created — directory was "
+                    "modified outside the conversion"
+                ) from None
+        moved.append(dst)
+
+    snap = load_snapshot(root)
+    if snap.version == 0:  # commit not yet written (normal / resumed path)
+        adds = _collect_adds(spark, root, moved)
+
+        def build(s: Snapshot, version: int):
+            if s.version != 0:
+                # a concurrent resumer of the same manifest won the
+                # commit race — converting twice would duplicate rows
+                return None
+            return {
+                "version": version,
+                "op": "convert",
+                "schema": plan["schema"],
+                "add": adds,
+                "remove": [],
+                "txn": None,
+            }
+
+        res = _commit_loop(root, build)
+    else:  # crash landed between the commit and the manifest cleanup
+        res = {"version": snap.version, "skipped": False}
+    try:
+        os.unlink(manifest_path)  # conversion complete — release the claim
+    except FileNotFoundError:
+        pass  # a concurrent resumer finished cleanup first
+    return res | {"files_converted": len(moved)}
 
 
 # ---------------------------------------------------------------- scan
@@ -794,6 +896,14 @@ def merge(
     keys to purge). Tombstones participate in the same key-range file
     pruning, so a clustered purge still rewrites only boundary files.
 
+    Marker-column convention: batch columns prefixed ``__`` (e.g. a CDC
+    ``__op`` flag the delete predicate tests) are MERGE-LOCAL — visible
+    to ``when_matched_delete`` but never persisted. Against an existing
+    table the projection to the table schema drops them anyway; the
+    convention makes the BOOTSTRAP commit (first-ever merge creates the
+    table) behave identically instead of baking the marker into the
+    table schema forever (review r6 #2).
+
     Optimistic concurrency: losing the version race to a commit whose
     files overlap ours (or whose stats are unknown) rebuilds the merge
     from the new snapshot; a disjoint concurrent append just re-claims.
@@ -819,13 +929,16 @@ def merge(
         snap = load_snapshot(root)
         if snap.schema_json is None:
             # bootstrap: first batch IS the table (tombstones that win
-            # their key's keep-latest ordering insert nothing)
+            # their key's keep-latest ordering insert nothing); __-prefix
+            # marker columns are dropped, mirroring the table-schema
+            # projection every later merge applies
+            data_cols = [c for c in updates.columns if not c.startswith("__")]
             deduped = (
                 dedup_keep_latest(
                     updates.withColumn("__del", del_col), key_cols, order_col
                 )
                 .filter(~F.col("__del"))
-                .drop("__del")
+                .select(*data_cols)
             )
             return append(spark, deduped, root) | {"files_rewritten": 0}
 

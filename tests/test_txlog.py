@@ -1241,3 +1241,147 @@ def test_optimize_small_file_conflict_only_on_selected_files(
     got = txlog.read_table(spark, root)
     assert got.filter(F.col("k") < 10000).count() == 0  # delete stands
     assert got.count() == 20000 - 10000 + 3
+
+
+# ----------------------------------------- round 6: code-review fixes
+
+
+def test_timestamp_travel_normalizes_iso_forms(spark, tmp_path):
+    """Review r6 #1: 'T'-separated ISO-8601 and non-UTC offsets must
+    resolve as INSTANTS, not raw strings ('T' > ' ' would otherwise sort
+    a same-day query above every stored stamp)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    ts_v1 = txlog.history(root)[0]["ts"]  # "YYYY-MM-DD HH:MM:SS.ffffff+00:00"
+    t_form = ts_v1.replace(" ", "T")
+    assert _rows(txlog.read_table(spark, root, timestamp=t_form)) == [(1, "a")]
+    # same instant expressed at +02:00 resolves identically
+    import datetime as _dt
+
+    plus2 = _dt.datetime.fromisoformat(ts_v1).astimezone(
+        _dt.timezone(_dt.timedelta(hours=2))
+    )
+    assert _rows(
+        txlog.read_table(spark, root, timestamp=plus2.isoformat())
+    ) == [(1, "a")]
+
+
+def test_commit_ts_monotonic_under_clock_regression(spark, tmp_path, monkeypatch):
+    """Review r6 #5: a wall-clock step backwards between commits must
+    not produce out-of-order in-commit timestamps (AS-OF would return
+    data committed after the requested instant)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    real_now = txlog._now_iso
+    monkeypatch.setattr(txlog, "_now_iso", lambda: "2001-01-01 00:00:00+00:00")
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)  # clock stepped back
+    monkeypatch.setattr(txlog, "_now_iso", real_now)
+    hist = txlog.history(root)
+    assert hist[0]["ts"] < hist[1]["ts"]  # monotonized, not 2001
+    # AS-OF v1's stamp returns exactly v1 state
+    assert _rows(txlog.read_table(spark, root, timestamp=hist[0]["ts"])) == [
+        (1, "a")
+    ]
+
+
+def test_load_snapshot_raises_when_commit_vanishes_mid_fold(spark, tmp_path):
+    """Review r6 #3: a commit expired between the reader's listing and
+    its fold must raise (retryable), never return a snapshot silently
+    missing commits."""
+    root = str(tmp_path / "t")
+    for i in range(15):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    # simulate the race: checkpoint 10 exists; unlink commit 12 directly
+    os.unlink(os.path.join(root, txlog.LOG_DIR, f"{12:020d}.json"))
+    with pytest.raises(ValueError, match="disappeared during snapshot load"):
+        txlog.load_snapshot(root)
+
+
+def test_merge_bootstrap_drops_marker_columns(spark, tmp_path):
+    """Review r6 #2: a CDC __op marker tested by when_matched_delete on
+    the FIRST-ever merge must not be baked into the table schema."""
+    root = str(tmp_path / "t")
+    updates = spark.createDataFrame(
+        [(1, "a", 1, "U"), (2, "b", 1, "D")],
+        "k int, v string, seq int, __op string",
+    )
+    txlog.merge(
+        spark, updates, root, ["k"], "seq", when_matched_delete="__op = 'D'"
+    )
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "v", "seq"]  # no __op in the table
+    assert _rows(got) == [(1, "a", 1)]
+    # and the SECOND merge with the same batch shape keeps working
+    upd2 = spark.createDataFrame(
+        [(1, "a2", 2, "U"), (3, "c", 2, "U")],
+        "k int, v string, seq int, __op string",
+    )
+    txlog.merge(
+        spark, upd2, root, ["k"], "seq", when_matched_delete="__op = 'D'"
+    )
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a2", 2), (3, "c", 2)]
+
+
+def test_convert_crash_mid_rename_is_resumable(spark, tmp_path):
+    """Review r6 #4: a convert that dies after moving SOME part files is
+    completed by simply re-running convert_to_txlog (manifest-driven
+    resume); a concurrent fresh convert loses the manifest claim."""
+    import json as _json
+
+    root = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string"
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(root)
+    expect_rows = 50
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashy_rename(src, dst):
+        if "_convert-manifest" not in src and calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-rename")
+        if "_convert-manifest" not in src:
+            calls["n"] += 1
+        return real_rename(src, dst)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.rename", side_effect=crashy_rename):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            txlog.convert_to_txlog(spark, root)
+    # directory is mid-flight: manifest exists, some parts moved
+    assert os.path.exists(os.path.join(root, txlog._CONVERT_MANIFEST))
+    res = txlog.convert_to_txlog(spark, root)  # resume completes it
+    assert res["files_converted"] == 4
+    assert not os.path.exists(os.path.join(root, txlog._CONVERT_MANIFEST))
+    assert txlog.read_table(spark, root).count() == expect_rows
+
+
+def test_convert_crash_after_commit_is_resumable(spark, tmp_path, monkeypatch):
+    """Crash between the convert commit and the manifest cleanup: the
+    re-run must NOT commit a second convert (duplicate rows), just
+    release the claim."""
+    root = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "k int, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(root)
+
+    real_unlink = os.unlink
+
+    def crashy_unlink(path):
+        base = os.path.basename(str(path))
+        if base == txlog._CONVERT_MANIFEST:
+            raise RuntimeError("simulated crash before cleanup")
+        return real_unlink(path)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(txlog.os, "unlink", side_effect=crashy_unlink):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            txlog.convert_to_txlog(spark, root)
+    assert txlog.load_snapshot(root).version == 1  # commit landed
+    res = txlog.convert_to_txlog(spark, root)  # releases the claim only
+    assert res["version"] == 1
+    assert txlog.load_snapshot(root).version == 1  # no second commit
+    assert txlog.read_table(spark, root).count() == 30

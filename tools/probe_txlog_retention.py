@@ -75,7 +75,9 @@ def _drive(root: str, n_commits: int, cleanup_every: int | None,
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     every = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    checkpoints = [c for c in (100, 250, 500, 1000, 2000) if c <= n]
+    # always mark n itself so a small n still produces a report instead
+    # of an IndexError on an empty mark list (review r6 #6)
+    checkpoints = sorted({c for c in (100, 250, 500, 1000, 2000) if c < n} | {n})
     base = tempfile.mkdtemp(prefix="txlog_retention_probe_")
     try:
         grow = _drive(os.path.join(base, "grow"), n, None, checkpoints)
