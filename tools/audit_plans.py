@@ -127,6 +127,11 @@ AUDITED = [
     "txlog_change_feed",
     "txlog_delete_purge",
     "txlog_schema_evolution",
+    "txlog_merge_delete",
+    "txlog_timestamp_travel",
+    "txlog_convert",
+    "txlog_optimize_compact",
+    "dsir_incremental_weights",
 ]
 
 
