@@ -1,8 +1,11 @@
 """Model-based property test for the transaction-log table family:
-a random sequence of append / merge / delete / overwrite / optimize /
-restore commits must leave the table equal to a pure-Python dict model
-after EVERY commit, and every retained historical version must
-time-travel to the model's snapshot at that version.
+a random sequence of append / merge / merge-with-tombstones / delete /
+overwrite / optimize (full or bin-packed) / restore / cleanup_log
+commits must leave the table equal to a pure-Python dict model after
+EVERY commit, every retained historical version must time-travel to the
+model's snapshot at that version (by NUMBER and by its recorded
+TIMESTAMP), and versions expired by log retention must drop out of the
+readable set without perturbing anything else.
 
 Appends draw from disjoint key blocks (one clustered file per commit,
 the layout merge's file pruning is designed for), merges upsert
@@ -33,7 +36,16 @@ def _table_rows(spark, root, version=None):
 
 
 _op = st.sampled_from(
-    ["append", "merge", "delete", "overwrite", "optimize", "restore"]
+    [
+        "append",
+        "merge",
+        "merge_delete",
+        "delete",
+        "overwrite",
+        "optimize",
+        "restore",
+        "cleanup",
+    ]
 )
 
 
@@ -87,6 +99,26 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, ops, data):
                 cur = model.get(k)
                 if cur is None or s >= cur[1]:  # update wins order ties
                     model[k] = (v, s)
+        elif op == "merge_delete":
+            if not model:
+                continue
+            pool = sorted(model)
+            del_keys = data.draw(
+                st.lists(st.sampled_from(pool), min_size=1, max_size=3, unique=True),
+                label="tomb_keys",
+            )
+            absent = block * 100
+            block += 1
+            # tombstones for live keys + one for an absent key (no-op)
+            rows = [(k, "DEL", seq) for k in del_keys] + [(absent, "DEL", seq)]
+            rep = txlog.merge(
+                spark, _df(spark, rows), root, ["k"], "seq",
+                when_matched_delete="v = 'DEL'",
+            )
+            for k in del_keys:
+                cur = model.get(k)
+                if cur is None or seq >= cur[1]:  # tombstone wins keep-latest
+                    model.pop(k, None)
         elif op == "delete":
             if not model:
                 continue
@@ -115,8 +147,29 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, ops, data):
         elif op == "optimize":
             if not history:
                 continue
-            rep = txlog.optimize(spark, root, target_bytes=1 << 30)
-            # compaction is content-preserving: model unchanged
+            small = data.draw(
+                st.sampled_from([None, 1000, 1 << 20]), label="binpack"
+            )
+            rep = txlog.optimize(
+                spark, root, target_bytes=1 << 30, small_file_bytes=small
+            )
+            # compaction (full or bin-packed) is content-preserving
+            if rep.get("skipped"):  # <2 qualifying files: commit-free no-op
+                got = _table_rows(spark, root)
+                assert got == {(k, v, s) for k, (v, s) in model.items()}
+                continue
+        elif op == "cleanup":
+            if not history:
+                continue
+            rep = txlog.cleanup_log(root, keep_versions=2)
+            hz = rep.get("horizon")
+            if hz is not None:
+                # versions below the horizon are no longer readable
+                for v in [v for v in history if v < hz]:
+                    del history[v]
+            got = _table_rows(spark, root)  # current read unaffected
+            assert got == {(k, v, s) for k, (v, s) in model.items()}
+            continue  # no new version claimed
         else:  # restore
             if not history:
                 continue
@@ -132,8 +185,14 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, ops, data):
         want = {(k, v, s) for k, (v, s) in model.items()}
         assert got == want, f"divergence after {op} at v{version}"
 
-    # time travel: every committed version still reads as its snapshot
+    # time travel: every RETAINED version still reads as its snapshot,
+    # by version number and by its recorded (monotonized) timestamp
+    stamps = {h["version"]: h["ts"] for h in txlog.history(root)}
     for version, snap in history.items():
         got = _table_rows(spark, root, version=version)
         want = {(k, v, s) for k, (v, s) in snap.items()}
         assert got == want, f"time travel divergence at v{version}"
+        if version in stamps:
+            df = txlog.read_table(spark, root, timestamp=stamps[version])
+            got_ts = {(r["k"], r["v"], r["seq"]) for r in df.collect()}
+            assert got_ts == want, f"AS-OF divergence at v{version}"
