@@ -3630,26 +3630,76 @@ def q_txlog_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO surface — WHEN NOT MATCHED BY SOURCE THEN DELETE
+    (sinks/txlog.py:merge, when_not_matched_by_source_delete — NEW r6):
+    the table holds orders with orderkey%3 ∈ {0,1}; the batch carries
+    %3 ∈ {1,2} at doubled price; the scoped sync clause deletes
+    unmatched target rows (%3 = 0) whose ORIGINAL price is under 100k
+    and keeps the rest — matched keys upsert, new keys insert, all in
+    ONE atomic commit. The oracle recomputes the reconciled state. Cost
+    model is the honest one: this clause examines every live file by
+    construction (any key might be unmatched), so it's the scoped-
+    reconciliation/snapshot-sync lane, not the incremental one."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="txlog_sync_") + "/orders"
+    mod3 = F.col("o_orderkey") % 3
+    base = (
+        orders.filter(mod3.isin(0, 1))
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("seq", F.lit(1))
+    )
+    txlog.append(spark, base.repartition(4), root)
+    batch = (
+        orders.filter(mod3.isin(1, 2))
+        .select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+        .withColumn("seq", F.lit(2))
+    )
+    txlog.merge(
+        spark,
+        batch,
+        root,
+        ["o_orderkey"],
+        "seq",
+        when_not_matched_by_source_delete="o_totalprice < 100000",
+    )
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 162) is additionally
+    the FIRST 50 entries only; every entry (all 163) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-6 window (staleness-ranked, r5 verdict item 2): positions 1-5
+    Round-6 window (staleness-ranked, r5 verdict item 2): positions 1-6
     are NEW this round — the MERGE matched-delete lane
     (txlog_merge_delete), time travel AS OF a timestamp
     (txlog_timestamp_travel), the zero-copy plain-parquet CONVERT
     (txlog_convert), and the DSIR stored-model scoring lane with the
-    shard replay guard (dsir_incremental_weights), and the bin-packed
-    small-file OPTIMIZE lane (txlog_optimize_compact).  Positions 6-12 are
+    shard replay guard (dsir_incremental_weights), the bin-packed
+    small-file OPTIMIZE lane (txlog_optimize_compact), and the WHEN NOT
+    MATCHED BY SOURCE THEN DELETE merge clause (txlog_merge_sync).
+    Positions 7-13 are
     the seven existing txlog entries — their write path changed this
     round (every commit now records ts; optimize gained the
     removed-file conflict check; metadata DELETE now requires a
     known-zero null count; the log gained retention), so they belong in
-    the window.  Positions 13-22 are the ten r1/r2 entries the round-5
+    the window.  Positions 14-23 are the ten r1/r2 entries the round-5
     additions displaced (registry positions 51-60 last round); positions
-    23-50 are the 28 stalest r3 driver-greens, so no entry's driver
+    24-50 are the 27 stalest r3 driver-greens, so no entry's driver
     signal ages past ~3 rounds.  Positions 51+ are driver-green from
     r3-r5 at unchanged semantics (every entry is still locally
     re-certified each round via tools/check_oracle.py)."""
@@ -3661,7 +3711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_convert": q_txlog_convert,
         "dsir_incremental_weights": q_dsir_incremental_weights,
         "txlog_optimize_compact": q_txlog_optimize_compact,
-        # ==== positions 6-12: txlog family — write path changed in r6
+        "txlog_merge_sync": q_txlog_merge_sync,
+        # ==== positions 7-13: txlog family — write path changed in r6
         # ==== (commit ts, optimize conflict check, null-count guard, retention)
         "txlog_merge_state": q_txlog_merge_state,
         "txlog_time_travel": q_txlog_time_travel,
@@ -3670,7 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_stream_feed": q_txlog_stream_feed,
         "txlog_delete_purge": q_txlog_delete_purge,
         "txlog_schema_evolution": q_txlog_schema_evolution,
-        # ==== positions 13-22: the 10 displaced r1/r2 entries (r5 verdict #2)
+        # ==== positions 14-23: the 10 displaced r1/r2 entries (r5 verdict #2)
         "corpus_clean": q_corpus_clean,
         "pii_redact": q_pii_redact,
         "tfidf_topterms": q_tfidf_topterms,
@@ -3681,7 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "multimodal_frames": q_multimodal_frames,
         "hourly_gap_fill": q_hourly_gap_fill,
-        # ==== positions 23-50: the 28 stalest r3 driver-greens
+        # ==== positions 24-50: the 27 stalest r3 driver-greens
         "click_purchase_common_users": q_click_purchase_common_users,
         "conditional_agg": q_conditional_agg,
         "big_orders_having": q_big_orders_having,
@@ -3709,8 +3760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "kmeans_assign": q_kmeans_assign,
         "important_part_volumes": q_important_part_volumes,
-        "brand_filter_revenue": q_brand_filter_revenue,
         # ==== position 51+: driver-green r3-r5 at unchanged semantics =
+        "brand_filter_revenue": q_brand_filter_revenue,
         "user_first_last_events": q_user_first_last_events,
         "bpe_train": q_bpe_train,
         "streaming_cms_monitor": q_streaming_cms_monitor,
@@ -6615,6 +6666,21 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS big_untouched,
                TRUE AS packed
         FROM allr
+    """
+
+    sql["txlog_merge_sync"] = """
+        WITH batch AS (
+            SELECT o_orderkey, o_totalprice * 2 AS p FROM orders
+            WHERE o_orderkey % 3 IN (1, 2)),
+        kept AS (
+            SELECT o_orderkey, o_totalprice AS p FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_totalprice >= 100000),
+        final AS (SELECT p, 2 AS seq FROM batch
+                  UNION ALL SELECT p, 1 AS seq FROM kept)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               MAX(seq) AS max_seq
+        FROM final
     """
 
     sql["txlog_stream_feed"] = """

@@ -130,6 +130,7 @@ ROUND6 = [
     "txlog_optimize_compact",
     "txlog_timestamp_travel",
     "txlog_convert",
+    "txlog_merge_sync",
     "dsir_incremental_weights",
 ]
 

@@ -876,6 +876,7 @@ def merge(
     key_cols: list[str],
     order_col: str,
     when_matched_delete=None,
+    when_not_matched_by_source_delete=None,
 ) -> dict:
     """MERGE INTO, pruned at FILE granularity: only files whose
     ``key_cols[0]`` footer range overlaps the batch's key range are
@@ -895,6 +896,20 @@ def merge(
     (GDPR-style purge-on-match rides on it: send tombstone rows for the
     keys to purge). Tombstones participate in the same key-range file
     pruning, so a clustered purge still rewrites only boundary files.
+
+    ``when_not_matched_by_source_delete`` (``True``, or a Column/SQL
+    predicate over the TARGET row's columns) adds the third MERGE INTO
+    clause — WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: a table
+    row whose key is absent from the batch (and that satisfies the
+    condition, when given) is removed. With ``True`` and a full batch
+    this is snapshot-sync replication (the table converges to exactly
+    the batch); with a condition it is scoped reconciliation. The clause
+    is inherently O(table): EVERY live file must be examined, because
+    any row's key might be absent from the batch — so key-range pruning
+    is disabled for the call, and the docstring cost model is the honest
+    one (full-sync MERGE reads the table once and rewrites it once, in
+    one atomic commit; at 100 TB, prefer scoped conditions or plain
+    upsert+tombstones when the batch is incremental).
 
     Marker-column convention: batch columns prefixed ``__`` (e.g. a CDC
     ``__op`` flag the delete predicate tests) are MERGE-LOCAL — visible
@@ -924,6 +939,15 @@ def merge(
     else:
         del_col = when_matched_delete
     del_col = F.coalesce(del_col.cast("boolean"), F.lit(False))
+    wnm = when_not_matched_by_source_delete
+    if wnm is None:
+        wnm_col = None
+    elif wnm is True:
+        wnm_col = F.lit(True)
+    elif isinstance(wnm, str):
+        wnm_col = F.coalesce(F.expr(wnm).cast("boolean"), F.lit(False))
+    else:
+        wnm_col = F.coalesce(wnm.cast("boolean"), F.lit(False))
 
     for _ in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
@@ -950,7 +974,15 @@ def merge(
                 return True
             return not (st["max"] < lo or st["min"] > hi)
 
-        candidates = sorted(p for p, e in snap.files.items() if overlaps(e))
+        if wnm_col is not None:
+            # not-matched-by-source: ANY row's key might be absent from
+            # the batch, so every live file must be examined — pruning
+            # is structurally impossible for this clause
+            candidates = sorted(snap.files)
+        else:
+            candidates = sorted(
+                p for p, e in snap.files.items() if overlaps(e)
+            )
         upd = updates.withColumn("__del", del_col).select(
             *snap.schema.fieldNames(), "__del"
         )
@@ -961,17 +993,28 @@ def merge(
             # update rows win order_col ties: tag precedence before the
             # keep-latest window; a key whose winning row is a tombstone
             # is dropped entirely
-            merged = (
-                dedup_keep_latest(
-                    existing.withColumn("__del", F.lit(False))
-                    .withColumn("__src", F.lit(0))
-                    .unionByName(upd.withColumn("__src", F.lit(1))),
-                    key_cols,
-                    [order_col, "__src"],
-                )
-                .filter(~F.col("__del"))
-                .drop("__src", "__del")
+            unioned = (
+                existing.withColumn("__del", F.lit(False))
+                .withColumn("__src", F.lit(0))
+                .unionByName(upd.withColumn("__src", F.lit(1)))
             )
+            if wnm_col is not None:
+                # matched = the key appears in the batch; same partition
+                # key as the keep-latest window → one shuffle serves both
+                from pyspark.sql.window import Window
+
+                unioned = unioned.withColumn(
+                    "__matched",
+                    F.max("__src").over(Window.partitionBy(*key_cols)),
+                )
+            merged = dedup_keep_latest(
+                unioned, key_cols, [order_col, "__src"]
+            ).filter(~F.col("__del"))
+            if wnm_col is not None:
+                merged = merged.filter(
+                    ~((F.col("__matched") == 0) & wnm_col)
+                ).drop("__matched")
+            merged = merged.drop("__src", "__del")
         else:
             merged = (
                 dedup_keep_latest(upd, key_cols, order_col)
@@ -988,13 +1031,17 @@ def merge(
             if cur.version != snap.version:
                 # someone committed since we planned: safe only if the
                 # new state still contains exactly our candidate files
-                # and no new file overlaps the batch key range
+                # and no new file overlaps the batch key range (under a
+                # not-matched-by-source clause EVERY new file matters —
+                # its keys might be unmatched and due for deletion)
                 for p in candidates:
                     if p not in cur.files:
                         conflicted = True
                         return None
                 for p, e in cur.files.items():
-                    if p not in snap.files and overlaps(e):
+                    if p not in snap.files and (
+                        wnm_col is not None or overlaps(e)
+                    ):
                         conflicted = True
                         return None
             return {

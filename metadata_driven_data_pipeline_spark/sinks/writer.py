@@ -76,6 +76,11 @@ def write_sink(
                 # WHEN MATCHED ... THEN DELETE: SQL predicate over the
                 # update row — rows satisfying it are delete tombstones
                 when_matched_delete=m.get("whenMatchedDelete"),
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE: true for full
+                # snapshot sync, or a SQL predicate over the target row
+                when_not_matched_by_source_delete=m.get(
+                    "whenNotMatchedBySourceDelete"
+                ),
             )
         elif mode == "append":
             info = txlog.append(

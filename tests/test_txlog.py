@@ -1385,3 +1385,110 @@ def test_convert_crash_after_commit_is_resumable(spark, tmp_path, monkeypatch):
     assert res["version"] == 1
     assert txlog.load_snapshot(root).version == 1  # no second commit
     assert txlog.read_table(spark, root).count() == 30
+
+
+# ---------------------- round 6: WHEN NOT MATCHED BY SOURCE THEN DELETE
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """wnm=True converges the table to exactly the batch: matched keys
+    upsert, unmatched target keys delete, new batch keys insert."""
+    root = str(tmp_path / "t")
+    txlog.append(
+        spark, _mk_seq(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), root
+    )
+    batch = _mk_seq(spark, [(2, "b2", 2), (4, "d", 2)])
+    res = txlog.merge(
+        spark, batch, root, ["k"], "seq",
+        when_not_matched_by_source_delete=True,
+    )
+    assert not res.get("skipped")
+    assert _rows(txlog.read_table(spark, root)) == [(2, "b2", 2), (4, "d", 2)]
+
+
+def test_merge_not_matched_by_source_with_condition(spark, tmp_path):
+    """A condition scopes the deletion to target rows satisfying it;
+    other unmatched rows survive."""
+    root = str(tmp_path / "t")
+    txlog.append(
+        spark,
+        _mk_seq(spark, [(1, "old", 1), (2, "old", 1), (3, "keep", 1)]),
+        root,
+    )
+    batch = _mk_seq(spark, [(2, "b2", 2)])
+    txlog.merge(
+        spark, batch, root, ["k"], "seq",
+        when_not_matched_by_source_delete="v = 'old'",
+    )
+    # key 1: unmatched AND v='old' → deleted; key 3: unmatched, v!='old' → kept
+    assert _rows(txlog.read_table(spark, root)) == [(2, "b2", 2), (3, "keep", 1)]
+
+
+def test_merge_all_three_clauses_compose(spark, tmp_path):
+    """upsert + matched-delete tombstones + not-matched-by-source in one
+    atomic commit (the full MERGE INTO surface)."""
+    root = str(tmp_path / "t")
+    txlog.append(
+        spark, _mk_seq(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), root
+    )
+    batch = _mk_seq(spark, [(2, "DEL", 2), (3, "c2", 2), (5, "e", 2)])
+    txlog.merge(
+        spark, batch, root, ["k"], "seq",
+        when_matched_delete="v = 'DEL'",
+        when_not_matched_by_source_delete=True,
+    )
+    # 1: unmatched → deleted; 2: tombstoned → deleted; 3: upserted; 5: inserted
+    assert _rows(txlog.read_table(spark, root)) == [(3, "c2", 2), (5, "e", 2)]
+
+
+def test_merge_not_matched_by_source_conflicts_on_any_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Under wnm, a concurrent append DISJOINT from the batch key range
+    still forces a replan — its keys are unmatched and due for the sync
+    semantics; the serial outcome is append-then-sync."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk_seq(spark, [(1, "a", 1)]), root)
+
+    real_claim = txlog._try_claim
+    fired = {"done": False}
+
+    def claim_with_race(root_, version, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            txlog.append(spark, _mk_seq(spark, [(999, "late", 1)]), root_)
+        return real_claim(root_, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_claim", claim_with_race)
+    batch = _mk_seq(spark, [(1, "a2", 2)])
+    res = txlog.merge(
+        spark, batch, root, ["k"], "seq",
+        when_not_matched_by_source_delete=True,
+    )
+    monkeypatch.setattr(txlog, "_try_claim", real_claim)
+    assert not res.get("skipped")
+    # serializable: the late row was seen by the replanned sync → deleted
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a2", 2)]
+
+
+def test_write_sink_not_matched_by_source_option(spark, tmp_path):
+    from metadata_driven_data_pipeline_spark.sinks.writer import write_sink
+
+    root = str(tmp_path / "t")
+    write_sink(
+        _mk_seq(spark, [(1, "a", 1), (2, "b", 1)]),
+        {"path": root, "table": "txlog", "saveMode": "append"},
+    )
+    write_sink(
+        _mk_seq(spark, [(2, "b2", 2)]),
+        {
+            "path": root,
+            "table": "txlog",
+            "merge": {
+                "keys": ["k"],
+                "orderBy": "seq",
+                "whenNotMatchedBySourceDelete": True,
+            },
+        },
+    )
+    assert _rows(txlog.read_table(spark, root)) == [(2, "b2", 2)]

@@ -131,6 +131,7 @@ AUDITED = [
     "txlog_timestamp_travel",
     "txlog_convert",
     "txlog_optimize_compact",
+    "txlog_merge_sync",
     "dsir_incremental_weights",
 ]
 
