@@ -5,7 +5,9 @@ Registers the ``txlog`` format with Spark's public Python DataSource API
 the standard reader surface instead of a module-level helper:
 
 - ``spark.read.format("txlog").load(root)`` — snapshot-isolated batch
-  read; ``.option("version", n)`` time-travels. One input partition per
+  read; ``.option("version", n)`` time-travels, and
+  ``.option("timestampAsOf", iso_ts)`` resolves AS OF an instant via
+  the per-commit ``ts`` the log records. One input partition per
   data file; pushed filters (EqualTo/In/comparisons) prune files against
   the per-file min/max stats carried in the commit log BEFORE any file
   is opened — the same skipping :func:`txlog.scan` does, now driven by
@@ -433,12 +435,31 @@ class TxlogDataSource(DataSource):
     def _root(self) -> str:
         return _options_root(self.options)
 
+    def _pinned_version(self) -> int | None:
+        """Resolve version/timestampAsOf options to a pinned version.
+        ``timestampAsOf`` (ISO-8601, same contract as
+        ``read_table(timestamp=...)``) resolves through the per-commit
+        ``ts`` the log records; mutually exclusive with ``version``."""
+        version = self.options.get("version")
+        ts = self.options.get("timestampasof")
+        if ts is not None:
+            if version is not None:
+                raise ValueError(
+                    "txlog: pass version OR timestampAsOf, not both"
+                )
+            snap = txlog.load_snapshot(self._root(), timestamp=ts)
+            return snap.version
+        return int(version) if version is not None else None
+
     def schema(self) -> StructType:
         root = self._root()
-        version = self.options.get("version")
         to_version = self.options.get("toversion")
-        pin = to_version if to_version is not None else version
-        snap = txlog.load_snapshot(root, int(pin) if pin is not None else None)
+        pin = (
+            int(to_version)
+            if to_version is not None
+            else self._pinned_version()
+        )
+        snap = txlog.load_snapshot(root, pin)
         if snap.schema is None:
             raise ValueError(f"not a txlog table (no commits): {root}")
         schema = snap.schema
@@ -463,10 +484,7 @@ class TxlogDataSource(DataSource):
                 "txlog batch read with cdf=true requires sinceVersion "
                 "(use sinceVersion=0 for the full change history)"
             )
-        version = self.options.get("version")
-        return TxlogBatchReader(
-            root, schema, int(version) if version is not None else None
-        )
+        return TxlogBatchReader(root, schema, self._pinned_version())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         root = self._root()

@@ -352,3 +352,30 @@ def test_stream_or_cdf_read_of_vacuumed_file_is_actionable(spark, tmp_path):
 def test_version_option_rejects_nonexistent_version(spark, table):
     with pytest.raises(Exception, match="no snapshot v99"):
         spark.read.format("txlog").option("version", 99).load(table).collect()
+
+
+def test_timestamp_as_of_option(spark, table):
+    """.option('timestampAsOf', ...) resolves through the recorded
+    commit ts — same contract as read_table(timestamp=...)."""
+    ts_v1 = txlog.history(table)[0]["ts"]
+    got = (
+        spark.read.format("txlog")
+        .option("timestampAsOf", ts_v1)
+        .load(table)
+    )
+    assert _rows(got) == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("txlog")
+            .option("timestampAsOf", ts_v1)
+            .option("version", 1)
+            .load(table)
+            .collect()
+        )
+    with pytest.raises(Exception, match="no commit at or before"):
+        (
+            spark.read.format("txlog")
+            .option("timestampAsOf", "1999-01-01")
+            .load(table)
+            .collect()
+        )
