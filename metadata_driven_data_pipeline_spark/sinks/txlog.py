@@ -87,7 +87,13 @@ LOG_DIR = "_txnlog"
 DATA_DIR = "data"
 CHECKPOINT_INTERVAL = 10
 _STATS_DISTRIBUTED_THRESHOLD = 64
-_MAX_COMMIT_RETRIES = 20
+# Optimistic-commit retry budget. Losing a version race costs one
+# metadata reload + rebuild (data files are reused), so the cap is
+# generous: under N concurrent writers a claimant can lose many races
+# in a row when descheduled (observed: 20 straight losses with 6
+# writers on a loaded box), and giving up turns ordinary contention
+# into a user-visible failure. Paired with jittered backoff below.
+_MAX_COMMIT_RETRIES = 200
 
 
 # ---------------------------------------------------------------- naming
@@ -509,8 +515,14 @@ def _commit_loop(
     """Optimistic-concurrency commit: claim ``latest+1``; on losing the
     race, reload and either re-claim (append-style, no conflict
     possible) or let ``check_conflict(snapshot)`` demand a rebuild by
-    returning True (merge/overwrite-style)."""
-    for _ in range(_MAX_COMMIT_RETRIES):
+    returning True (merge/overwrite-style). Lost claims back off with
+    capped exponential jitter so N concurrent writers fan out instead
+    of livelocking in tight claim spins (backoff only shapes TIMING —
+    commit content stays deterministic)."""
+    import random
+    import time as _time
+
+    for attempt in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
         if check_conflict is not None and check_conflict(snap):
             return {"conflict": True, "snapshot": snap}
@@ -529,6 +541,7 @@ def _commit_loop(
                 "files_added": len(payload["add"]),
                 "files_removed": len(payload["remove"]),
             }
+        _time.sleep(random.uniform(0, min(0.1, 0.002 * (2 ** min(attempt, 6)))))
     raise RuntimeError(f"txlog commit contention: {_MAX_COMMIT_RETRIES} retries at {root}")
 
 

@@ -17,8 +17,8 @@ import os
 
 from metadata_driven_data_pipeline_spark.sinks import txlog
 
-N_WRITERS = 6
-COMMITS_PER_WRITER = 8
+N_WRITERS = 8
+COMMITS_PER_WRITER = 12
 
 
 def _schema():
