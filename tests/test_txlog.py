@@ -1068,8 +1068,13 @@ def test_timestamp_time_travel(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
-    # AS OF an instant after the last commit → latest snapshot
-    assert _rows(txlog.read_table(spark, root, timestamp="9999-12-31")) == [
+    # AS OF an instant after the last commit → loud error (Delta's
+    # contract, ADVICE r6): a typo'd future instant must not silently
+    # pin a moving 'latest' snapshot
+    with pytest.raises(ValueError, match="after the latest commit"):
+        txlog.read_table(spark, root, timestamp="9999-12-31")
+    # the exact latest-commit instant still resolves to the latest
+    assert _rows(txlog.read_table(spark, root, timestamp=ts_v3)) == [
         (9, "z")
     ]
     # before the first commit → loud error, not an empty guess
@@ -1492,3 +1497,357 @@ def test_write_sink_not_matched_by_source_option(spark, tmp_path):
         },
     )
     assert _rows(txlog.read_table(spark, root)) == [(2, "b2", 2)]
+
+# ----------------------------------------- round 7: verdict/advice fixes
+
+
+def test_optimize_rejects_small_file_bytes_with_zorder(spark, tmp_path):
+    """VERDICT r6: silently ignoring small_file_bytes under zorder_by
+    hands the caller the O(table) rewrite they opted out of — raise."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    with pytest.raises(ValueError, match="small_file_bytes"):
+        txlog.optimize(
+            spark, root, small_file_bytes=1 << 20, zorder_by=["k"]
+        )
+
+
+def test_stamp_ts_floor_survives_retention_and_clock_regression(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 'what's wrong' #1: once log retention leaves the
+    previous version checkpoint-only, the monotonic floor must come
+    from the ts the checkpoint carries — a wall-clock regression at
+    exactly that boundary must not mint a timestamp below the expired
+    horizon's."""
+    root = str(tmp_path / "t")
+    for i in range(10):  # v10 lands a checkpoint
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    cp = txlog._read_json(
+        os.path.join(root, txlog.LOG_DIR, txlog._checkpoint_name(10))
+    )
+    horizon_ts = cp["ts"]
+    assert horizon_ts is not None  # checkpoints carry the commit ts (r7)
+    txlog.cleanup_log(root, keep_versions=1)
+    # simulate the checkpoint-only horizon (stricter retention/log loss):
+    # load_snapshot explicitly supports a version surviving only as a
+    # checkpoint — this is the exact state the floor fix is for
+    os.unlink(os.path.join(root, txlog.LOG_DIR, txlog._commit_name(10)))
+    assert len(_rows(txlog.read_table(spark, root))) == 10  # still loads
+    # wall clock steps BELOW the horizon's stamp, then a commit lands
+    monkeypatch.setattr(
+        txlog, "_now_iso", lambda: "2001-01-01 00:00:00+00:00"
+    )
+    txlog.append(spark, _mk(spark, [(99, "new")]), root)
+    monkeypatch.undo()
+    new_ts = txlog.history(root)[-1]["ts"]
+    assert new_ts > horizon_ts  # floor held by the checkpoint's ts
+    # AS-OF the new commit's stamp sees ALL 11 rows — ordering across
+    # the cleaned boundary resolves correctly
+    got = txlog.read_table(spark, root, timestamp=new_ts)
+    assert len(_rows(got)) == 11
+
+
+def test_load_snapshot_checkpoint_vanish_mid_read_is_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: a checkpoint reclaimed by a concurrent cleanup_log
+    between listing and read must surface as the retryable retention
+    error, not a raw FileNotFoundError."""
+    root = str(tmp_path / "t")
+    for i in range(10):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+
+    real = txlog._read_json
+
+    def vanish(path):
+        if path.endswith(".checkpoint.json"):
+            raise FileNotFoundError(path)
+        return real(path)
+
+    monkeypatch.setattr(txlog, "_read_json", vanish)
+    with pytest.raises(ValueError, match="retry the read"):
+        txlog.load_snapshot(root)
+
+
+def test_timestamp_resolution_skips_commits_expired_mid_walk(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: _resolve_timestamp and history racing cleanup_log skip
+    the expired (oldest) commits instead of crashing."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        txlog.append(spark, _mk(spark, [(i, "x")]), root)
+    want = txlog.history(root)[-1]["ts"]
+
+    real = txlog._read_json
+
+    def vanish_v1(path):
+        if path.endswith(txlog._commit_name(1)):
+            raise FileNotFoundError(path)
+        return real(path)
+
+    monkeypatch.setattr(txlog, "_read_json", vanish_v1)
+    assert [h["version"] for h in txlog.history(root)] == [2, 3, 4]
+    assert txlog._resolve_timestamp(root, [1, 2, 3, 4], want) == 4
+
+
+def test_datasource_timestamp_option_conflicts_raise(spark, tmp_path):
+    """ADVICE r6: timestampAsOf combined with the version-addressed
+    change-feed options must raise, not be silently ignored."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)
+    ts = txlog.history(root)[0]["ts"]
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((Py4JJavaError, AnalysisException, Exception)) as ei:
+        (
+            spark.read.format("txlog")
+            .option("sinceVersion", 0)
+            .option("timestampAsOf", ts)
+            .load(root)
+            .collect()
+        )
+    assert "cannot be combined" in str(ei.value)
+
+
+# --------------------------------- round 7: Hive-partitioned convert
+
+
+def _mk_hive(spark, tmp_path, name="hive"):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [
+            (i, f"v{i}", i % 3, "eu" if i % 2 else "us")
+            for i in range(60)
+        ],
+        "k int, v string, bucket int, region string",
+    )
+    df.write.partitionBy("region", "bucket").mode("overwrite").parquet(root)
+    return root
+
+
+def test_convert_partitioned_round_trip_and_types(spark, tmp_path):
+    """key=value trees adopt zero-copy: values come back typed from the
+    directory names, rows identical to the pre-conversion read."""
+    root = _mk_hive(spark, tmp_path)
+    expect = _rows(
+        spark.read.parquet(root).select("k", "v", "bucket", "region")
+    )
+    res = txlog.convert_to_txlog(spark, root)
+    assert res["version"] == 1 and res["files_converted"] >= 6
+    got = txlog.read_table(spark, root)
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert dict(got.dtypes)["region"] == "string"
+    assert _rows(got.select("k", "v", "bucket", "region")) == expect
+    # no part files remain outside data/
+    top = [n for n in os.listdir(root) if "=" in n]
+    for d in top:
+        for _, _, fnames in os.walk(os.path.join(root, d)):
+            assert not any(f.endswith(".parquet") for f in fnames)
+
+
+def test_convert_partitioned_stats_prune_partition_predicates(
+    spark, tmp_path
+):
+    """Partition predicates prune adopted files through the one existing
+    stats path — min==max entries derived from the directory values."""
+    root = _mk_hive(spark, tmp_path)
+    n_eu = spark.read.parquet(root).filter("region = 'eu'").count()
+    txlog.convert_to_txlog(spark, root)
+    df, report = txlog.scan(spark, root, where=[("region", "==", "eu")])
+    assert report["files_scanned"] < report["files_total"]
+    assert df.count() == n_eu
+    # conjunction with a non-partition column still applies exactly
+    df2, report2 = txlog.scan(
+        spark, root, where=[("region", "==", "eu"), ("bucket", "==", 1)]
+    )
+    assert report2["files_scanned"] < report["files_scanned"]
+    assert df2.count() == (
+        spark.createDataFrame(
+            [(i,) for i in range(60) if i % 2 and i % 3 == 1], "k int"
+        ).count()
+    )
+
+
+def test_convert_partitioned_then_append_merge_optimize(spark, tmp_path):
+    """Post-adoption writes store partition columns IN the data files —
+    the mixed table (adopted + native files) reads as one DataFrame and
+    every mutation path (append/delete/optimize) works across both."""
+    root = _mk_hive(spark, tmp_path)
+    txlog.convert_to_txlog(spark, root)
+    extra = spark.createDataFrame(
+        [(1000, "new", 9, "apac")], "k int, v string, bucket int, region string"
+    )
+    # column ORDER of the converted schema puts partition cols last —
+    # append with the same order
+    txlog.append(spark, extra.select(*txlog.load_snapshot(root).schema.fieldNames()), root)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 61
+    assert _rows(got.filter("region = 'apac'").select("k")) == [(1000,)]
+    # delete spanning both layouts
+    txlog.delete(spark, root, [("bucket", "==", 0)])
+    got2 = txlog.read_table(spark, root)
+    assert got2.filter("bucket = 0").count() == 0
+    # optimize rewrites into native files; results unchanged
+    before = _rows(got2.select("k", "v", "bucket", "region"))
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    after = txlog.read_table(spark, root)
+    assert _rows(after.select("k", "v", "bucket", "region")) == before
+    snap = txlog.load_snapshot(root)
+    assert not any(e.get("partition") for e in snap.files.values())
+
+
+def test_convert_partitioned_null_partition_value(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "x")], "k int, p string"
+    )
+    df.write.partitionBy("p").mode("overwrite").parquet(root)
+    txlog.convert_to_txlog(spark, root)
+    got = txlog.read_table(spark, root)
+    assert _rows(got) == [(1, None), (2, "x"), (3, "x")]
+    # a predicate on p skips the all-NULL adopted file
+    _, report = txlog.scan(spark, root, where=[("p", "==", "x")])
+    assert report["files_scanned"] < report["files_total"]
+
+
+def test_convert_rejects_mixed_flat_and_partitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k int, p string").write.partitionBy(
+        "p"
+    ).mode("overwrite").parquet(root)
+    # drop a stray flat part file at the top level
+    spark.createDataFrame([(2,)], "k int").write.mode("overwrite").parquet(
+        str(tmp_path / "flat")
+    )
+    import glob
+    import shutil
+
+    stray = glob.glob(str(tmp_path / "flat" / "*.parquet"))[0]
+    shutil.copy(stray, os.path.join(root, "stray.parquet"))
+    with pytest.raises(ValueError, match="inconsistent partition layout"):
+        txlog.convert_to_txlog(spark, root)
+
+
+def test_convert_partitioned_change_feed_and_datasource(spark, tmp_path):
+    """The change feed and the Python DataSource inject the directory-
+    derived values for adopted files (CDF batch + snapshot read)."""
+    root = _mk_hive(spark, tmp_path)
+    expect = _rows(
+        spark.read.parquet(root).select("k", "v", "bucket", "region")
+    )
+    txlog.convert_to_txlog(spark, root)
+    feed = txlog.read_changes(spark, root, since_version=0)
+    assert feed.count() == 60
+    assert _rows(
+        feed.select("k", "v", "bucket", "region")
+    ) == expect
+    assert _rows(feed.select("_commit_op").distinct()) == [("convert",)]
+    got = (
+        spark.read.format("txlog")
+        .load(root)
+        .select("k", "v", "bucket", "region")
+    )
+    assert _rows(got) == expect
+    # partition predicate through the DataSource returns exact results
+    assert (
+        spark.read.format("txlog").load(root).filter("region = 'eu'").count()
+        == sum(1 for i in range(60) if i % 2)
+    )
+
+
+def test_vacuum_walks_partition_subdirectories(spark, tmp_path):
+    """Files adopted under data/key=value/ are reclaimed once
+    unreferenced — vacuum walks the tree instead of listing data/."""
+    root = _mk_hive(spark, tmp_path)
+    txlog.convert_to_txlog(spark, root)
+    n_adopted = len(txlog.load_snapshot(root).files)
+    # rewrite everything into native files; adopted files become history
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    rep = txlog.vacuum(root, keep_versions=1, min_age_seconds=0)
+    assert rep["deleted"] == n_adopted
+    assert len(_rows(txlog.read_table(spark, root))) == 60
+
+
+# ------------------------------------- round 7: commit-claim seam
+
+
+class _ObjectStoreDouble:
+    """In-memory conditional-PUT double (the S3 If-None-Match shape):
+    put_if_absent succeeds iff the key is new. ``race_with`` injects a
+    competing commit immediately BEFORE selected claims — the loser
+    must observe False exactly like a lost link(2)/412 response. Writes
+    through to the real filesystem on success so readers keep working."""
+
+    def __init__(self, race_with=None, race_on_attempt=1):
+        self.keys = set()
+        self.puts = 0
+        self._race = race_with
+        self._race_on = race_on_attempt
+        self._fs = txlog.LocalFSClaimBackend()
+
+    def put_if_absent(self, target, payload):
+        self.puts += 1
+        if self._race is not None and self.puts == self._race_on:
+            self._race()  # concurrent writer claims this version first
+        if target in self.keys or os.path.exists(target):
+            return False  # 412 Precondition Failed
+        ok = self._fs.put_if_absent(target, payload)
+        if ok:
+            self.keys.add(target)
+        return ok
+
+
+def test_commit_claim_seam_swaps_and_handles_injected_race(
+    spark, tmp_path
+):
+    """The optimistic commit loop is store-agnostic: running against a
+    conditional-PUT double (instead of link(2)) with an injected race
+    still serializes — the loser re-folds and lands on the next
+    version, contents equal to the sequential outcome."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+
+    def competing_commit():
+        # runs inside the double, i.e. between build() and the claim —
+        # use the REAL backend so the double doesn't recurse
+        prev = txlog.set_claim_backend(txlog.LocalFSClaimBackend())
+        try:
+            txlog.append(spark, _mk(spark, [(2, "b")]), root)
+        finally:
+            txlog.set_claim_backend(prev)
+
+    double = _ObjectStoreDouble(race_with=competing_commit)
+    prev = txlog.set_claim_backend(double)
+    try:
+        res = txlog.append(spark, _mk(spark, [(3, "c")]), root)
+    finally:
+        txlog.set_claim_backend(prev)
+    # lost attempt + winning retry both went through the seam
+    assert double.puts >= 2
+    assert res["version"] == 3  # the race winner took v2
+    assert _rows(txlog.read_table(spark, root)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_convert_manifest_claim_goes_through_seam(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(root)
+    double = _ObjectStoreDouble()
+    prev = txlog.set_claim_backend(double)
+    try:
+        txlog.convert_to_txlog(spark, root)
+    finally:
+        txlog.set_claim_backend(prev)
+    # manifest claim + convert commit (+ possible checkpoint) all used
+    # the pluggable primitive
+    assert double.puts >= 2
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a")]

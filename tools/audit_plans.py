@@ -133,6 +133,8 @@ AUDITED = [
     "txlog_optimize_compact",
     "txlog_merge_sync",
     "dsir_incremental_weights",
+    "txlog_partitioned_convert",
+    "txlog_column_mapping",
 ]
 
 
