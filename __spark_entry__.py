@@ -3701,12 +3701,19 @@ def q_txlog_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="txlog_hive_") + "/orders"
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
     txlog.convert_to_txlog(spark, root)
-    # post-adoption native append: doubled-price echo of the 2-HIGH slice
+    # post-adoption NATIVE partitioned append (r7 write lane): doubled-
+    # price echo of the 2-HIGH slice, laid out under data/key=value with
+    # the same per-file stats+injection metadata as the adopted files
     extra = orders.filter(
         F.col("o_orderpriority") == "2-HIGH"
     ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
     snap_cols = txlog.load_snapshot(root).schema.fieldNames()
-    txlog.append(spark, extra.select(*snap_cols), root)
+    txlog.append(
+        spark,
+        extra.select(*snap_cols),
+        root,
+        partition_by=["o_orderpriority"],
+    )
     df, rep = txlog.scan(
         spark, root, where=[("o_orderpriority", "==", "2-HIGH")]
     )

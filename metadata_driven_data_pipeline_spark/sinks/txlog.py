@@ -683,30 +683,82 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     os.replace(tmp, os.path.join(log_dir, _checkpoint_name(version)))
 
 
-def _stage_files(spark, df: DataFrame, root: str) -> list[str]:
+def _stage_files(
+    spark, df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write ``df`` once to a staging dir, move the parts into ``data/``
     under commit-unique immutable names. Returns absolute paths. The
     moved files are INVISIBLE until a commit references them — a crash
-    here leaks unreferenced files that vacuum() sweeps, never state."""
+    here leaks unreferenced files that vacuum() sweeps, never state.
+
+    With ``partition_by`` the staging write is ``partitionBy`` and each
+    part keeps its ``key=value`` path under ``data/`` — the same layout
+    (and downstream machinery: min==max stats, reader injection,
+    basePath read leg) a Hive-partitioned :func:`convert_to_txlog`
+    adoption produces. Use :func:`_partition_values_of` on the returned
+    paths to recover each file's values."""
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging-{tag}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     data_dir = os.path.join(root, DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     out = []
-    parts = sorted(
-        n
-        for n in os.listdir(staging)
-        if n.endswith(".parquet") and not n.startswith(("_", "."))
-    )
-    for i, name in enumerate(parts):
-        dst = os.path.join(data_dir, f"{tag}-{i:05d}.parquet")
-        os.rename(os.path.join(staging, name), dst)
-        out.append(dst)
+    if partition_by:
+        parts, _keys = _discover_convert_parts(staging)
+        for i, p in enumerate(parts):
+            dst_dir = os.path.join(data_dir, *p["dirs"])
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{tag}-{i:05d}.parquet")
+            os.rename(os.path.join(staging, p["src"]), dst)
+            out.append(dst)
+    else:
+        parts = sorted(
+            n
+            for n in os.listdir(staging)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        for i, name in enumerate(parts):
+            dst = os.path.join(data_dir, f"{tag}-{i:05d}.parquet")
+            os.rename(os.path.join(staging, name), dst)
+            out.append(dst)
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
     return out
+
+
+def _partition_values_of(root: str, path: str, schema: StructType) -> dict:
+    """Typed ``{physical col: value}`` parsed from a data file's
+    ``key=value`` path components under ``data/`` (empty for flat
+    files). ``schema`` must be the PHYSICAL schema of the write."""
+    rel = os.path.relpath(path, os.path.join(root, DATA_DIR))
+    by_name = {f.name: f.dataType for f in schema.fields}
+    pvals = {}
+    for comp in os.path.dirname(rel).split(os.sep):
+        if "=" not in comp:
+            continue
+        col, raw = comp.split("=", 1)
+        pvals[col] = _parse_partition_value(raw, by_name[col])
+    return pvals
+
+
+def _apply_partition_entry(add: dict, pvals: dict) -> None:
+    """Record directory-derived partition values on an add entry: the
+    file itself doesn't CONTAIN those columns, so they ride as a reader
+    injection dict plus exact min==max stats (NULL partition → all-NULL
+    stats) that prune through the one existing _file_may_match path."""
+    if not pvals:
+        return
+    add["partition"] = pvals
+    for col, val in pvals.items():
+        add["stats"][col] = (
+            {"min": val, "max": val, "nulls": 0}
+            if val is not None
+            else {"nulls": add["rows"]}
+        )
 
 
 def _commit_loop(
@@ -805,6 +857,7 @@ def append(
     root: str,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Atomic append. With ``txn=(app_id, batch_id)``, an already-
     committed batch is skipped — exactly-once under at-least-once
@@ -815,7 +868,16 @@ def append(
     batch columns the table lacks are added as nullable fields (historic
     files read them as NULL — snapshot isolation and time travel are
     unaffected); batch-missing table columns read as NULL from the new
-    files the same way. Type changes on an existing column always raise."""
+    files the same way. Type changes on an existing column always raise.
+
+    ``partition_by`` writes this batch Hive-partitioned (r7): parts land
+    under ``data/key=value/`` with the values recorded as exact
+    min==max stats + reader injection — the SAME per-file metadata a
+    partitioned :func:`convert_to_txlog` adoption produces, so pruning
+    and the two-leg read need no new machinery. Per-commit and purely
+    physical: the schema is unchanged, later batches may partition
+    differently or not at all, and ``optimize``/``merge`` rewrites fold
+    the columns back into the data files."""
     snap0 = load_snapshot(root)
     if txn is not None and snap0.txns.get(txn[0], -1) >= txn[1]:
         return {"version": snap0.version, "skipped": True}
@@ -826,8 +888,24 @@ def append(
     # stage under PHYSICAL column names (identity unless the table has
     # renamed columns) — safe against concurrent schema commits because
     # physical names are frozen at column birth and never change
-    staged = _stage_files(spark, _to_physical_df(df, snap0.schema), root)
+    pdf = _to_physical_df(df, snap0.schema)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"append partition_by: {missing} not in batch")
+        pmap = (
+            _logical_to_physical(snap0.schema) if snap0.schema_json else {}
+        )
+        ppart = [pmap.get(c, c) for c in partition_by]
+    else:
+        ppart = None
+    staged = _stage_files(spark, pdf, root, ppart)
     adds = _collect_adds(spark, root, staged)
+    if ppart:
+        for add, path in zip(adds, staged):
+            _apply_partition_entry(
+                add, _partition_values_of(root, path, pdf.schema)
+            )
 
     def build(snap: Snapshot, version: int):
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -846,11 +924,27 @@ def append(
     return _commit_loop(root, build)
 
 
-def overwrite(spark: SparkSession, df: DataFrame, root: str) -> dict:
+def overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+) -> dict:
     """Atomic whole-table replace (remove every live file, add the new
-    set). Readers see the old table until the instant the commit lands."""
-    staged = _stage_files(spark, df, root)
+    set). Readers see the old table until the instant the commit lands.
+    ``partition_by`` lays the new generation out Hive-partitioned —
+    same per-file metadata as :func:`append`'s partitioned lane."""
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"overwrite partition_by: {missing} not in batch")
+    staged = _stage_files(spark, df, root, partition_by)
     adds = _collect_adds(spark, root, staged)
+    if partition_by:
+        for add, path in zip(adds, staged):
+            _apply_partition_entry(
+                add, _partition_values_of(root, path, df.schema)
+            )
 
     def build(snap: Snapshot, version: int):
         return {
@@ -1174,20 +1268,7 @@ def convert_to_txlog(spark: SparkSession, root: str) -> dict:
     if snap.version == 0:  # commit not yet written (normal / resumed path)
         adds = _collect_adds(spark, root, moved)
         for add, mv in zip(adds, plan["moves"]):
-            pvals = mv.get("partition")
-            if not pvals:
-                continue
-            # adopted files don't CONTAIN the partition columns — record
-            # the directory-derived values per file (reader injection)
-            # and as exact min==max stats so _file_may_match prunes
-            # partition predicates through the one existing path
-            add["partition"] = pvals
-            for col, val in pvals.items():
-                add["stats"][col] = (
-                    {"min": val, "max": val, "nulls": 0}
-                    if val is not None
-                    else {"nulls": add["rows"]}
-                )
+            _apply_partition_entry(add, mv.get("partition") or {})
 
         def build(s: Snapshot, version: int):
             if s.version != 0:

@@ -1851,3 +1851,96 @@ def test_convert_manifest_claim_goes_through_seam(spark, tmp_path):
     # the pluggable primitive
     assert double.puts >= 2
     assert _rows(txlog.read_table(spark, root)) == [(1, "a")]
+
+
+# ------------------------------------- round 7: partitioned write path
+
+
+def test_append_partition_by_layout_pruning_and_read(spark, tmp_path):
+    """Native partitioned writes: parts land under data/key=value with
+    the same per-file metadata as adopted files — pruning, injection,
+    and the two-leg read all reuse the convert machinery."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "eu" if i % 2 else "us") for i in range(40)],
+        "k int, v string, region string",
+    )
+    txlog.append(spark, df, root, partition_by=["region"])
+    # physical layout: key=value under data/
+    snap = txlog.load_snapshot(root)
+    assert all(
+        rel.startswith(os.path.join(txlog.DATA_DIR, "region="))
+        for rel in snap.files
+    )
+    assert all(e.get("partition") for e in snap.files.values())
+    # round trip (partition col injected from dirs)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 40 and got.filter("region = 'eu'").count() == 20
+    # stats pruning on the partition column
+    _, rep = txlog.scan(spark, root, where=[("region", "==", "eu")])
+    assert rep["files_scanned"] < rep["files_total"]
+    # python DataSource reads it too
+    assert (
+        spark.read.format("txlog").load(root).filter("region = 'us'").count()
+        == 20
+    )
+    # a later flat append mixes fine
+    txlog.append(
+        spark,
+        spark.createDataFrame([(100, "x", "apac")], "k int, v string, region string"),
+        root,
+    )
+    assert txlog.read_table(spark, root).count() == 41
+    with pytest.raises(ValueError, match="not in batch"):
+        txlog.append(spark, df, root, partition_by=["nope"])
+
+
+def test_overwrite_partition_by_and_optimize_folds_back(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k int, b int"
+    )
+    txlog.append(spark, df, root)
+    txlog.overwrite(spark, df, root, partition_by=["b"])
+    got = txlog.read_table(spark, root)
+    assert got.count() == 30 and dict(got.dtypes)["b"] == "int"
+    # optimize rewrites into flat files carrying the column in-data
+    txlog.optimize(spark, root, target_bytes=1 << 30)
+    snap = txlog.load_snapshot(root)
+    assert not any(e.get("partition") for e in snap.files.values())
+    assert _rows(txlog.read_table(spark, root)) == _rows(df)
+
+
+def test_append_partition_by_null_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, None), (2, "x")], "k int, p string")
+    txlog.append(spark, df, root, partition_by=["p"])
+    assert _rows(txlog.read_table(spark, root)) == [(1, None), (2, "x")]
+    _, rep = txlog.scan(spark, root, where=[("p", "==", "x")])
+    assert rep["files_scanned"] < rep["files_total"]
+
+
+def test_append_partition_by_renamed_column_uses_physical_dirs(
+    spark, tmp_path
+):
+    """partition_by takes LOGICAL names; the directory layout uses the
+    frozen physical name so one stats keyspace holds across renames."""
+    root = str(tmp_path / "t")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(1, "eu")], "k int, region string"),
+        root,
+    )
+    txlog.rename_column(root, "region", "zone")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(2, "us"), (3, "eu")], "k int, zone string"),
+        root,
+        partition_by=["zone"],
+    )
+    snap = txlog.load_snapshot(root)
+    parted = [rel for rel, e in snap.files.items() if e.get("partition")]
+    assert parted and all("region=" in rel for rel in parted)
+    got = txlog.read_table(spark, root)
+    assert _rows(got) == [(1, "eu"), (2, "us"), (3, "eu")]
+    assert got.filter("zone = 'eu'").count() == 2
