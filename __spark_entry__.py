@@ -3687,10 +3687,13 @@ def q_txlog_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory-derived partition value as exact min==max stats plus a
     reader-injection dict. The ``pruned`` flag pins that a partition
     predicate skips files through the SAME stats path as any other
-    predicate; a post-adoption append (partition column stored IN the
-    file) proves the mixed table reads as one DataFrame — the JVM plan
-    is exactly TWO legs (basePath partition discovery + flat), never a
-    per-partition union. The oracle recomputes both generations."""
+    predicate. Two post-adoption appends cover both write lanes: a
+    FLAT append (partition column stored IN the data file, 2x price)
+    and a NATIVE PARTITIONED append (``partition_by=`` —
+    directory-derived values, same metadata as adoption, 3x price), so
+    the certified aggregate unions all three file generations — one
+    basePath-discovery leg per layout plus a flat leg, never a
+    per-partition union. The oracle recomputes all three."""
     import tempfile
 
     from metadata_driven_data_pipeline_spark.sinks import txlog
@@ -3701,16 +3704,21 @@ def q_txlog_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="txlog_hive_") + "/orders"
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
     txlog.convert_to_txlog(spark, root)
-    # post-adoption NATIVE partitioned append (r7 write lane): doubled-
-    # price echo of the 2-HIGH slice, laid out under data/key=value with
-    # the same per-file stats+injection metadata as the adopted files
-    extra = orders.filter(
-        F.col("o_orderpriority") == "2-HIGH"
-    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
     snap_cols = txlog.load_snapshot(root).schema.fieldNames()
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    # flat append: partition column stored IN the data file (2x price)
     txlog.append(
         spark,
-        extra.select(*snap_cols),
+        high.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select(*snap_cols),
+        root,
+    )
+    # native partitioned append (r7 write lane): directory-derived
+    # values under data/key=value, same metadata as adoption (3x price)
+    txlog.append(
+        spark,
+        high.withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .select(*snap_cols),
         root,
         partition_by=["o_orderpriority"],
     )
@@ -6859,6 +6867,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority = '2-HIGH'
             UNION ALL
             SELECT o_totalprice * 2 AS o_totalprice FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+            UNION ALL
+            SELECT o_totalprice * 3 AS o_totalprice FROM orders
             WHERE o_orderpriority = '2-HIGH')
         SELECT COUNT(*) AS n_rows,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -330,17 +330,19 @@ def _read_files(
     read through Spark's own partition discovery (``basePath``), which
     types the partition columns from the declared schema AND prunes
     them JVM-side (PartitionFilters). Files that physically contain
-    every column (normal appends/rewrites) read directly. At most TWO
-    plan legs regardless of partition count — never a per-partition
-    union."""
+    every column (normal appends/rewrites) read directly. Plan legs =
+    one per distinct partition-key layout plus one flat leg — bounded
+    by the handful of layouts ever written, never by partition count."""
     flat = [p for p in rel_paths if not files[p].get("partition")]
     parted = [p for p in rel_paths if files[p].get("partition")]
     # files store PHYSICAL column names (frozen at column birth); read
-    # physical, rename positionally back to this snapshot's logical
-    # names — which is exactly what makes rename_column a metadata-only
-    # commit and time travel resolve each version under its own mapping
+    # physical, project back to this snapshot's logical names BY NAME —
+    # which is exactly what makes rename_column a metadata-only commit
+    # and time travel resolve each version under its own mapping.
+    # By-name (never positional): the basePath partition-discovery leg
+    # returns partition columns LAST regardless of schema order, so a
+    # positional rename would silently relabel columns (review r7 #1).
     phys = _physical_schema(schema)
-    renamed = phys.fieldNames() != schema.fieldNames()
     legs = []
     if flat:
         legs.append(
@@ -349,17 +351,33 @@ def _read_files(
             )
         )
     if parted:
-        legs.append(
-            spark.read.schema(phys)
-            .option("basePath", os.path.join(root, DATA_DIR))
-            .parquet(*(os.path.join(root, p) for p in parted))
-        )
+        # one discovery leg PER PARTITION-KEY LAYOUT: feeding files of
+        # different key=value layouts (appends partitioned by different
+        # columns) into one partition discovery raises
+        # CONFLICTING_PARTITION_COLUMN_NAMES (review r7 #3). Leg count
+        # is bounded by the number of distinct layouts ever written,
+        # never by partition count.
+        by_layout: dict[tuple, list[str]] = {}
+        for p in parted:
+            sig = tuple(files[p]["partition"].keys())
+            by_layout.setdefault(sig, []).append(p)
+        for sig in sorted(by_layout):
+            legs.append(
+                spark.read.schema(phys)
+                .option("basePath", os.path.join(root, DATA_DIR))
+                .parquet(*(os.path.join(root, p) for p in by_layout[sig]))
+            )
     if not legs:
         return spark.createDataFrame([], schema)
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    return out.toDF(*schema.fieldNames()) if renamed else out
+    return out.select(
+        *[
+            F.col(pf.name).alias(f.name)
+            for pf, f in zip(phys.fields, schema.fields)
+        ]
+    )
 
 
 def _read_json(path: str) -> dict:
@@ -543,6 +561,15 @@ def load_snapshot(
             files[a["path"]] = a
         if c.get("schema"):
             schema_json = c["schema"]
+        if c.get("op") == "overwrite":
+            # whole-table replace removes every pre-existing data file,
+            # so no historic physical name can leak into the new
+            # generation — column-mapping history resets, making the
+            # "overwrite() to reset" remedy in the schema-evolution
+            # error real (review r7 #4). Time travel below the
+            # overwrite still resolves under each snapshot's own
+            # mapping/retired state.
+            retired = set()
         retired.update(c.get("retired") or [])
         t = c.get("txn")
         if t:
@@ -708,6 +735,22 @@ def _stage_files(
     out = []
     if partition_by:
         parts, _keys = _discover_convert_parts(staging)
+        if not parts:
+            # the walker prunes _/.-prefixed directories (Spark's own
+            # hidden-path convention) — if the staged write produced
+            # parquet anywhere we failed to discover it, raising beats
+            # silently committing an empty batch (review r7 #2)
+            import glob as _glob
+
+            stray = _glob.glob(
+                os.path.join(staging, "**", "*.parquet"), recursive=True
+            )
+            if stray:
+                raise ValueError(
+                    "partitioned staging produced part files the layout "
+                    f"walker cannot adopt (e.g. {os.path.relpath(stray[0], staging)!r}) "
+                    "— partition column names must not start with '_' or '.'"
+                )
         for i, p in enumerate(parts):
             dst_dir = os.path.join(data_dir, *p["dirs"])
             os.makedirs(dst_dir, exist_ok=True)
@@ -728,6 +771,21 @@ def _stage_files(
 
     shutil.rmtree(staging, ignore_errors=True)
     return out
+
+
+def _check_partition_by(partition_by: list[str], columns, op: str) -> None:
+    missing = [c for c in partition_by if c not in columns]
+    if missing:
+        raise ValueError(f"{op} partition_by: {missing} not in batch")
+    hidden = [c for c in partition_by if c.startswith(("_", "."))]
+    if hidden:
+        # Spark's own path listing treats _/.-prefixed paths as hidden,
+        # so a key=value directory under such a name is unreadable by
+        # design — refuse up front (review r7 #2)
+        raise ValueError(
+            f"{op} partition_by: column names starting with '_' or '.' "
+            f"cannot be partition directories ({hidden})"
+        )
 
 
 def _partition_values_of(root: str, path: str, schema: StructType) -> dict:
@@ -890,9 +948,7 @@ def append(
     # physical names are frozen at column birth and never change
     pdf = _to_physical_df(df, snap0.schema)
     if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
-        if missing:
-            raise ValueError(f"append partition_by: {missing} not in batch")
+        _check_partition_by(partition_by, df.columns, "append")
         pmap = (
             _logical_to_physical(snap0.schema) if snap0.schema_json else {}
         )
@@ -935,9 +991,7 @@ def overwrite(
     ``partition_by`` lays the new generation out Hive-partitioned —
     same per-file metadata as :func:`append`'s partitioned lane."""
     if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
-        if missing:
-            raise ValueError(f"overwrite partition_by: {missing} not in batch")
+        _check_partition_by(partition_by, df.columns, "overwrite")
     staged = _stage_files(spark, df, root, partition_by)
     adds = _collect_adds(spark, root, staged)
     if partition_by:

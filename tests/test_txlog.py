@@ -1944,3 +1944,82 @@ def test_append_partition_by_renamed_column_uses_physical_dirs(
     got = txlog.read_table(spark, root)
     assert _rows(got) == [(1, "eu"), (2, "us"), (3, "eu")]
     assert got.filter("zone = 'eu'").count() == 2
+
+
+# --------------------------------- round 7: code-review fixes
+
+
+def test_read_projects_by_name_not_position(spark, tmp_path):
+    """Review r7 #1: the basePath discovery leg returns partition
+    columns LAST — a positional rename would silently relabel columns.
+    Partition column in the MIDDLE of the schema + a rename is the
+    reproducer: values must come back under the right names."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 42, "P1"), (2, 43, "P2")], "k int, p int, v string"
+    )
+    txlog.append(spark, df, root, partition_by=["p"])
+    txlog.rename_column(root, "k", "id")
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["id", "p", "v"]
+    assert _rows(got) == [(1, 42, "P1"), (2, 43, "P2")]
+    sdf, _ = txlog.scan(spark, root, where=[("v", "==", "P1")])
+    assert _rows(sdf) == [(1, 42, "P1")]
+    # column order matches the declared schema even without a rename
+    root2 = str(tmp_path / "t2")
+    txlog.append(spark, df, root2, partition_by=["p"])
+    assert txlog.read_table(spark, root2).columns == ["k", "p", "v"]
+
+
+def test_mixed_partition_layouts_read_as_separate_legs(spark, tmp_path):
+    """Review r7 #3: appends partitioned by DIFFERENT columns must not
+    feed one conflicting partition discovery — one leg per layout."""
+    root = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "x", "eu")], "k int, a string, b string")
+    df2 = spark.createDataFrame([(2, "y", "us")], "k int, a string, b string")
+    txlog.append(spark, df1, root, partition_by=["a"])
+    txlog.append(spark, df2, root, partition_by=["b"])
+    txlog.append(  # plus a flat generation
+        spark,
+        spark.createDataFrame([(3, "z", "apac")], "k int, a string, b string"),
+        root,
+    )
+    got = txlog.read_table(spark, root)
+    assert _rows(got) == [(1, "x", "eu"), (2, "y", "us"), (3, "z", "apac")]
+    # scan + delete still work across the mixed layouts
+    sdf, _ = txlog.scan(spark, root, where=[("a", "==", "y")])
+    assert _rows(sdf) == [(2, "y", "us")]
+    txlog.delete(spark, root, [("k", "==", 1)])
+    assert txlog.read_table(spark, root).count() == 2
+
+
+def test_partition_by_hidden_column_name_rejected(spark, tmp_path):
+    """Review r7 #2: Spark's path listing treats _/.-prefixed paths as
+    hidden — such partition directories would silently lose the batch."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, _grp string")
+    with pytest.raises(ValueError, match="cannot be partition"):
+        txlog.append(spark, df, root, partition_by=["_grp"])
+    # nothing was committed or staged-and-lost
+    assert txlog.load_snapshot(root).version == 0
+
+
+def test_overwrite_resets_column_mapping_history(spark, tmp_path):
+    """Review r7 #4: the schema-evolution error advertises overwrite()
+    as the reset — make it real: a retired physical name is reusable
+    after a whole-table replace (no old file survives to leak data)."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)
+    txlog.drop_column(root, "v")
+    with pytest.raises(ValueError, match="used physically"):
+        txlog.append(spark, _mk(spark, [(2, "x")]), root, merge_schema=True)
+    txlog.overwrite(spark, spark.createDataFrame([(9,)], "k int"), root)
+    # the documented remedy now works
+    txlog.append(spark, _mk(spark, [(10, "fresh")]), root, merge_schema=True)
+    assert _rows(txlog.read_table(spark, root)) == [(9, None), (10, "fresh")]
+    # and survives a checkpointed fold
+    for i in range(11, 22):
+        txlog.append(
+            spark, _mk(spark, [(i, "z")]), root
+        )
+    assert txlog.load_snapshot(root).retired == set()
