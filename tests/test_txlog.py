@@ -2023,3 +2023,81 @@ def test_overwrite_resets_column_mapping_history(spark, tmp_path):
             spark, _mk(spark, [(i, "z")]), root
         )
     assert txlog.load_snapshot(root).retired == set()
+
+
+def test_partitioned_plan_legs_independent_of_partition_count(spark, tmp_path):
+    """Scale shape: a partitioned table plans ONE scan leg per distinct
+    partition layout (+1 for flat files) — never one per partition.
+    60 partition values, 3 generations → exactly 3 'Scan parquet'
+    nodes, and a partition predicate reaches the discovery leg as a
+    JVM-side PartitionFilter."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 60, f"g{i % 4}") for i in range(240)],
+        "k int, bucket int, grp string",
+    )
+    txlog.append(spark, df, root, partition_by=["bucket"])   # 60 dirs
+    txlog.append(spark, df, root, partition_by=["grp"])      # 4 dirs
+    txlog.append(spark, df.limit(5), root)                   # flat
+    got = txlog.read_table(spark, root)
+    assert got.count() == 485
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    # formatted explain lists each node in the tree AND a detail
+    # section — count the detail headers only
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)
+    assert len(scans) == 3  # one per layout + flat
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        got.filter("bucket = 7").explain("formatted")
+    assert "PartitionFilters: [isnotnull(bucket" in buf2.getvalue()
+
+
+def test_merge_into_partitioned_table(spark, tmp_path):
+    """MERGE key-range pruning + rewrite across directory-partitioned
+    files: candidates read through the discovery leg, rewrites land
+    flat with the partition column folded into the data."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "eu" if i % 2 else "us", 1) for i in range(40)],
+        "k int, v string, region string, seq int",
+    )
+    txlog.append(spark, df, root, partition_by=["region"])
+    upd = spark.createDataFrame(
+        [(3, "NEW", "eu", 2), (100, "ins", "apac", 2)],
+        "k int, v string, region string, seq int",
+    )
+    txlog.merge(spark, upd, root, ["k"], "seq")
+    got = txlog.read_table(spark, root)
+    assert got.count() == 41
+    assert _rows(got.filter("k = 3").select("v")) == [("NEW",)]
+    assert _rows(got.filter("k = 100").select("region")) == [("apac",)]
+
+
+def test_restore_across_rename_resolves_old_schema(spark, tmp_path):
+    """RESTORE to a pre-rename version brings back that snapshot's
+    schema (old logical names) as a new auditable commit; the rename
+    remains time-travelable above it."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)  # v1
+    txlog.rename_column(root, "v", "value")  # v2
+    txlog.append(
+        spark, spark.createDataFrame([(2, "b")], "k int, value string"), root
+    )  # v3
+    txlog.restore(spark, root, 1)  # v4
+    got = txlog.read_table(spark, root)
+    assert got.columns == ["k", "v"] and _rows(got) == [(1, "a")]
+    # the renamed era is still readable above the restore
+    v3 = txlog.read_table(spark, root, version=3)
+    assert v3.columns == ["k", "value"]
+    assert _rows(v3) == [(1, "a"), (2, "b")]
+    # and writes after the restore use the restored names
+    txlog.append(spark, _mk(spark, [(5, "e")]), root)
+    assert _rows(txlog.read_table(spark, root)) == [(1, "a"), (5, "e")]
