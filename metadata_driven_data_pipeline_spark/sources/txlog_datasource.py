@@ -19,7 +19,12 @@ the standard reader surface instead of a module-level helper:
   streaming source over the commit log. Offsets ARE commit versions, so
   a checkpoint restart resumes exactly after the last planned version
   (exactly-once with an idempotent/txn sink). ``.option("cdf", "true")``
-  adds the commit columns.
+  adds the commit columns. ``.option("skipChangeCommits", "true")``
+  (r8) excludes file-removing commits (merge/delete/optimize/restore/
+  overwrite) from every batch so ADDITIVE consumers never double-count
+  rewritten rows; the default re-emits rewritten files (ignoreChanges
+  semantics — safe for keep-latest consumers). Works on the batch
+  change feed (``sinceVersion``) too.
 - ``df.write.format("txlog").mode("append"|"overwrite").save(root)`` —
   executor tasks stage one parquet file each directly into ``data/``
   (invisible until referenced), and the driver-side commit folds every
@@ -251,15 +256,19 @@ class TxlogChangeFeedReader(DataSourceReader):
         schema: StructType,
         since_version: int,
         to_version: int | None,
+        skip_changes: bool = False,
     ):
         self._schema = schema
         self._root = root
         self._since = since_version
         self._to = to_version
+        self._skip_changes = skip_changes
         self._phys = _phys_of(root, to_version)
 
     def partitions(self):
-        parts = _change_slices(self._root, self._since, self._to)
+        parts = _change_slices(
+            self._root, self._since, self._to, self._skip_changes
+        )
         return parts or [_FileSlice("")]
 
     def read(self, partition: _FileSlice):
@@ -286,11 +295,11 @@ def _phys_of(root: str, version: int | None = None) -> dict:
 
 
 def _change_slices(
-    root: str, since: int, to: int | None
+    root: str, since: int, to: int | None, skip_changes: bool = False
 ) -> list[_FileSlice]:
     return [
         _FileSlice(u["path"], u["version"], u["op"], u["partition"])
-        for u in txlog.list_changes(root, since, to)
+        for u in txlog.list_changes(root, since, to, skip_changes)
     ]
 
 
@@ -372,12 +381,20 @@ class TxlogStreamReader(DataSourceStreamReader):
         since_version: int,
         max_versions: int | None = None,
         max_bytes: int | None = None,
+        skip_changes: bool = False,
     ):
         self._root = root
         self._schema = schema
         self._since = since_version
         self._max_versions = max_versions
         self._max_bytes = max_bytes
+        # skipChangeCommits (r8): file-removing commits (merge/delete/
+        # optimize/restore/overwrite) are excluded from every planned
+        # batch, so additive consumers never see rewritten rows twice.
+        # Offsets still advance THROUGH skipped versions (they are
+        # planned as empty ranges), so the checkpoint never stalls on a
+        # maintenance burst.
+        self._skip_changes = skip_changes
         self._phys = _phys_of(root)
         # highest version observed via any channel; cap base. Never
         # decreases, so returned offsets are monotonic per instance.
@@ -402,6 +419,8 @@ class TxlogStreamReader(DataSourceStreamReader):
                 "expired by log retention (cleanup_log) while planning "
                 "admission — restart the consumer from a newer snapshot"
             ) from None
+        if self._skip_changes and c.get("remove"):
+            return 0  # skipped commits carry no rows into the batch
         return sum(a.get("bytes", 0) for a in c.get("add", []))
 
     def _admit(self, commits: list[int], latest: int) -> int:
@@ -445,14 +464,30 @@ class TxlogStreamReader(DataSourceStreamReader):
         # any new latestOffset — observing it re-learns the cap base.
         self._observe(max(s, e))
         if e < s:
-            raise ValueError(
+            # The admission cap resolved below the checkpointed offset —
+            # only reachable if a Spark upgrade stopped re-planning the
+            # WAL'd batch before the first post-restart latestOffset
+            # (the pinned call-order invariant). The range contains no
+            # unprocessed commits, so the SAFE recovery is an empty
+            # batch: the _observe above has already ratcheted the floor
+            # to s, so every later latestOffset resolves at-or-above
+            # the committed position and the stream self-heals instead
+            # of dying on every restart of every capped query (ADVICE
+            # r7 #4 — fail soft, not loud, on a version-coupled
+            # invariant).
+            import warnings
+
+            warnings.warn(
                 f"txlog stream at {self._root}: planned batch range "
-                f"({s}, {e}] is inverted — the admission cap resolved "
-                "below the checkpointed offset. This should be "
-                "unreachable; restart the query without "
-                "maxVersionsPerTrigger/maxBytesPerTrigger to recover."
+                f"({s}, {e}] is inverted (admission cap resolved below "
+                "the checkpointed offset — unexpected Spark restart "
+                "call order); emitting an empty batch and resuming "
+                f"capped admission from the re-learned floor v{s}",
+                RuntimeWarning,
+                stacklevel=2,
             )
-        parts = _change_slices(self._root, s, e)
+            return [_FileSlice("")]
+        parts = _change_slices(self._root, s, e, self._skip_changes)
         return parts or [_FileSlice("")]
 
     def read(self, partition: _FileSlice):
@@ -550,6 +585,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             self._schema,
             overwrite=self._overwrite,
             merge_schema=self._merge_schema,
+            staged_phys=self._phys,
         )
 
     def abort(self, messages):
@@ -596,6 +632,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             overwrite=self._truncate,
             txn=txn,
             merge_schema=self._merge_schema,
+            staged_phys=self._phys,
         )
 
     def abort(self, messages, batchId: int):
@@ -673,7 +710,11 @@ class TxlogDataSource(DataSource):
         if since is not None:
             to = self.options.get("toversion")
             return TxlogChangeFeedReader(
-                root, schema, int(since), int(to) if to is not None else None
+                root,
+                schema,
+                int(since),
+                int(to) if to is not None else None,
+                _as_bool(self.options, "skipchangecommits"),
             )
         if _as_bool(self.options, "cdf"):
             # a snapshot has no per-row commit identity — NULL tags would
@@ -699,6 +740,7 @@ class TxlogDataSource(DataSource):
             since,
             int(max_versions) if max_versions is not None else None,
             int(max_bytes) if max_bytes is not None else None,
+            _as_bool(self.options, "skipchangecommits"),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxlogBatchWriter:

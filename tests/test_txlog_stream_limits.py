@@ -216,10 +216,15 @@ def test_admit_unit_floor_and_budget(tmp_path, spark):
     r2.partitions({"version": 3}, {"version": 5})  # WAL replay
     assert r2.latestOffset() == {"version": 6}  # capped from 5, not 0
 
-    # inverted range guard (defense in depth)
+    # inverted range guard (defense in depth): fail SOFT (ADVICE r7 #4)
+    # — an inverted range contains no unprocessed commits, so the
+    # recovery is an empty batch + floor re-learned from the start
+    # offset; the capped stream self-heals instead of dying on restart
     r3 = TxlogStreamReader(root, schema, 0, max_versions=1)
-    with pytest.raises(ValueError, match="inverted"):
-        r3.partitions({"version": 5}, {"version": 1})
+    with pytest.warns(RuntimeWarning, match="inverted"):
+        parts = r3.partitions({"version": 5}, {"version": 1})
+    assert [p.path for p in parts] == [""]  # no-op sentinel slice
+    assert r3.latestOffset() == {"version": 6}  # capped from floor 5
 
 
 def test_invalid_cap_values_rejected(spark, tmp_path):
