@@ -29,15 +29,23 @@ Two series:
 - SELECTION / TABLES: the round-5 DSIR and transaction-log-table
   surfaces, tracked the same way ("selection"/"tables" keys).
 
-Output contract (round-5 revision, per the r4 verdict: BENCH_r04.json
-recorded "parsed": null because progress bars + the full spread payload
-overflowed the driver's tail capture):
-- Spark's console progress bars are disabled; stdout carries EXACTLY ONE
-  compact JSON line (metric/value/unit/queries/sf + rep totals — no
-  per-query spreads), printed last.
-- The FULL payload (including spreads) is also written to
-  BENCH_RESULT.json next to this script, so the complete record survives
-  any capture-window truncation.
+Output contract (round-8 revision, per the r7 verdict: BENCH_r07.json
+recorded "parsed": null because the compact line itself outgrew the
+driver's 2000-char stdout tail once per-query maps covered 6 series):
+- Spark's console progress bars are disabled.
+- The FULL payload (per-query medians, spreads, spills) goes to
+  BENCH_RESULT.json next to this script AND is printed first on a
+  line prefixed "BENCH_FULL: " (survives as a file either way).
+- The LAST line printed is a SLIM JSON line (< ~1500 chars): metric/
+  value/unit/sf/reps/rep_totals/value_min_sum/loadavg + per-series
+  TOTALS and min-sums + per-series spill/shuffle-write bytes. NO
+  per-query maps — those live only in BENCH_RESULT.json.
+
+Spill attribution (round-8, r7 verdict item 8): each series records
+shuffle/spill bytes measured from the AppStatusStore stage metrics
+(delta across the series' timed reps), so a "query X inflated on
+untouched code" diagnosis can point at measured spill instead of
+inferring host I/O pressure from loadavg alone.
 
 `python bench.py --curation` runs only the curation series (for quick
 iteration); the default run emits both.
@@ -143,11 +151,57 @@ ROUND7 = [
     "txlog_stream_backpressure",
 ]
 
+# Round-8 additions: scoped overwrite (replaceWhere), rewrite-skipping
+# change feed (skipChangeCommits), deletion-vector point deletes.
+ROUND8 = [
+    "txlog_replace_where",
+    "txlog_skip_rewrites",
+    "txlog_deletion_vectors",
+]
+
+# Non-headline series, benched + reported per round under their own keys.
+SERIES = {
+    "curation": CURATION,
+    "selection": SELECTION,
+    "tables": TABLES,
+    "round6": ROUND6,
+    "round7": ROUND7,
+    "round8": ROUND8,
+}
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     mid = len(s) // 2
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _stage_metrics(spark: SparkSession) -> dict | None:
+    """Cumulative shuffle-write / spill bytes across all retained stages,
+    from the JVM AppStatusStore (the same numbers the UI's stage table
+    shows). Returns None if the py4j surface moves (bench still runs)."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        quantiles = getattr(store, "stageList$default$4")()
+        task_statuses = getattr(store, "stageList$default$5")()
+        empty = spark._jvm.java.util.ArrayList()
+        stages = store.stageList(empty, False, False, quantiles, task_statuses)
+        mem = disk = shw = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+            shw += s.shuffleWriteBytes()
+        return {"memory_spill": mem, "disk_spill": disk, "shuffle_write": shw}
+    except Exception:
+        return None
+
+
+def _metrics_delta(before: dict | None, after: dict | None) -> dict | None:
+    if before is None or after is None:
+        return None
+    return {k: after[k] - before[k] for k in after}
 
 
 def run_series(
@@ -177,13 +231,25 @@ def run_series(
     samples: dict[str, list[float]] = {name: [] for name in names}
     loadavgs: list[float] = []
     warmup_total = one_rep(measure=False)
-    rep_totals = [one_rep(measure=True) for _ in range(reps)]
+    # spill attribution (r7 verdict item 8): per-rep deltas of the
+    # AppStatusStore stage totals over the TIMED reps only
+    rep_metrics: list[dict | None] = []
+    rep_totals = []
+    for _ in range(reps):
+        before = _stage_metrics(spark)
+        rep_totals.append(one_rep(measure=True))
+        rep_metrics.append(_metrics_delta(before, _stage_metrics(spark)))
 
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
     spread = {
         name: [round(min(xs), 3), round(max(xs), 3)]
         for name, xs in samples.items()
     }
+    spill = [
+        None if m is None else m["memory_spill"] + m["disk_spill"]
+        for m in rep_metrics
+    ]
+    shw = [None if m is None else m["shuffle_write"] for m in rep_metrics]
     return {
         "queries": timings,
         "total": round(sum(timings.values()), 3),
@@ -192,6 +258,8 @@ def run_series(
         "warmup_total": warmup_total,
         "min_sum": round(sum(min(xs) for xs in samples.values()), 3),
         "loadavg": loadavgs,  # 1-min loadavg before warmup + each rep
+        "spill_bytes": spill,  # per timed rep: memory+disk spill delta
+        "shuffle_write_bytes": shw,  # per timed rep
     }
 
 
@@ -214,6 +282,11 @@ def main() -> None:
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # spill attribution reads cumulative stage totals; a full bench
+        # run creates ~2-3k stages, so keep them all retained or the
+        # before/after deltas under-count (default retention is 1000)
+        .config("spark.ui.retainedStages", "50000")
+        .config("spark.ui.retainedJobs", "50000")
         .appName("bench")
         .getOrCreate()
     )
@@ -234,17 +307,27 @@ def main() -> None:
             "rep_totals": cur["rep_totals"],
             "value_min_sum": cur["min_sum"],
             "loadavg": cur["loadavg"],
+            "spill_bytes": cur["spill_bytes"],
+            "shuffle_write_bytes": cur["shuffle_write_bytes"],
         }
-        _emit(full, drop=("spread",))
+        _emit(full)
         spark.stop()
         return
 
+    registered = set(entrymod.queries())
     head = run_series(spark, HEADLINE, sf_dir, reps)
-    cur = run_series(spark, CURATION, sf_dir, reps)
-    sel = run_series(spark, SELECTION, sf_dir, reps)
-    tab = run_series(spark, TABLES, sf_dir, reps)
-    r6 = run_series(spark, ROUND6, sf_dir, reps)
-    r7 = run_series(spark, ROUND7, sf_dir, reps)
+    extra = {}
+    for name, queries in SERIES.items():
+        known = [q for q in queries if q in registered]
+        if len(known) < len(queries):
+            # never die on a not-yet-registered series entry (the series
+            # lists are written ahead of the registry during a round),
+            # but say so in the payload — a silent drop would read as
+            # "benched everything" when it didn't
+            extra_missing = sorted(set(queries) - registered)
+            print(f"BENCH_MISSING {name}: {extra_missing}", flush=True)
+        if known:
+            extra[name] = run_series(spark, known, sf_dir, reps)
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": head["total"],
@@ -257,58 +340,69 @@ def main() -> None:
         "warmup_total": head["warmup_total"],
         "value_min_sum": head["min_sum"],
         "loadavg": head["loadavg"],
-        "curation": cur["queries"],
-        "curation_total": cur["total"],
-        "curation_spread": cur["spread"],
-        "curation_min_sum": cur["min_sum"],
-        "curation_loadavg": cur["loadavg"],
-        "selection": sel["queries"],
-        "selection_total": sel["total"],
-        "selection_spread": sel["spread"],
-        "selection_min_sum": sel["min_sum"],
-        "selection_loadavg": sel["loadavg"],
-        "tables": tab["queries"],
-        "tables_total": tab["total"],
-        "tables_spread": tab["spread"],
-        "tables_min_sum": tab["min_sum"],
-        "tables_loadavg": tab["loadavg"],
-        "round6": r6["queries"],
-        "round6_total": r6["total"],
-        "round6_spread": r6["spread"],
-        "round6_min_sum": r6["min_sum"],
-        "round6_loadavg": r6["loadavg"],
-        "round7": r7["queries"],
-        "round7_total": r7["total"],
-        "round7_spread": r7["spread"],
-        "round7_min_sum": r7["min_sum"],
-        "round7_loadavg": r7["loadavg"],
+        "spill_bytes": head["spill_bytes"],
+        "shuffle_write_bytes": head["shuffle_write_bytes"],
     }
-    _emit(
-        full,
-        drop=(
+    for name, res in extra.items():
+        full[name] = res["queries"]
+        for key in (
+            "total",
             "spread",
-            "curation_spread",
-            "selection_spread",
-            "tables_spread",
-            "round6_spread",
-            "round7_spread",
-        ),
-    )
+            "min_sum",
+            "loadavg",
+            "spill_bytes",
+            "shuffle_write_bytes",
+        ):
+            full[f"{name}_{key}"] = res[key]
+    _emit(full, series=list(extra))
     spark.stop()
 
 
-def _emit(full: dict, drop: tuple = ()) -> None:
-    """Full payload → BENCH_RESULT.json (survives capture truncation);
-    ONE compact line (spreads dropped) → stdout, last thing printed."""
+def _sum_or_none(xs: list) -> int | None:
+    vals = [x for x in xs if x is not None]
+    return sum(vals) if vals else None
+
+
+def _emit(full: dict, series: list[str] = ()) -> None:
+    """Full payload → BENCH_RESULT.json AND a first "BENCH_FULL: " line;
+    the LAST line printed is the SLIM line (< ~1500 chars, no per-query
+    maps) so the driver's 2000-char stdout tail always parses
+    (r7 verdict item 1)."""
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
     )
     with open(out, "w") as f:
         json.dump(full, f)
         f.write("\n")
-    slim = {k: v for k, v in full.items() if k not in drop}
+    slim = {
+        k: full.get(k)
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "reps",
+            "rep_totals",
+            "warmup_total",
+            "value_min_sum",
+            "loadavg",
+        )
+        if k in full
+    }
+    if "spill_bytes" in full:
+        slim["spill_bytes"] = _sum_or_none(full["spill_bytes"])
+        slim["shuffle_write_bytes"] = _sum_or_none(
+            full["shuffle_write_bytes"]
+        )
+    for name in series:
+        slim[f"{name}_total"] = full[f"{name}_total"]
+        slim[f"{name}_min_sum"] = full[f"{name}_min_sum"]
+        slim[f"{name}_spill"] = _sum_or_none(full[f"{name}_spill_bytes"])
     sys.stdout.flush()
-    print(json.dumps(slim), flush=True)
+    print("BENCH_FULL: " + json.dumps(full), flush=True)
+    line = json.dumps(slim)
+    assert len(line) <= 1500, f"slim bench line too long: {len(line)}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
