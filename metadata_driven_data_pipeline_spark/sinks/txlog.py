@@ -17,6 +17,10 @@ Layout::
       _txnlog/00000000000000000001.json           one JSON per commit
       _txnlog/00000000000000000010.checkpoint.json  full state every K
       data/<commit-uuid>-<i>.parquet              immutable data files
+      _dv/dv-<uuid>/*.parquet                     deletion-vector
+                                                  sidecars (r8): (rel,
+                                                  pos) row masks for
+                                                  point DELETEs
 
 Commit claim protocol: ONE primitive — put-if-absent — behind a
 pluggable seam (:class:`LocalFSClaimBackend` / :func:`set_claim_backend`,
@@ -86,10 +90,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 LOG_DIR = "_txnlog"
 DATA_DIR = "data"
+DV_DIR = "_dv"  # deletion-vector sidecars, one directory per DV commit
 CHECKPOINT_INTERVAL = 10
 _STATS_DISTRIBUTED_THRESHOLD = 64
 # Optimistic-commit retry budget. Losing a version race costs one
@@ -317,14 +322,19 @@ class Snapshot:
         return _read_files(spark, self.root, self.schema, self.files, sorted(self.files))
 
 
-def _read_files(
+_DV_REL = "__txlog_dv_rel"
+_DV_POS = "__txlog_dv_pos"
+
+
+def _file_legs(
     spark: SparkSession,
     root: str,
-    schema: StructType,
+    phys: StructType,
     files: dict,
     rel_paths: list[str],
-) -> DataFrame:
-    """One DataFrame over a snapshot's file subset. Files adopted by a
+    with_pos: bool = False,
+) -> list[DataFrame]:
+    """Physical-schema read legs over a file subset. Files adopted by a
     Hive-partitioned :func:`convert_to_txlog` carry a ``partition``
     dict and keep their ``key=value`` layout under ``data/`` — they are
     read through Spark's own partition discovery (``basePath``), which
@@ -332,22 +342,37 @@ def _read_files(
     them JVM-side (PartitionFilters). Files that physically contain
     every column (normal appends/rewrites) read directly. Plan legs =
     one per distinct partition-key layout plus one flat leg — bounded
-    by the handful of layouts ever written, never by partition count."""
+    by the handful of layouts ever written, never by partition count.
+
+    ``with_pos=True`` appends two generated columns per row — the
+    file's root-relative path and the row's position in its file (from
+    Spark's hidden ``_metadata`` struct, computed JVM-side during the
+    scan, no extra I/O) — the join key deletion-vector masking needs.
+    They must be materialized INSIDE each leg: ``_metadata`` does not
+    survive a union."""
     flat = [p for p in rel_paths if not files[p].get("partition")]
     parted = [p for p in rel_paths if files[p].get("partition")]
-    # files store PHYSICAL column names (frozen at column birth); read
-    # physical, project back to this snapshot's logical names BY NAME —
-    # which is exactly what makes rename_column a metadata-only commit
-    # and time travel resolve each version under its own mapping.
-    # By-name (never positional): the basePath partition-discovery leg
-    # returns partition columns LAST regardless of schema order, so a
-    # positional rename would silently relabel columns (review r7 #1).
-    phys = _physical_schema(schema)
+    abs_root = os.path.abspath(root)
+    pos_cols = [
+        F.expr(
+            "substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{abs_root}/') + {len(abs_root) + 1})"
+        ).alias(_DV_REL),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    ]
+
+    def _with_pos(df: DataFrame) -> DataFrame:
+        if not with_pos:
+            return df
+        return df.select(*[F.col(f.name) for f in phys.fields], *pos_cols)
+
     legs = []
     if flat:
         legs.append(
-            spark.read.schema(phys).parquet(
-                *(os.path.join(root, p) for p in flat)
+            _with_pos(
+                spark.read.schema(phys).parquet(
+                    *(os.path.join(root, p) for p in flat)
+                )
             )
         )
     if parted:
@@ -363,10 +388,80 @@ def _read_files(
             by_layout.setdefault(sig, []).append(p)
         for sig in sorted(by_layout):
             legs.append(
-                spark.read.schema(phys)
-                .option("basePath", os.path.join(root, DATA_DIR))
-                .parquet(*(os.path.join(root, p) for p in by_layout[sig]))
+                _with_pos(
+                    spark.read.schema(phys)
+                    .option("basePath", os.path.join(root, DATA_DIR))
+                    .parquet(
+                        *(os.path.join(root, p) for p in by_layout[sig])
+                    )
+                )
             )
+    return legs
+
+
+def _dv_positions(
+    spark: SparkSession, root: str, files: dict, rel_paths: list[str]
+) -> DataFrame | None:
+    """Union of the deletion-vector sidecars referenced by the entries
+    of ``rel_paths`` — (rel, pos) pairs, the anti-join side of masking.
+    Consolidation makes the plain union exact: every delete rewrites an
+    affected file's FULL position set into the new sidecar it commits
+    (old ∪ new), so for any rel the referenced sidecars only ever hold
+    subsets of its current entry's positions — a stale subset in a
+    still-referenced older sidecar masks nothing the newest one
+    doesn't. Returns None when no entry carries a DV."""
+    dirs = sorted(
+        {files[p]["dv"]["path"] for p in rel_paths if files[p].get("dv")}
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(
+        *(os.path.join(root, d) for d in dirs)
+    ).select("rel", "pos")
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    files: dict,
+    rel_paths: list[str],
+) -> DataFrame:
+    """One DataFrame over a snapshot's file subset (see
+    :func:`_file_legs` for the per-layout plan shape).
+
+    Files whose entry carries a deletion vector (``dv`` — a point
+    DELETE that masked rows instead of rewriting the file, r8) read
+    with per-row (file, position) keys and LEFT ANTI join the union of
+    referenced sidecars: masked rows vanish at scan time, zero data
+    files rewritten at delete time. Files without a DV take the plain
+    legs — a never-point-deleted table pays nothing.
+
+    Column mapping: files store PHYSICAL column names (frozen at column
+    birth); read physical, project back to this snapshot's logical
+    names BY NAME — which is exactly what makes rename_column a
+    metadata-only commit and time travel resolve each version under its
+    own mapping. By-name (never positional): the basePath
+    partition-discovery leg returns partition columns LAST regardless
+    of schema order, so a positional rename would silently relabel
+    columns (review r7 #1)."""
+    # files store PHYSICAL column names; legs read the physical schema
+    phys = _physical_schema(schema)
+    plain = [p for p in rel_paths if not files[p].get("dv")]
+    masked = [p for p in rel_paths if files[p].get("dv")]
+    legs = _file_legs(spark, root, phys, files, plain)
+    if masked:
+        mlegs = _file_legs(spark, root, phys, files, masked, with_pos=True)
+        mdf = mlegs[0]
+        for leg in mlegs[1:]:
+            mdf = mdf.unionByName(leg)
+        dv = _dv_positions(spark, root, files, masked)
+        mdf = mdf.join(
+            dv,
+            (mdf[_DV_REL] == dv["rel"]) & (mdf[_DV_POS] == dv["pos"]),
+            "left_anti",
+        ).drop(_DV_REL, _DV_POS)
+        legs.append(mdf)
     if not legs:
         return spark.createDataFrame([], schema)
     out = legs[0]
@@ -1184,7 +1279,11 @@ def replace_where(
                 return None
             if cur.version != snap.version:
                 for p in removed:
-                    if p not in cur.files:
+                    # ENTRY identity, not presence: a concurrent DV
+                    # delete swaps an entry in place (same path, new
+                    # mask) — replacing over it would resurrect its
+                    # masked rows in our rewrite
+                    if cur.files.get(p) != snap.files.get(p):
                         conflicted = True
                         return None
                 for p, e in cur.files.items():
@@ -1235,8 +1334,28 @@ def commit_staged(
     concurrent ``overwrite`` reset column-mapping history between
     staging and this commit) cannot be re-staged — the job's tasks are
     done — so it RAISES instead of silently committing files whose
-    in-file names no longer match the table's mapping (ADVICE r7 #1)."""
+    in-file names no longer match the table's mapping (ADVICE r7 #1).
+
+    Files staged under ``key=value`` directories (the DataSource
+    writer's ``partitionBy`` lane, r8) get the directory-derived values
+    recorded as a reader-injection ``partition`` dict plus exact
+    min==max stats — identical metadata to :func:`append` with
+    ``partition_by=``."""
     adds = _collect_adds(spark, root, staged)
+    pm = staged_phys or {}
+    phys_schema = StructType(
+        [
+            StructField(pm.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    for add in adds:
+        _apply_partition_entry(
+            add,
+            _partition_values_of(
+                root, os.path.join(root, add["path"]), phys_schema
+            ),
+        )
 
     def build(snap: Snapshot, version: int):
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -1388,6 +1507,31 @@ def _parse_partition_value(raw: str, dtype) -> object:
     raise ValueError(
         f"convert_to_txlog: unsupported partition column type "
         f"{dtype.simpleString()} (value {raw!r})"
+    )
+
+
+def _format_partition_value(val) -> str:
+    """Python value → Hive directory-name component, the exact inverse
+    of :func:`_parse_partition_value` (and unescapable by Spark's own
+    partition discovery, which unescapes any %XX): URL-escape strings/
+    dates, ``__HIVE_DEFAULT_PARTITION__`` for NULL. Shared by every
+    lane that writes ``key=value`` paths WITHOUT Spark's staging writer
+    (the Python DataSource's per-task partitioned staging)."""
+    import datetime as _dt
+    from urllib.parse import quote
+
+    if val is None:
+        return _HIVE_NULL
+    if isinstance(val, bool):  # before int: bool is an int subclass
+        return "true" if val else "false"
+    if isinstance(val, (int, float)):
+        return str(val)
+    if isinstance(val, (_dt.date, _dt.datetime)):
+        return quote(val.isoformat(), safe="")
+    if isinstance(val, str):
+        return quote(val, safe="")
+    raise ValueError(
+        f"unsupported partition value type {type(val).__name__}: {val!r}"
     )
 
 
@@ -1637,7 +1781,11 @@ def scan(
         ):
             keep.append(rel)
         else:
-            skipped_rows += e.get("rows", 0)
+            # live rows only: DV-masked rows are already deleted, they
+            # must not inflate the skip report
+            skipped_rows += e.get("rows", 0) - (e.get("dv") or {}).get(
+                "rows", 0
+            )
     if snap.schema is None:
         raise ValueError(f"not a txlog table (no commits): {root}")
     df = _read_files(spark, root, snap.schema, snap.files, keep)
@@ -1826,7 +1974,11 @@ def merge(
                 # not-matched-by-source clause EVERY new file matters —
                 # its keys might be unmatched and due for deletion)
                 for p in candidates:
-                    if p not in cur.files:
+                    # ENTRY identity, not presence: a concurrent DV
+                    # delete swaps an entry in place (same path, new
+                    # mask) — merging over the stale read would
+                    # resurrect its masked rows
+                    if cur.files.get(p) != snap.files.get(p):
                         conflicted = True
                         return None
                 for p, e in cur.files.items():
@@ -1905,7 +2057,12 @@ def _where_column(where: list[tuple]):
     return cond
 
 
-def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
+def delete(
+    spark: SparkSession,
+    root: str,
+    where: list[tuple],
+    deletion_vectors: bool = False,
+) -> dict:
     """Row-level DELETE as one atomic commit, pruned at FILE granularity
     by the log's footer stats. ``where`` is the same ``(col, op, value)``
     conjunction :func:`scan` takes. Three file classes:
@@ -1914,11 +2071,35 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
     - stats prove EVERY row matches (and no NULLs in the tested
       columns) → dropped by pure metadata — the 100 TB fast path:
       deleting a clustered date range is O(files) JSON, zero data I/O;
-    - may-match → read once, keep surviving rows, rewrite.
+    - may-match → read once, keep surviving rows, rewrite — OR, with
+      ``deletion_vectors=True``, masked in place (below).
+
+    ``deletion_vectors=True`` (r8, VERDICT r7 'what's missing' #2 — the
+    public Delta deletion-vector shape, scoped to DELETE): boundary
+    files are NOT rewritten. The matching rows' (file, position) pairs
+    are computed in one distributed pass (positions from Spark's
+    ``_metadata.row_index`` — generated during the scan, no extra I/O)
+    and written to a parquet SIDECAR under ``_dv/``; the commit swaps
+    each affected file's entry for one referencing the sidecar, and
+    every read path (JVM legs and the Arrow DataSource lane) applies
+    the mask as a LEFT ANTI join / positional filter at scan time.
+    Deleting 10 rows from a 1 GB file costs a footer-sized sidecar
+    write instead of a gigabyte rewrite — at 100 TB this is what makes
+    point deletes (GDPR) O(deleted rows), not O(touched files' bytes).
+    A later delete on the same file CONSOLIDATES: the new sidecar
+    carries the file's full position set (old ∪ new), so readers union
+    referenced sidecars without double-mask bookkeeping, and a file
+    whose mask reaches every physical row is dropped outright. Time
+    travel below the delete reads the file unmasked (the old entry has
+    no DV); OPTIMIZE / MERGE rewrites fold masks into the rewritten
+    files and drop the reference; :func:`vacuum` reclaims unreferenced
+    sidecars.
 
     Optimistic concurrency mirrors :func:`merge`: a concurrent commit
-    that removed one of our candidates or added a may-match file forces
-    a replan; disjoint appends just re-claim the next version."""
+    that removed OR REPLACED one of our candidates (a DV delete swaps
+    the entry in place — presence alone is not enough) or added a
+    may-match file forces a replan; disjoint appends just re-claim the
+    next version."""
     for _, op, _v in where:
         if op not in _OPS:
             raise ValueError(f"unsupported delete op: {op}")
@@ -1940,6 +2121,12 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
         def all_match(entry: dict) -> bool:
             return all(_file_all_match(entry, c, op, v) for c, op, v in pwhere)
 
+        def _live_rows(e: dict) -> int:
+            # physical rows minus already-masked rows: a file carrying a
+            # DV from an earlier delete must not re-count its masked
+            # rows as deleted by THIS operation
+            return e.get("rows", 0) - (e.get("dv") or {}).get("rows", 0)
+
         drops, rewrites = [], []
         rows_dropped = 0
         for rel in sorted(snap.files):
@@ -1948,13 +2135,72 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
                 continue
             if all_match(e):
                 drops.append(rel)
-                rows_dropped += e.get("rows", 0)
+                rows_dropped += _live_rows(e)
             else:
                 rewrites.append(rel)
 
         adds: list[dict] = []
         rows_rewritten_away = 0
-        if rewrites:
+        touched: list[str] = rewrites
+        if rewrites and deletion_vectors:
+            # mask, don't rewrite: one distributed pass computes the
+            # matching (file, position) pairs; the predicate evaluates
+            # over LOGICAL names, positions come from _metadata
+            phys = _physical_schema(snap.schema)
+            legs = _file_legs(
+                spark, root, phys, snap.files, rewrites, with_pos=True
+            )
+            mdf = legs[0]
+            for leg in legs[1:]:
+                mdf = mdf.unionByName(leg)
+            mdf = mdf.select(
+                *[
+                    F.col(pf.name).alias(f.name)
+                    for pf, f in zip(phys.fields, snap.schema.fields)
+                ],
+                F.col(_DV_REL).alias("rel"),
+                F.col(_DV_POS).alias("pos"),
+            )
+            # DELETE masks rows where the predicate is TRUE (NULL kept)
+            new_pos = mdf.filter(_where_column(where)).select("rel", "pos")
+            # consolidate: the new sidecar carries each affected file's
+            # FULL position set (old ∪ new) — reads stay a plain union
+            # of referenced sidecars, no per-file mask chaining
+            old = _dv_positions(spark, root, snap.files, rewrites)
+            if old is not None:
+                all_pos = new_pos.unionByName(
+                    old.filter(F.col("rel").isin(rewrites))
+                ).distinct()
+            else:
+                all_pos = new_pos.distinct()
+            dv_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex[:12]}")
+            dv_abs = os.path.join(root, dv_rel)
+            all_pos.write.parquet(dv_abs)
+            counts = {
+                r["rel"]: r["cnt"]
+                for r in spark.read.parquet(dv_abs)
+                .groupBy("rel")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()  # bounded: one row per affected FILE
+            }
+            touched = []
+            for rel in rewrites:
+                e = snap.files[rel]
+                total = counts.get(rel, 0)
+                old_cnt = (e.get("dv") or {}).get("rows", 0)
+                if total == old_cnt:
+                    continue  # stats said may-match, no live row did
+                if total >= e.get("rows", 0):
+                    # mask reached every physical row — drop the file
+                    drops.append(rel)
+                    rows_dropped += _live_rows(e)
+                    continue
+                ne = dict(e)
+                ne["dv"] = {"path": dv_rel, "rows": total}
+                adds.append(ne)
+                touched.append(rel)
+                rows_rewritten_away += total - old_cnt
+        elif rewrites:
             existing = _read_files(
                 spark, root, snap.schema, snap.files, rewrites
             )
@@ -1966,9 +2212,9 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
                 spark, _to_physical_df(kept, snap.schema), root
             )
             adds = _collect_adds(spark, root, staged)
-            before = sum(snap.files[p].get("rows", 0) for p in rewrites)
+            before = sum(_live_rows(snap.files[p]) for p in rewrites)
             rows_rewritten_away = before - sum(a["rows"] for a in adds)
-        removed = drops + rewrites
+        removed = drops + touched
         if not removed:
             return {
                 "version": snap.version,
@@ -1976,6 +2222,7 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
                 "rows_deleted": 0,
                 "files_dropped": 0,
                 "files_rewritten": 0,
+                "files_masked": 0,
             }
 
         conflicted = False
@@ -1984,7 +2231,11 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
             nonlocal conflicted
             if cur.version != snap.version:
                 for p in removed:
-                    if p not in cur.files:
+                    # ENTRY identity, not presence: a concurrent DV
+                    # delete swaps an entry in place (same path, new
+                    # mask) — committing our plan over it would lose
+                    # its mask or double ours
+                    if cur.files.get(p) != snap.files.get(p):
                         conflicted = True
                         return None
                 for p, e in cur.files.items():
@@ -2003,12 +2254,14 @@ def delete(spark: SparkSession, root: str, where: list[tuple]) -> dict:
 
         res = _commit_loop(root, build)
         if not res.get("skipped") or not conflicted:
+            masked = len(touched) if deletion_vectors else 0
             return res | {
                 "rows_deleted": rows_dropped + rows_rewritten_away,
                 "files_dropped": len(drops),
-                "files_rewritten": len(rewrites),
+                "files_rewritten": 0 if deletion_vectors else len(rewrites),
+                "files_masked": masked,
             }
-        # conflicted: staged files (if any) left for vacuum; replan
+        # conflicted: staged files/sidecars (if any) left for vacuum; replan
     raise RuntimeError(f"txlog delete contention at {root}")
 
 
@@ -2173,9 +2426,12 @@ def optimize(
         def build(cur: Snapshot, version: int):
             nonlocal conflicted
             for p in selected:
-                if p not in cur.files:
-                    # a selected plan-time file was removed under us —
-                    # our adds are a compacted copy of stale state; replan
+                # ENTRY identity, not presence: a selected plan-time
+                # file removed under us means our adds are a compacted
+                # copy of stale state, and a concurrent DV delete that
+                # swapped the entry in place (same path, new mask)
+                # means the compacted copy resurrects masked rows
+                if cur.files.get(p) != snap.files.get(p):
                     conflicted = True
                     return None
             return {
@@ -2220,10 +2476,16 @@ def restore(spark: SparkSession, root: str, version: int) -> dict:
         raise ValueError(f"no retained snapshot v{version} at {root}")
 
     def _verify_files() -> None:
-        for rel in target.files:
+        for rel, e in target.files.items():
             if not os.path.exists(os.path.join(root, rel)):
                 raise ValueError(
                     f"cannot restore to v{version}: {rel} was vacuumed"
+                )
+            dv = (e.get("dv") or {}).get("path")
+            if dv and not os.path.isdir(os.path.join(root, dv)):
+                raise ValueError(
+                    f"cannot restore to v{version}: deletion-vector "
+                    f"sidecar {dv} (masking {rel}) was vacuumed"
                 )
 
     _verify_files()
@@ -2333,8 +2595,13 @@ def vacuum(
         return {"deleted": 0}
     retained = commits[-keep_versions:]
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in retained:
-        live |= set(load_snapshot(root, v).files)
+        snap_files = load_snapshot(root, v).files
+        live |= set(snap_files)
+        live_dv |= {
+            e["dv"]["path"] for e in snap_files.values() if e.get("dv")
+        }
     cutoff = _time.time() - min_age_seconds
     data_dir = os.path.join(root, DATA_DIR)
     deleted = skipped_young = 0
@@ -2356,6 +2623,26 @@ def vacuum(
                     continue  # another vacuum raced us
                 deleted += 1
     import shutil
+
+    # deletion-vector sidecars: one directory per DV commit under _dv/;
+    # reclaim those no retained snapshot's entries reference (superseded
+    # by consolidation, orphaned by a conflict replan, or aged out of
+    # the horizon), behind the same writer grace window
+    dv_root = os.path.join(root, DV_DIR)
+    if os.path.isdir(dv_root):
+        for name in sorted(os.listdir(dv_root)):
+            rel = os.path.join(DV_DIR, name)
+            if rel in live_dv:
+                continue
+            path = os.path.join(dv_root, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    skipped_young += 1
+                    continue
+            except FileNotFoundError:
+                continue  # another vacuum raced us
+            shutil.rmtree(path, ignore_errors=True)
+            deleted += 1
 
     for name in os.listdir(root):
         if name.startswith("_staging-"):
@@ -2436,6 +2723,10 @@ def list_changes(
                     "version": v,
                     "op": c.get("op"),
                     "partition": a.get("partition"),
+                    # deletion-vector ref AS OF this commit: a DV delete
+                    # re-adds the file entry with its mask, and the feed
+                    # must emit the file's live rows under THAT mask
+                    "dv": a.get("dv"),
                 }
             )
     return out
@@ -2470,7 +2761,10 @@ def read_changes(
         by_commit.setdefault((u["version"], u["op"]), []).append(u)
     parts = []
     for (v, op), units in sorted(by_commit.items()):
-        entries = {u["rel"]: {"partition": u["partition"]} for u in units}
+        entries = {
+            u["rel"]: {"partition": u["partition"], "dv": u.get("dv")}
+            for u in units
+        }
         parts.append(
             _read_files(spark, root, snap.schema, entries, sorted(entries))
             .withColumn("_commit_version", F.lit(v))

@@ -107,6 +107,11 @@ class _FileSlice(InputPartition):
     commit_version: int | None = None
     commit_op: str | None = None
     partition: dict | None = None
+    # deletion-vector mask (r8): sidecar directory (absolute) + this
+    # file's root-relative path (the sidecar's lookup key); the read
+    # drops masked row positions
+    dv_path: str | None = None
+    rel: str | None = None
 
 
 def _options_root(options) -> str:
@@ -139,12 +144,21 @@ def _read_file_batches(
     schema: StructType,
     extra: dict | None = None,
     phys: dict | None = None,
+    dv_path: str | None = None,
+    rel: str | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Arrow batches for one data file, projected+cast to the reader
     schema. Runs on executors; only the columns the reader schema names
     are read from the parquet file. ``phys`` maps logical→physical for
     renamed columns (column mapping): files store PHYSICAL names, the
-    emitted batches carry the logical ones."""
+    emitted batches carry the logical ones.
+
+    ``dv_path``/``rel``: deletion-vector mask — the sidecar's ``pos``
+    rows for this file (``rel``) are dropped by position before
+    projection, mirroring the JVM lane's anti-join (txlog.py
+    ``_read_files``). The sidecar read pushes ``rel ==`` into the
+    parquet scan (pyarrow dataset filter), so a slice pays O(its own
+    mask), not O(the commit's)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -178,6 +192,20 @@ def _read_file_batches(
     # a column-less projection (e.g. only CDF columns requested) reads a
     # zero-column table whose num_rows is unreliable — use the footer's
     n = tbl.num_rows if file_cols else pf.metadata.num_rows
+    if dv_path is not None:
+        import numpy as np
+
+        positions = (
+            pq.read_table(dv_path, filters=[("rel", "==", rel)])
+            .column("pos")
+            .to_numpy()
+        )
+        if len(positions):
+            keep = np.ones(n, dtype=bool)
+            keep[positions] = False
+            if file_cols:
+                tbl = tbl.filter(pa.array(keep))
+            n = int(keep.sum())
     arrays, fields = [], []
     target = to_arrow_schema(schema)
     for field in schema.fields:
@@ -224,10 +252,17 @@ class TxlogBatchReader(DataSourceReader):
                 txlog._file_may_match(entry, self._phys.get(c, c), op, v)
                 for c, op, v in self._prune
             ):
+                dv = entry.get("dv")
                 parts.append(
                     _FileSlice(
                         os.path.join(self._snap.root, rel),
                         partition=entry.get("partition"),
+                        dv_path=(
+                            os.path.join(self._snap.root, dv["path"])
+                            if dv
+                            else None
+                        ),
+                        rel=rel,
                     )
                 )
         # Spark requires at least one partition; a fully pruned (or empty)
@@ -242,6 +277,8 @@ class TxlogBatchReader(DataSourceReader):
             self._schema,
             _partition_extras(self._schema, partition.partition, self._phys),
             self._phys,
+            partition.dv_path,
+            partition.rel,
         )
 
 
@@ -279,6 +316,8 @@ class TxlogChangeFeedReader(DataSourceReader):
             self._schema,
             _cdf_extras(self._schema, partition, self._phys),
             self._phys,
+            partition.dv_path,
+            partition.rel,
         )
 
 
@@ -298,7 +337,16 @@ def _change_slices(
     root: str, since: int, to: int | None, skip_changes: bool = False
 ) -> list[_FileSlice]:
     return [
-        _FileSlice(u["path"], u["version"], u["op"], u["partition"])
+        _FileSlice(
+            u["path"],
+            u["version"],
+            u["op"],
+            u["partition"],
+            dv_path=(
+                os.path.join(root, u["dv"]["path"]) if u.get("dv") else None
+            ),
+            rel=u["rel"],
+        )
         for u in txlog.list_changes(root, since, to, skip_changes)
     ]
 
@@ -498,6 +546,8 @@ class TxlogStreamReader(DataSourceStreamReader):
             self._schema,
             _cdf_extras(self._schema, partition, self._phys),
             self._phys,
+            partition.dv_path,
+            partition.rel,
         )
 
     def commit(self, end: dict) -> None:
@@ -508,19 +558,48 @@ class TxlogStreamReader(DataSourceStreamReader):
 
 @dataclass
 class _StagedWrite(WriterCommitMessage):
-    """One task's staged data file (None when the task saw no rows)."""
+    """One task's staged data file(s): a single path, a list of paths
+    (partitionBy lane — one per partition value the task held), or
+    None when the task saw no rows."""
 
-    path: str | None
+    path: str | list[str] | None
     rows: int
 
 
-def _write_staged_file(root: str, iterator, phys: dict | None = None) -> _StagedWrite:
+def _staged_paths(messages) -> list[str]:
+    out: list[str] = []
+    for m in messages or []:
+        if m is None or not m.path:
+            continue
+        if isinstance(m.path, str):
+            out.append(m.path)
+        else:
+            out.extend(m.path)
+    return out
+
+
+def _write_staged_file(
+    root: str,
+    iterator,
+    phys: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> _StagedWrite:
     """Executor-task write: drain the Arrow batches into ONE parquet file
     placed directly in ``data/`` under a commit-unique name — invisible
     to every reader until a log commit references it, so a failed task
     leaks only an orphan that vacuum sweeps, never state. ``phys``
     renames logical→physical columns (column mapping) so every data
-    file stores physical names."""
+    file stores physical names.
+
+    ``partition_by`` (PHYSICAL column names, r8): the task splits its
+    rows by partition value and writes one ``key=value``-pathed file per
+    value it holds — the same Hive layout (and downstream machinery:
+    min==max stats, reader injection, basePath read leg,
+    PartitionFilters) the programmatic ``append(partition_by=)`` lane
+    produces. Partition columns are NOT stored in the files. File count
+    per task is bounded by the task's distinct partition values; route
+    the DataFrame through ``repartition(partition cols)`` upstream for
+    the one-file-per-partition ideal."""
     import uuid
 
     import pyarrow as pa
@@ -535,19 +614,45 @@ def _write_staged_file(root: str, iterator, phys: dict | None = None) -> _Staged
             [phys.get(c, c) for c in tbl.column_names]
         )
     data_dir = os.path.join(root, txlog.DATA_DIR)
-    os.makedirs(data_dir, exist_ok=True)
-    dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
-    pq.write_table(tbl, dst)
-    return _StagedWrite(dst, tbl.num_rows)
+    if not partition_by:
+        os.makedirs(data_dir, exist_ok=True)
+        dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
+        pq.write_table(tbl, dst)
+        return _StagedWrite(dst, tbl.num_rows)
+
+    import pyarrow.compute as pc
+
+    paths: list[str] = []
+    combos = tbl.group_by(partition_by).aggregate([]).to_pylist()
+    for combo in combos:
+        mask = None
+        for c in partition_by:
+            v = combo[c]
+            cond = (
+                pc.is_null(tbl[c])
+                if v is None
+                else pc.equal(tbl[c], pa.scalar(v, type=tbl.schema.field(c).type))
+            )
+            mask = cond if mask is None else pc.and_(mask, cond)
+        sub = tbl.filter(mask).drop_columns(partition_by)
+        dirs = [
+            f"{c}={txlog._format_partition_value(combo[c])}"
+            for c in partition_by
+        ]
+        dst_dir = os.path.join(data_dir, *dirs)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
+        pq.write_table(sub, dst)
+        paths.append(dst)
+    return _StagedWrite(paths, tbl.num_rows)
 
 
 def _abort_staged(messages) -> None:
-    for m in messages or []:
-        if m is not None and m.path:
-            try:
-                os.unlink(m.path)
-            except FileNotFoundError:
-                pass
+    for p in _staged_paths(messages):
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
 
 
 def _active_session():
@@ -563,7 +668,12 @@ class TxlogBatchWriter(DataSourceArrowWriter):
     unlinking its staged files; readers never saw them."""
 
     def __init__(
-        self, root: str, schema: StructType, overwrite: bool, merge_schema: bool
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        merge_schema: bool,
+        partition_by: list[str] | None = None,
     ):
         self._root = root
         self._schema = schema
@@ -572,16 +682,34 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         # mode("overwrite") resets column-mapping history with the new
         # schema — stage under the batch's own (logical) names then
         self._phys = {} if overwrite else _phys_of(root)
+        if partition_by:
+            # validate on the DRIVER, before any task stages a file:
+            # missing columns and hidden-prefixed PHYSICAL dir names
+            # (the discovery walker skips _/.-paths) fail fast
+            txlog._check_partition_by(
+                partition_by,
+                schema.fieldNames(),
+                "txlog write partitionBy",
+                self._phys,
+            )
+        # tasks partition directories by PHYSICAL names (what the files
+        # and stats store); staging already renames columns to physical
+        self._part = (
+            [self._phys.get(c, c) for c in partition_by]
+            if partition_by
+            else None
+        )
 
     def write(self, iterator):
-        return _write_staged_file(self._root, iterator, self._phys)
+        return _write_staged_file(
+            self._root, iterator, self._phys, self._part
+        )
 
     def commit(self, messages):
-        staged = [m.path for m in messages if m is not None and m.path]
         txlog.commit_staged(
             _active_session(),
             self._root,
-            staged,
+            _staged_paths(messages),
             self._schema,
             overwrite=self._overwrite,
             merge_schema=self._merge_schema,
@@ -610,6 +738,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         truncate: bool,
         merge_schema: bool,
         app_id: str | None,
+        partition_by: list[str] | None = None,
     ):
         self._root = root
         self._schema = schema
@@ -617,12 +746,26 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self._merge_schema = merge_schema
         self._app_id = app_id
         self._phys = {} if truncate else _phys_of(root)
+        if partition_by:
+            txlog._check_partition_by(
+                partition_by,
+                schema.fieldNames(),
+                "txlog writeStream partitionBy",
+                self._phys,
+            )
+        self._part = (
+            [self._phys.get(c, c) for c in partition_by]
+            if partition_by
+            else None
+        )
 
     def write(self, iterator):
-        return _write_staged_file(self._root, iterator, self._phys)
+        return _write_staged_file(
+            self._root, iterator, self._phys, self._part
+        )
 
     def commit(self, messages, batchId: int):
-        staged = [m.path for m in messages if m is not None and m.path]
+        staged = _staged_paths(messages)
         txn = (self._app_id, int(batchId)) if self._app_id else None
         txlog.commit_staged(
             _active_session(),
@@ -743,12 +886,21 @@ class TxlogDataSource(DataSource):
             _as_bool(self.options, "skipchangecommits"),
         )
 
+    def _partition_by(self) -> list[str] | None:
+        # .option("partitionBy", "col1,col2") — DataSource options are
+        # case-insensitive (Spark lowercases the keys)
+        raw = self.options.get("partitionby")
+        if not raw:
+            return None
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
     def writer(self, schema: StructType, overwrite: bool) -> TxlogBatchWriter:
         return TxlogBatchWriter(
             self._root(),
             schema,
             overwrite,
             _as_bool(self.options, "mergeschema"),
+            self._partition_by(),
         )
 
     def streamWriter(
@@ -760,6 +912,7 @@ class TxlogDataSource(DataSource):
             overwrite,
             _as_bool(self.options, "mergeschema"),
             self.options.get("txnappid"),  # txn dedup is opt-in
+            self._partition_by(),
         )
 
 

@@ -2059,7 +2059,7 @@ def test_partition_by_hidden_column_name_rejected(spark, tmp_path):
     hidden — such partition directories would silently lose the batch."""
     root = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, _grp string")
-    with pytest.raises(ValueError, match="cannot be partition"):
+    with pytest.raises(ValueError, match="cannot be a partition"):
         txlog.append(spark, df, root, partition_by=["_grp"])
     # nothing was committed or staged-and-lost
     assert txlog.load_snapshot(root).version == 0
