@@ -3843,6 +3843,67 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE row-level CDC (sinks/txlog.py:read_row_changes — NEW r8):
+    each commit's NET row delta as _change_type insert/delete, computed
+    as a per-commit EXCEPT ALL snapshot diff over the commit's touched
+    files (immutable files make it exact; zero write-time cost, no CDC
+    sidecars). The table takes an append, a MERGE (updates a 1-in-7
+    slice, inserts a shifted 1-in-11 slice), an OPTIMIZE, and a
+    deletion-vector DELETE of a key range. Certified per
+    (version, change_type): the merge emits ONLY its changed keys
+    (untouched rows of rewritten files cancel), the optimize emits
+    NOTHING (the oracle simply has no v3 group), and the DV delete
+    emits exactly the newly-masked rows under their CURRENT (post-
+    merge) values. Applying the feed to the v1 snapshot reproduces the
+    final table — the replication contract pinned in
+    tests/test_txlog_row_changes.py."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    root = tempfile.mkdtemp(prefix="txlog_cdc_") + "/orders"
+    txlog.append(
+        spark, orders.repartitionByRange(4, "o_orderkey"), root
+    )  # v1
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(2 * int(mx))).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit(2).cast("long").alias("seq"),
+    )
+    txlog.merge(spark, upd.unionAll(ins), root, ["o_orderkey"], "seq")  # v2
+    txlog.optimize(spark, root)  # v3: contents-preserving — emits nothing
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.delete(
+        spark,
+        root,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        deletion_vectors=True,
+    )  # v4
+    return (
+        txlog.read_row_changes(spark, root, since_version=0)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion vectors (sinks/txlog.py:delete(deletion_vectors=True) —
     NEW r8, VERDICT r7 'what's missing' #2): orders range-clustered
@@ -3998,17 +4059,18 @@ def q_txlog_skip_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 169) is additionally
+    the FIRST 50 entries only; every entry (all 170) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-8 window: positions 1-3 are NEW this round — deletion-vector
+    Round-8 window: positions 1-4 are NEW this round — deletion-vector
     point deletes (txlog_deletion_vectors), scoped atomic overwrite
-    (txlog_replace_where), and the rewrite-skipping change feed
-    (txlog_skip_rewrites). Positions 4-39 are the 36 entries last
+    (txlog_replace_where), the rewrite-skipping change feed
+    (txlog_skip_rewrites), and the row-level CDC diff feed
+    (txlog_row_changes). Positions 5-40 are the 36 entries last
     driver-certified in r4 — the full r8 rotation debt the r7 VERDICT
     enumerated, re-certified here so nothing's driver signal ages past
-    one year of rounds. Positions 40-50 are the txlog entries whose
+    one year of rounds. Positions 41-50 are the txlog entries whose
     read/write path changed this round (every snapshot read now splits
     DV-masked from plain legs; delete/overwrite/optimize/merge conflict
     checks moved to entry identity; the change feed carries DV refs;
@@ -4022,12 +4084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     51+ are driver-green r3-r7 at unchanged semantics (still locally
     re-certified every round)."""
     return {
-        # ==== positions 1-3: NEW in round 8 (deletion vectors,
-        # ==== replaceWhere, skipChangeCommits)
+        # ==== positions 1-4: NEW in round 8 (deletion vectors,
+        # ==== replaceWhere, skipChangeCommits, row-level CDC)
         "txlog_deletion_vectors": q_txlog_deletion_vectors,
         "txlog_replace_where": q_txlog_replace_where,
         "txlog_skip_rewrites": q_txlog_skip_rewrites,
-        # ==== positions 4-39: the 36 r4-stale entries (VERDICT r7 #2 —
+        "txlog_row_changes": q_txlog_row_changes,
+        # ==== positions 5-40: the 36 r4-stale entries (VERDICT r7 #2 —
         # ==== the full r8 rotation debt, re-certified)
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
@@ -4065,7 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_tags": q_union_tags,
         "vocab_encode": q_vocab_encode,
         "zorder_key": q_zorder_key,
-        # ==== positions 40-50: txlog entries whose read/write path
+        # ==== positions 41-50: txlog entries whose read/write path
         # ==== changed in r8 (DV-split read legs, entry-identity
         # ==== conflicts, DV-aware change feed, partition-aware
         # ==== commit_staged)
@@ -4079,10 +4142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_merge_sync": q_txlog_merge_sync,
         "txlog_partitioned_convert": q_txlog_partitioned_convert,
         "txlog_column_mapping": q_txlog_column_mapping,
-        "txlog_convert": q_txlog_convert,
         # ==== position 51+: driver-green r3-r7 at unchanged semantics
         # ==== (every entry is still locally re-certified each round
-        # ==== via tools/check_oracle.py)
+        # ==== via tools/check_oracle.py); txlog_convert slid out of the
+        # ==== 50-slot window to make room for txlog_row_changes — its
+        # ==== changed-path coverage this round is the local sweep
+        "txlog_convert": q_txlog_convert,
         "txlog_stream_backpressure": q_txlog_stream_backpressure,
         "txlog_timestamp_travel": q_txlog_timestamp_travel,
         "txlog_time_travel": q_txlog_time_travel,
@@ -6966,6 +7031,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 3 AS version,
                (SELECT COUNT(*) FROM part WHERE p_partkey % 3 = 2)
+    """
+
+    sql["txlog_row_changes"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi
+            FROM orders)
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM orders
+        UNION ALL
+        SELECT 2, 'delete', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 2, 'insert', COUNT(*),
+               CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        FROM (
+            SELECT o_totalprice * 2 AS p FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_totalprice FROM orders WHERE o_orderkey % 11 = 0)
+        UNION ALL
+        SELECT 4, 'delete', COUNT(*),
+               CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                                  THEN o_totalprice * 2
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders, bounds
+        WHERE o_orderkey >= bounds.lo AND o_orderkey < bounds.hi
     """
 
     sql["txlog_deletion_vectors"] = """

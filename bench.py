@@ -152,11 +152,13 @@ ROUND7 = [
 ]
 
 # Round-8 additions: scoped overwrite (replaceWhere), rewrite-skipping
-# change feed (skipChangeCommits), deletion-vector point deletes.
+# change feed (skipChangeCommits), deletion-vector point deletes,
+# row-level CDC diff feed.
 ROUND8 = [
     "txlog_replace_where",
     "txlog_skip_rewrites",
     "txlog_deletion_vectors",
+    "txlog_row_changes",
 ]
 
 # Non-headline series, benched + reported per round under their own keys.

@@ -2781,3 +2781,129 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_row_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """TRUE row-level CDC (r8): for each commit in ``(since, to]`` emit
+    the commit's NET row changes, tagged ``_change_type`` ∈
+    {'insert', 'delete'} (+ ``_commit_version``/``_commit_op``).
+    Applying the feed in order — insert the inserts, remove one
+    matching row per delete — reproduces the table state at
+    ``to_version`` exactly, which is the replication contract the
+    adds-only feed (:func:`read_changes`) cannot give.
+
+    Spark-first design: because data files are IMMUTABLE and every
+    commit names exactly the files it removed/added, a commit's row
+    delta is a pure snapshot diff over its TOUCHED files only::
+
+        inserts(v) = rows(touched files at v)   EXCEPT ALL  rows(at v-1)
+        deletes(v) = rows(touched files at v-1) EXCEPT ALL  rows(at v)
+
+    computed under the ``to``-snapshot schema with both sides read
+    through the normal (DV-masked, partition-injecting, column-mapped)
+    read path. No CDC sidecar files, no write-time overhead on any
+    commit, and the multiset semantics of EXCEPT ALL keep duplicate
+    rows exact. What falls out for free:
+
+    - pure appends take a fast path (all added rows are inserts — no
+      diff job at all);
+    - OPTIMIZE / RESTORE / any rewrite that preserves contents emits
+      ZERO rows (the two sides cancel) — additive consumers are exact
+      without ``skipChangeCommits``;
+    - a MERGE emits delete+insert pairs ONLY for keys it actually
+      changed: untouched rows of rewritten files cancel;
+    - a deletion-vector delete emits exactly the newly-masked rows
+      (the same file under old-mask vs new-mask differs by just them).
+
+    An UPDATE appears as its delete+insert pair (no
+    update_preimage/postimage labels — pairing them needs key
+    knowledge the log doesn't record; consumers that track keys can
+    join the pair themselves). Rows are emitted under the ``to``
+    snapshot's schema, like Delta's CDF: columns added later read as
+    NULL for old rows, and rows differing only in a since-dropped
+    column cancel.
+
+    Cost model (100 TB): O(bytes touched per commit), never O(table) —
+    the diff reads only each commit's removed+added files; the price of
+    zero write-time CDC cost is paying that read at consumption time.
+    Retention contract matches the rest of the feed: versions below the
+    log/vacuum horizon raise instead of emitting a short feed."""
+    commits, _ = _list_log(root)
+    hi = to_version if to_version is not None else (commits[-1] if commits else 0)
+    if commits and since_version < hi and since_version < commits[0] - 1:
+        raise ValueError(
+            f"row change feed from v{since_version} at {root}: commits "
+            f"≤ v{commits[0] - 1} were expired by log retention "
+            "(cleanup_log) — restart the consumer from a newer snapshot "
+            f"(earliest retained commit is v{commits[0]})"
+        )
+    snap_hi = load_snapshot(root, hi if commits else None)
+    if snap_hi.schema is None:
+        raise ValueError(f"not a txlog table (no commits): {root}")
+    schema = snap_hi.schema
+    prev_files: dict = (
+        {} if since_version == 0 else dict(load_snapshot(root, since_version).files)
+    )
+    log_dir = _log_path(root)
+
+    def _tag(df: DataFrame, change: str, v: int, op: str) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in schema.fieldNames()],
+            F.lit(change).alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+            F.lit(op).alias("_commit_op"),
+        )
+
+    parts: list[DataFrame] = []
+    for v in sorted(x for x in commits if since_version < x <= hi):
+        c = _read_json(os.path.join(log_dir, _commit_name(v)))
+        op = c.get("op")
+        adds = {a["path"]: a for a in c.get("add", [])}
+        removes = list(c.get("remove", []))
+        # an add whose path already existed is an ENTRY SWAP (a DV
+        # delete masking in place) — its previous incarnation belongs
+        # on the before side of the diff
+        before_paths = sorted(
+            set(removes) | (set(adds) & set(prev_files))
+        )
+        if not before_paths:
+            if adds:  # pure append/convert: every added row is an insert
+                parts.append(
+                    _tag(
+                        _read_files(spark, root, schema, adds, sorted(adds)),
+                        "insert",
+                        v,
+                        op,
+                    )
+                )
+        else:
+            before = _read_files(
+                spark, root, schema, prev_files, before_paths
+            )
+            after_entries = dict(adds)
+            after = _read_files(
+                spark, root, schema, after_entries, sorted(after_entries)
+            )
+            parts.append(_tag(after.exceptAll(before), "insert", v, op))
+            parts.append(_tag(before.exceptAll(after), "delete", v, op))
+        for r in removes:
+            prev_files.pop(r, None)
+        prev_files.update(adds)
+    if not parts:
+        from pyspark.sql.types import IntegerType, StringType
+
+        out_schema = (
+            schema.add("_change_type", StringType())
+            .add("_commit_version", IntegerType())
+            .add("_commit_op", StringType())
+        )
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
