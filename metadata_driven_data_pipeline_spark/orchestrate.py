@@ -258,8 +258,11 @@ def run_table_maintenance(
 
     - ``"restore": {"version": N}`` — roll back to a retained snapshot
       first (the recover-then-clean shape);
-    - ``"delete": {"where": [[col, op, value], ...]}`` — row-level
-      retention purge (stats-proven files drop by pure metadata);
+    - ``"delete": {"where": [[col, op, value], ...],
+      "deletionVectors": true}`` — row-level retention purge
+      (stats-proven files drop by pure metadata); ``deletionVectors``
+      masks boundary files in a position sidecar instead of rewriting
+      them (the GDPR point-delete shape — zero data files rewritten);
     - ``"optimize": {"targetBytes": ..., "zorderBy": [...],
       "smallFileBytes": ...}`` — compaction / Z-order clustering;
       ``smallFileBytes`` bin-packs only under-sized files (right-sized
@@ -308,7 +311,12 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
         )
     if "delete" in spec:
         where = [tuple(c) for c in spec["delete"]["where"]]
-        rep["delete"] = _txlog.delete(spark, root, where)
+        rep["delete"] = _txlog.delete(
+            spark,
+            root,
+            where,
+            deletion_vectors=bool(spec["delete"].get("deletionVectors", False)),
+        )
     if "optimize" in spec:
         o = spec["optimize"]
         small = o.get("smallFileBytes")

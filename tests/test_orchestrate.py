@@ -495,3 +495,46 @@ def test_dag_maintenance_restore_spec(spark, tmp_path):
     assert [tuple(r) for r in txlog.read_table(spark, table).collect()] == [
         (1, "a")
     ]
+
+
+def test_dag_maintenance_deletion_vectors_spec(spark, tmp_path):
+    """r8: the declarative delete spec's deletionVectors flag routes the
+    purge through the mask lane — zero data files rewritten."""
+    import os
+
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    table = str(tmp_path / "t")
+    txlog.append(
+        spark,
+        spark.range(0, 100).selectExpr("id", "id % 3 as k").coalesce(1),
+        table,
+    )
+    mt0 = {
+        p: os.path.getmtime(os.path.join(table, p))
+        for p in txlog.load_snapshot(table).files
+    }
+    reports = run_table_maintenance(
+        spark,
+        [
+            {
+                "table": table,
+                "delete": {
+                    "where": [["id", ">=", 10], ["id", "<", 13]],
+                    "deletionVectors": True,
+                },
+            }
+        ],
+    )
+    rep = reports[0]["delete"]
+    assert rep["rows_deleted"] == 3
+    assert rep["files_rewritten"] == 0 and rep["files_masked"] == 1
+    mt1 = {
+        p: os.path.getmtime(os.path.join(table, p))
+        for p in txlog.load_snapshot(table).files
+    }
+    assert mt1 == mt0
+    assert txlog.read_table(spark, table).count() == 97
