@@ -91,11 +91,16 @@ def test_capped_drain_is_checkpoint_resumable(spark, tmp_path):
     for i in range(6):
         txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
 
-    seen: list[tuple] = []
+    # keyed by batchId, not a flat list: foreachBatch is AT-LEAST-ONCE —
+    # stopping between a batch's execution and its checkpoint commit
+    # replays it on restart UNDER THE SAME batchId (offsets are WAL'd),
+    # so overwrite-by-id is the idempotent accumulator the contract
+    # expects of sinks (the txlog stream writer gets this via txn dedup)
+    seen: dict[int, list[tuple]] = {}
 
     def run_once():
-        def record(df, _bid):
-            seen.extend(tuple(r) for r in df.collect())
+        def record(df, bid):
+            seen[bid] = [tuple(r) for r in df.collect()]
 
         q = (
             spark.readStream.format("txlog")
@@ -120,7 +125,7 @@ def test_capped_drain_is_checkpoint_resumable(spark, tmp_path):
         q.stop()
         q.awaitTermination(120)
     assert seen, "first capped batch never arrived"
-    assert len(seen) < 6  # stopped mid-drain — backlog remains
+    assert sum(len(v) for v in seen.values()) < 6  # stopped mid-drain
 
     q = run_once()
     try:
@@ -128,7 +133,8 @@ def test_capped_drain_is_checkpoint_resumable(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(120)
-    assert sorted(seen) == _rows(txlog.read_table(spark, root))
+    drained = sorted(r for rows in seen.values() for r in rows)
+    assert drained == _rows(txlog.read_table(spark, root))
 
 
 def test_max_bytes_per_trigger_bounds_by_commit_bytes(spark, tmp_path):
