@@ -179,22 +179,26 @@ def _median(xs: list[float]) -> float:
 
 
 def _stage_metrics(spark: SparkSession) -> dict | None:
-    """Cumulative shuffle-write / spill bytes across all retained stages,
-    from the JVM AppStatusStore (the same numbers the UI's stage table
-    shows). Returns None if the py4j surface moves (bench still runs)."""
+    """Cumulative shuffle-write / spill bytes across all retained stages
+    via ONE status-REST call (the same AppStatusStore the UI's stage
+    table reads; a py4j per-stage iteration costs ~ms per element ×
+    thousands of retained stages — the REST endpoint returns them all
+    in one round trip). Returns None if unavailable (bench still
+    runs)."""
+    import json as _json
+    import urllib.request
+
     try:
-        store = spark.sparkContext._jsc.sc().statusStore()
-        quantiles = getattr(store, "stageList$default$4")()
-        task_statuses = getattr(store, "stageList$default$5")()
-        empty = spark._jvm.java.util.ArrayList()
-        stages = store.stageList(empty, False, False, quantiles, task_statuses)
-        mem = disk = shw = 0
-        it = stages.iterator()
-        while it.hasNext():
-            s = it.next()
-            mem += s.memoryBytesSpilled()
-            disk += s.diskBytesSpilled()
-            shw += s.shuffleWriteBytes()
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?details=false",
+            timeout=30,
+        ) as r:
+            stages = _json.load(r)
+        mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+        shw = sum(s.get("shuffleWriteBytes", 0) for s in stages)
         return {"memory_spill": mem, "disk_spill": disk, "shuffle_write": shw}
     except Exception:
         return None
@@ -282,11 +286,14 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.ui.enabled", "false")
+        # UI on (random port, console progress off): the spill
+        # attribution reads stage totals through the status REST API —
+        # one HTTP call per snapshot instead of a py4j per-stage walk
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
         .config("spark.ui.showConsoleProgress", "false")
-        # spill attribution reads cumulative stage totals; a full bench
-        # run creates ~2-3k stages, so keep them all retained or the
-        # before/after deltas under-count (default retention is 1000)
+        # a full bench run creates ~2-3k stages; keep them all retained
+        # or the before/after deltas under-count (default retention 1000)
         .config("spark.ui.retainedStages", "50000")
         .config("spark.ui.retainedJobs", "50000")
         .appName("bench")

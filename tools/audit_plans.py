@@ -135,6 +135,13 @@ AUDITED = [
     "dsir_incremental_weights",
     "txlog_partitioned_convert",
     "txlog_column_mapping",
+    # r8: deletion-vector masked scan (BroadcastHashJoin LeftAnti vs the
+    # sidecar), scoped overwrite, rewrite-skipping feed, row-level CDC
+    # (per-commit EXCEPT ALL diff)
+    "txlog_deletion_vectors",
+    "txlog_replace_where",
+    "txlog_skip_rewrites",
+    "txlog_row_changes",
 ]
 
 

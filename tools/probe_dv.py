@@ -59,12 +59,12 @@ def main():
     spark = get_spark(app_name="probe_dv")
     base = tempfile.mkdtemp(prefix="probe_dv_")
 
-    # predicate: every 10_000th row — touches EVERY file (stats cannot
-    # prove all-match anywhere), deletes 0.01% of rows. The worst case
-    # for rewrite-mode, the design case for DVs.
-    where = [("bucket", "==", 7), ("id", "<", n_rows // 100)]
-    # ^ ~1/97 of the first 1% of rows: spread over the first files,
-    #   proves nothing all-match, ~n_rows/9700 rows deleted
+    # predicate: one bucket value (~1% of rows) spread over EVERY file —
+    # stats cannot prove any file all-match, so rewrite-mode re-copies
+    # the whole table while the DV lane writes a position sidecar. The
+    # GDPR point-delete shape, worst case for rewrite, design case for
+    # DVs.
+    where = [("bucket", "==", 7)]
 
     results = {}
     for mode, dv in (("rewrite", False), ("dv", True)):
