@@ -3904,6 +3904,66 @@ def q_txlog_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE via deletion vectors (sinks/txlog.py:update —
+    NEW r8, the Delta DV-update shape): orders range-clustered into 6
+    files, then a ~2%-of-keyspace slice gets ``o_totalprice * 2`` with
+    ``deletion_vectors=True`` — the old row versions are MASKED by a
+    position sidecar and ONLY the updated rows are written as new
+    files, so every pre-existing data file survives byte-identical
+    (``zero_rewrites`` pins paths AND mtimes of the pre-update file
+    set; a 10-row update against a 1 GB boundary file writes 10 rows,
+    not a gigabyte). The certified aggregate equals the SQL
+    recomputation with the slice doubled; ``n_rows_v1`` pins that time
+    travel below the update still reads pre-update values (row count
+    unchanged — updates never change cardinality)."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_upd_") + "/orders"
+    txlog.append(
+        spark,
+        orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    snap0 = txlog.load_snapshot(root)
+    mt0 = {
+        p: os.path.getmtime(os.path.join(root, p)) for p in snap0.files
+    }
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    rep = txlog.update(
+        spark,
+        root,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )
+    snap1 = txlog.load_snapshot(root)
+    zero_rewrites = rep["files_rewritten"] == 0 and all(
+        p in snap1.files
+        and os.path.getmtime(os.path.join(root, p)) == mt
+        for p, mt in mt0.items()
+    )
+    n_v1 = txlog.read_table(spark, root, version=1).count()
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(int(n_v1)).alias("n_rows_v1"),
+        F.lit(bool(zero_rewrites)).alias("zero_rewrites"),
+        F.lit(bool(rep["files_masked"] >= 1)).alias("masked"),
+    )
+
+
 def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion vectors (sinks/txlog.py:delete(deletion_vectors=True) —
     NEW r8, VERDICT r7 'what's missing' #2): orders range-clustered
@@ -4059,26 +4119,27 @@ def q_txlog_skip_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 170) is additionally
+    the FIRST 50 entries only; every entry (all 171) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-8 window: positions 1-4 are NEW this round — deletion-vector
+    Round-8 window: positions 1-5 are NEW this round — deletion-vector
     point deletes (txlog_deletion_vectors), scoped atomic overwrite
     (txlog_replace_where), the rewrite-skipping change feed
-    (txlog_skip_rewrites), and the row-level CDC diff feed
-    (txlog_row_changes). Positions 5-40 are the 36 entries last
+    (txlog_skip_rewrites), the row-level CDC diff feed
+    (txlog_row_changes), and DV-lane UPDATE (txlog_update).
+    Positions 6-41 are the 36 entries last
     driver-certified in r4 — the full r8 rotation debt the r7 VERDICT
     enumerated, re-certified here so nothing's driver signal ages past
-    one year of rounds. Positions 41-50 are the txlog entries whose
+    one year of rounds. Positions 42-50 are the txlog entries whose
     read/write path changed this round (every snapshot read now splits
     DV-masked from plain legs; delete/overwrite/optimize/merge conflict
     checks moved to entry identity; the change feed carries DV refs;
     commit_staged derives partition entries): the delete, optimize,
     change-feed/stream, scan and merge families plus the partitioned /
     column-mapping converts. The remaining txlog entries
-    (time/timestamp travel, schema evolution, stream backpressure,
-    dsir_incremental_weights) read through the same changed path but
+    (convert, column mapping, time/timestamp travel, schema evolution,
+    stream backpressure, dsir_incremental_weights) read the same path but
     didn't fit the 50-slot window — they are covered by the local
     166-sweep (check_oracle.py) this round and rotate next. Positions
     51+ are driver-green r3-r7 at unchanged semantics (still locally
@@ -4090,7 +4151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replace_where": q_txlog_replace_where,
         "txlog_skip_rewrites": q_txlog_skip_rewrites,
         "txlog_row_changes": q_txlog_row_changes,
-        # ==== positions 5-40: the 36 r4-stale entries (VERDICT r7 #2 —
+        "txlog_update": q_txlog_update,
+        # ==== positions 6-41: the 36 r4-stale entries (VERDICT r7 #2 —
         # ==== the full r8 rotation debt, re-certified)
         "events_gap_stats": q_events_gap_stats,
         "events_sessionize": q_events_sessionize,
@@ -4128,7 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_tags": q_union_tags,
         "vocab_encode": q_vocab_encode,
         "zorder_key": q_zorder_key,
-        # ==== positions 41-50: txlog entries whose read/write path
+        # ==== positions 42-50: txlog entries whose read/write path
         # ==== changed in r8 (DV-split read legs, entry-identity
         # ==== conflicts, DV-aware change feed, partition-aware
         # ==== commit_staged)
@@ -4141,13 +4203,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_merge_delete": q_txlog_merge_delete,
         "txlog_merge_sync": q_txlog_merge_sync,
         "txlog_partitioned_convert": q_txlog_partitioned_convert,
-        "txlog_column_mapping": q_txlog_column_mapping,
         # ==== position 51+: driver-green r3-r7 at unchanged semantics
         # ==== (every entry is still locally re-certified each round
-        # ==== via tools/check_oracle.py); txlog_convert slid out of the
-        # ==== 50-slot window to make room for txlog_row_changes — its
+        # ==== via tools/check_oracle.py); txlog_convert and
+        # ==== txlog_column_mapping slid out of the 50-slot window to
+        # ==== make room for txlog_row_changes/txlog_update — their
         # ==== changed-path coverage this round is the local sweep
         "txlog_convert": q_txlog_convert,
+        "txlog_column_mapping": q_txlog_column_mapping,
         "txlog_stream_backpressure": q_txlog_stream_backpressure,
         "txlog_timestamp_travel": q_txlog_timestamp_travel,
         "txlog_time_travel": q_txlog_time_travel,
@@ -7031,6 +7094,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 3 AS version,
                (SELECT COUNT(*) FROM part WHERE p_partkey % 3 = 2)
+    """
+
+    sql["txlog_update"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi
+            FROM orders)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(CASE WHEN o_orderkey >= bounds.lo
+                                   AND o_orderkey < bounds.hi
+                                  THEN o_totalprice * 2
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               (SELECT COUNT(*) FROM orders) AS n_rows_v1,
+               TRUE AS zero_rewrites,
+               TRUE AS masked
+        FROM orders, bounds
     """
 
     sql["txlog_row_changes"] = """

@@ -159,6 +159,7 @@ ROUND8 = [
     "txlog_skip_rewrites",
     "txlog_deletion_vectors",
     "txlog_row_changes",
+    "txlog_update",
 ]
 
 # Non-headline series, benched + reported per round under their own keys.

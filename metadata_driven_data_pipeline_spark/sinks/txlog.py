@@ -2265,6 +2265,243 @@ def delete(
     raise RuntimeError(f"txlog delete contention at {root}")
 
 
+def update(
+    spark: SparkSession,
+    root: str,
+    where: list[tuple],
+    set: dict[str, str],
+    deletion_vectors: bool = False,
+) -> dict:
+    """Row-level UPDATE as one atomic commit: rows matching ``where``
+    (the same ``(col, op, value)`` conjunction :func:`scan`/:func:`delete`
+    take) get ``set`` applied — a ``{column: SQL expression}`` dict
+    evaluated over the row's current values (``{"price": "price * 2"}``).
+    NULL-predicate rows are untouched (tri-valued semantics, matching
+    DELETE). Files whose stats prove no row matches are never opened.
+
+    Two physical strategies, same result:
+
+    - default: may-match files are read once and REWRITTEN with the
+      update applied conditionally (untouched rows copied through);
+    - ``deletion_vectors=True`` (the public Delta DV-update shape): the
+      matching rows' positions are MASKED via the delete machinery's
+      sidecar and only the UPDATED rows are written as new files — a
+      10-row update against a 1 GB boundary file writes 10 rows plus a
+      footer-sized sidecar instead of re-copying the gigabyte. Old
+      snapshots still read the file unmasked (time travel sees
+      pre-update values), OPTIMIZE folds masks away, and
+      :func:`read_row_changes` sees the update as its delete+insert
+      pair either way.
+
+    Updating a column that ``where`` tests is safe in both lanes: the
+    match set is decided against the PRE-update values once. ``set``
+    may not touch partition columns of partition-carrying files (the
+    row would need to MOVE directories — that's a delete+insert, i.e.
+    :func:`merge`); it also may not introduce new columns (schema
+    evolution is :func:`append` ``merge_schema``'s job).
+
+    Concurrency: identical to :func:`delete` — entry-identity conflict
+    on every touched file, may-match check on concurrently added files,
+    replan on conflict."""
+    for _, op, _v in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported update op: {op}")
+    if not where:
+        raise ValueError(
+            "update requires a predicate; use a plain rewrite for "
+            "unconditional transforms"
+        )
+    if not set:
+        raise ValueError("update requires at least one SET column")
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        snap = load_snapshot(root)
+        if snap.schema_json is None:
+            raise ValueError(f"not a txlog table (no commits): {root}")
+        names = snap.schema.fieldNames()
+        unknown = [c for c in set if c not in names]
+        if unknown:
+            raise ValueError(
+                f"update SET: {unknown} not in table schema {names}"
+            )
+
+        pm = _logical_to_physical(snap.schema)
+        pwhere = [(pm.get(c, c), op, v) for c, op, v in where]
+
+        def may_match(entry: dict) -> bool:
+            return all(_file_may_match(entry, c, op, v) for c, op, v in pwhere)
+
+        touched = [
+            rel for rel in sorted(snap.files) if may_match(snap.files[rel])
+        ]
+        # partition columns ride in directory metadata, not row data —
+        # SET on one would strand the row in the wrong directory
+        part_cols = {
+            c
+            for rel in touched
+            for c in (snap.files[rel].get("partition") or {})
+        }
+        bad = [c for c in set if pm.get(c, c) in part_cols]
+        if bad:
+            raise ValueError(
+                f"update SET touches partition column(s) {bad} of "
+                "partitioned files — rows would need to move "
+                "directories; use merge() (delete+insert) instead"
+            )
+        if not touched:
+            return {
+                "version": snap.version,
+                "skipped": True,
+                "rows_updated": 0,
+                "files_rewritten": 0,
+                "files_masked": 0,
+            }
+
+        cond = _where_column(where)
+        adds: list[dict] = []
+        removed: list[str] = []
+        rows_updated = 0
+        if deletion_vectors:
+            # read matched rows WITH positions, once: they become (a)
+            # the new-position mask and (b) the updated rows to append
+            phys = _physical_schema(snap.schema)
+            legs = _file_legs(
+                spark, root, phys, snap.files, touched, with_pos=True
+            )
+            mdf = legs[0]
+            for leg in legs[1:]:
+                mdf = mdf.unionByName(leg)
+            mdf = mdf.select(
+                *[
+                    F.col(pf.name).alias(f.name)
+                    for pf, f in zip(phys.fields, snap.schema.fields)
+                ],
+                F.col(_DV_REL).alias("rel"),
+                F.col(_DV_POS).alias("pos"),
+            )
+            old = _dv_positions(spark, root, snap.files, touched)
+            if old is not None:
+                old = old.filter(F.col("rel").isin(touched))
+                # exclude rows an earlier delete already masked — the
+                # raw position read would otherwise match (and
+                # resurrect, updated) rows that are logically gone
+                mdf = mdf.join(old, ["rel", "pos"], "left_anti")
+            mdf = mdf.filter(cond)
+            # updated rows: SET expressions over pre-update values
+            updated = mdf.select(
+                *[
+                    F.expr(set[c]).alias(c) if c in set else F.col(c)
+                    for c in names
+                ]
+            )
+            staged = _stage_files(
+                spark, _to_physical_df(updated, snap.schema), root
+            )
+            new_adds = _collect_adds(spark, root, staged)
+            new_pos = mdf.select("rel", "pos")
+            if old is not None:
+                all_pos = new_pos.unionByName(old).distinct()
+            else:
+                all_pos = new_pos.distinct()
+            dv_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex[:12]}")
+            all_pos.write.parquet(os.path.join(root, dv_rel))
+            counts = {
+                r["rel"]: r["cnt"]
+                for r in spark.read.parquet(os.path.join(root, dv_rel))
+                .groupBy("rel")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            masked: list[str] = []
+            for rel in touched:
+                e = snap.files[rel]
+                total = counts.get(rel, 0)
+                old_cnt = (e.get("dv") or {}).get("rows", 0)
+                if total == old_cnt:
+                    continue  # stats said may-match, no live row did
+                rows_updated += total - old_cnt
+                if total >= e.get("rows", 0):
+                    removed.append(rel)  # every physical row replaced
+                    continue
+                ne = dict(e)
+                ne["dv"] = {"path": dv_rel, "rows": total}
+                adds.append(ne)
+                masked.append(rel)
+                removed.append(rel)
+            if rows_updated == 0:
+                # predicate matched nothing live: drop the staged files
+                for p in staged:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+                return {
+                    "version": snap.version,
+                    "skipped": True,
+                    "rows_updated": 0,
+                    "files_rewritten": 0,
+                    "files_masked": 0,
+                }
+            adds.extend(new_adds)
+            report = {"files_rewritten": 0, "files_masked": len(masked)}
+        else:
+            existing = _read_files(
+                spark, root, snap.schema, snap.files, touched
+            )
+            n_matched = existing.filter(cond).count()
+            if n_matched == 0:
+                return {
+                    "version": snap.version,
+                    "skipped": True,
+                    "rows_updated": 0,
+                    "files_rewritten": 0,
+                    "files_masked": 0,
+                }
+            rewritten = existing.select(
+                *[
+                    F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                    if c in set
+                    else F.col(c)
+                    for c in names
+                ]
+            )
+            staged = _stage_files(
+                spark, _to_physical_df(rewritten, snap.schema), root
+            )
+            adds = _collect_adds(spark, root, staged)
+            removed = list(touched)
+            rows_updated = n_matched
+            report = {"files_rewritten": len(touched), "files_masked": 0}
+
+        conflicted = False
+
+        def build(cur: Snapshot, version: int):
+            nonlocal conflicted
+            if cur.version != snap.version:
+                for p in removed:
+                    if cur.files.get(p) != snap.files.get(p):
+                        conflicted = True
+                        return None
+                for p, e in cur.files.items():
+                    if p not in snap.files and may_match(e):
+                        conflicted = True
+                        return None
+            return {
+                "version": version,
+                "op": "update",
+                "schema": cur.schema_json,
+                "add": adds,
+                "remove": removed,
+                "txn": None,
+            }
+
+        res = _commit_loop(root, build)
+        if not res.get("skipped") or not conflicted:
+            return res | {"rows_updated": rows_updated} | report
+        # conflicted: staged files/sidecars left for vacuum; replan
+    raise RuntimeError(f"txlog update contention at {root}")
+
+
 # ---------------------------------------------------------------- optimize
 
 

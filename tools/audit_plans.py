@@ -142,6 +142,7 @@ AUDITED = [
     "txlog_replace_where",
     "txlog_skip_rewrites",
     "txlog_row_changes",
+    "txlog_update",
 ]
 
 
