@@ -4117,35 +4117,509 @@ def q_txlog_skip_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC update pairing (sinks/txlog.py:read_row_changes(key_cols=) —
+    NEW r9, VERDICT r8 #5, Delta-CDF parity): an UPDATE commit's delete
+    and insert halves are joined on the key and relabelled
+    update_preimage/update_postimage; unmatched rows keep their plain
+    labels. Orders take an append (v1) and a DV-lane UPDATE of a ~2%
+    key slice (v2, prices doubled); the keyed feed is certified per
+    (version, change_type): v2 yields EXACTLY a preimage group at the
+    original prices and a postimage group at doubled prices, equal row
+    counts. ``plain_without_keys`` pins that a non-keyed consumer still
+    sees the plain delete+insert form of the same commit."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_cdcpair_") + "/orders"
+    txlog.append(
+        spark, orders.repartitionByRange(4, "o_orderkey"), root
+    )  # v1
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.update(
+        spark,
+        root,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )  # v2
+    plain = {
+        r["_change_type"]
+        for r in txlog.read_row_changes(spark, root, 1, 2)
+        .select("_change_type")
+        .distinct()
+        .collect()  # bounded: ≤2 labels
+    }
+    return (
+        txlog.read_row_changes(
+            spark, root, since_version=0, key_cols=["o_orderkey"]
+        )
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n_rows",
+            "sum_price",
+            F.lit(bool(plain == {"insert", "delete"})).alias(
+                "plain_without_keys"
+            ),
+        )
+    )
+
+
+def q_txlog_row_changes_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded row-level CDC consumption (sinks/txlog.py:
+    iter_row_changes — NEW r9, VERDICT r8 'what's missing' #1): a
+    5-commit history (3 appends by o_orderkey mod 3, a boundary DELETE,
+    a contents-preserving OPTIMIZE) consumed in capped chunks of
+    ``max_versions=2`` — each chunk is its own bounded plan (≤2
+    EXCEPT-ALL legs wide, the stream source's admission shape for the
+    batch API), so a 10,000-commit backlog never becomes one
+    20,000-leg union. The concatenated chunks are certified per
+    (version, change_type) against the SQL recomputation — i.e. they
+    equal the one-shot feed multiset-exactly; ``capped`` pins ≤2
+    distinct versions per chunk and ``n_chunks`` pins ceil(5/2)=3
+    resumable units with monotone resume cursors."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_cdcbatch_") + "/orders"
+    for m in (0, 1, 2):  # v1..v3
+        txlog.append(
+            spark,
+            orders.filter(F.col("o_orderkey") % 3 == m).coalesce(2),
+            root,
+        )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = int(mx * 0.05)
+    txlog.delete(spark, root, [("o_orderkey", "<", cut)])  # v4
+    txlog.optimize(spark, root)  # v5: emits nothing
+    chunks = []
+    capped = True
+    last = 0
+    for df, resume in txlog.iter_row_changes(
+        spark, root, 0, max_versions=2
+    ):
+        vs = {
+            r["_commit_version"]
+            for r in df.select("_commit_version").distinct().collect()
+        }  # bounded: ≤ max_versions rows
+        capped = capped and len(vs) <= 2 and resume > last
+        last = resume
+        chunks.append(df)
+    feed = chunks[0]
+    for c in chunks[1:]:
+        feed = feed.unionByName(c)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n_rows",
+            "sum_price",
+            F.lit(int(len(chunks))).alias("n_chunks"),
+            F.lit(bool(capped)).alias("capped"),
+        )
+    )
+
+
+def q_txlog_hot_partition_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parallel hot-partition compaction (sinks/txlog.py:optimize — NEW
+    r9, VERDICT r8 'what's wrong' #2): orders land Hive-partitioned on
+    a skewed segment (~80% of rows in 'hot'), then a full OPTIMIZE with
+    ``target_bytes`` ≈ hot-bytes/3. The hot value compacts in its OWN
+    round-robin job into ceil(bytes/target) right-sized files instead
+    of serializing on one straggler task writing one oversized file —
+    at 100 TB this is what keeps a skewed layout's maintenance pass
+    parallel. Certified per-segment aggregate plus pins:
+    ``hot_parallel`` (≥2 hot files, each ≤2×target, all still under
+    ``seg=hot/``), ``cold_single`` (each small value → exactly one
+    file in its own directory)."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 < 8, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("o_orderkey") % 10)))
+        .alias("seg"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_hotpart_") + "/orders"
+    txlog.append(
+        spark,
+        orders.repartition(4),
+        root,
+        partition_by=["seg"],
+    )
+    snap0 = txlog.load_snapshot(root)
+    hot_bytes = sum(
+        e.get("bytes", 0)
+        for e in snap0.files.values()
+        if (e.get("partition") or {}).get("seg") == "hot"
+    )
+    target = max(1, hot_bytes // 3)
+    txlog.optimize(spark, root, target_bytes=target)
+    snap1 = txlog.load_snapshot(root)
+    by_seg: dict[str, list[dict]] = {}
+    for p, e in snap1.files.items():
+        seg = (e.get("partition") or {}).get("seg")
+        by_seg.setdefault(seg, []).append({"path": p, **e})
+    hot = by_seg.get("hot", [])
+    hot_parallel = (
+        len(hot) >= 2
+        and all(e["bytes"] <= 2 * target for e in hot)
+        and all("seg=hot" in e["path"] for e in hot)
+    )
+    cold_single = all(
+        len(fs) == 1 and f"seg={s}" in fs[0]["path"]
+        for s, fs in by_seg.items()
+        if s != "hot"
+    )
+    return (
+        txlog.read_table(spark, root)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "seg",
+            "n_rows",
+            "sum_price",
+            F.lit(bool(hot_parallel)).alias("hot_parallel"),
+            F.lit(bool(cold_single)).alias("cold_single"),
+        )
+    )
+
+
+def q_txlog_mask_debt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask-debt maintenance (sinks/txlog.py:optimize(mask_fraction=) —
+    NEW r9, VERDICT r8 #7): orders range-clustered into 2 files; a DV
+    DELETE masks ~60% of the lower file's rows (the upper file is
+    stats-pruned, never opened). A bin-pack pass that selects nothing
+    by size (``small_file_bytes=1``) but carries ``mask_fraction=0.5``
+    rewrites ONLY the heavily-masked file mask-free — the file stops
+    paying the scan-time anti-join forever — while the clean
+    right-sized file keeps its path AND mtime (``untouched``). The
+    certified aggregate equals the SQL remainder; ``mask_folded`` pins
+    zero DV references after the pass."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_maskdebt_") + "/orders"
+    txlog.append(
+        spark,
+        orders.repartitionByRange(2, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = int(mx * 0.30)  # ~60% of the lower (half-range) file
+    rep = txlog.delete(
+        spark, root, [("o_orderkey", "<", cut)], deletion_vectors=True
+    )
+    snap0 = txlog.load_snapshot(root)
+    clean = [p for p, e in snap0.files.items() if not e.get("dv")]
+    mt0 = {p: os.path.getmtime(os.path.join(root, p)) for p in clean}
+    txlog.optimize(spark, root, small_file_bytes=1, mask_fraction=0.5)
+    snap1 = txlog.load_snapshot(root)
+    mask_folded = all(not e.get("dv") for e in snap1.files.values())
+    untouched = all(
+        p in snap1.files
+        and os.path.getmtime(os.path.join(root, p)) == mt
+        for p, mt in mt0.items()
+    )
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(rep["files_masked"] >= 1)).alias("was_masked"),
+        F.lit(bool(mask_folded)).alias("mask_folded"),
+        F.lit(bool(untouched)).alias("untouched"),
+    )
+
+
+def q_txlog_dv_odd_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI-safe deletion vectors (sinks/txlog.py:_file_legs — NEW r9,
+    ADVICE r8 high): the DV machinery derives each row's file identity
+    from ``_metadata.file_path``, which is a percent-encoded URI — on a
+    table root containing a space/'%'/'+' the old raw-path substring
+    match silently no-op'd the delete (rows_deleted=0) and could UNMASK
+    masked rows at scan time. This entry runs the certified DV shape on
+    exactly such a root: ``masked`` pins the delete actually masked
+    (not metadata-dropped), ``zero_rewrites`` pins byte-identical data
+    files, and the aggregate proves the masked scan equals the SQL
+    remainder — i.e. rel derivation now decodes the URI (and raises on
+    a prefix miss instead of silently skipping)."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = (
+        tempfile.mkdtemp(prefix="txlog_oddroot_")
+        + "/odd root %x+y/orders"
+    )
+    txlog.append(
+        spark,
+        orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    snap0 = txlog.load_snapshot(root)
+    mt0 = {p: os.path.getmtime(os.path.join(root, p)) for p in snap0.files}
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    rep = txlog.delete(
+        spark,
+        root,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        deletion_vectors=True,
+    )
+    snap1 = txlog.load_snapshot(root)
+    mt1 = {p: os.path.getmtime(os.path.join(root, p)) for p in snap1.files}
+    zero_rewrites = mt1 == mt0 and rep["files_rewritten"] == 0
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(zero_rewrites)).alias("zero_rewrites"),
+        F.lit(bool(rep["files_masked"] >= 1)).alias("masked"),
+    )
+
+
+def q_txlog_s3_claim_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store commit claims (sinks/claims.py:S3ClaimBackend — NEW
+    r9, VERDICT r8 'what's missing' #3): a 3-commit history (two
+    appends and a boundary DELETE) committed entirely through the S3
+    conditional-create mapping — every version claim is a ``PutObject``
+    with ``If-None-Match: *`` against an S3-shaped client (the shipped
+    FakeS3Client stub implementing the service's documented 412/409
+    semantics; a real deployment passes boto3). ``all_conditional``
+    pins that every log record (commits + any checkpoint) exists as a
+    store object created by a conditional PUT, and the certified
+    aggregate proves the table reads back exactly — the claim seam's
+    contract holds against the API shape the 100 TB story assumes, not
+    only link(2)."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+    from metadata_driven_data_pipeline_spark.sinks.claims import (
+        FakeS3Client,
+        S3ClaimBackend,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txlog_s3_") + "/orders"
+    client = FakeS3Client()
+    prev = txlog.set_claim_backend(S3ClaimBackend(client, "log-bucket"))
+    try:
+        txlog.append(
+            spark, orders.filter(F.col("o_orderkey") % 2 == 0), root
+        )
+        txlog.append(
+            spark, orders.filter(F.col("o_orderkey") % 2 == 1), root
+        )
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        rep = txlog.delete(spark, root, [("o_orderkey", "<", int(mx * 0.05))])
+    finally:
+        txlog.set_claim_backend(prev)
+    store_keys = set(client._objects.get("log-bucket", {}))
+    log_files = {
+        os.path.join(txlog._log_path(root), f).lstrip("/")
+        for f in os.listdir(txlog._log_path(root))
+        if f.endswith(".json")
+    }
+    all_conditional = (
+        client.put_calls >= 3 and log_files <= store_keys
+    )
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(all_conditional)).alias("all_conditional"),
+        F.lit(bool(rep["rows_deleted"] > 0)).alias("deleted"),
+    )
+
+
+def q_txlog_stream_row_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level CDC through the registered DataSource stream
+    (sources/txlog_datasource.py:TxlogRowChangeStreamReader — NEW r9,
+    VERDICT r8 #8): ``readStream.format('txlog').option('rowLevel',
+    'true')`` over a mixed history on the part table — append,
+    boundary DELETE, DV-lane UPDATE (prices doubled on a key slice),
+    second append, OPTIMIZE — drained under ``maxVersionsPerTrigger=2``
+    admission with a checkpoint. The drained feed is certified per
+    (version, change_type) against the SQL recomputation, i.e. it
+    equals the batch :func:`txlog.read_row_changes` feed
+    multiset-exactly (``equals_batch`` pins the comparison;
+    ``multi_batch`` pins that admission actually split the drain);
+    the OPTIMIZE commit emits zero rows in the stream too."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+    from metadata_driven_data_pipeline_spark.sources import txlog_datasource
+
+    # the driver/oracle harness may hand us a session built outside
+    # get_spark — registration is idempotent
+    txlog_datasource.register(spark)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    base = tempfile.mkdtemp(prefix="txlog_rlstream_")
+    root = base + "/part"
+    ckpt = base + "/ckpt"
+    txlog.append(
+        spark, part.repartitionByRange(2, "p_partkey"), root
+    )  # v1
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    txlog.delete(spark, root, [("p_partkey", "<", int(mx * 0.05))])  # v2
+    lo, hi = int(mx * 0.80), int(mx * 0.82)
+    txlog.update(
+        spark,
+        root,
+        [("p_partkey", ">=", lo), ("p_partkey", "<", hi)],
+        {"p_retailprice": "p_retailprice * 2"},
+        deletion_vectors=True,
+    )  # v3
+    txlog.append(
+        spark,
+        part.filter(F.col("p_partkey") < int(mx * 0.02)).select(
+            (F.col("p_partkey") + F.lit(2 * int(mx))).alias("p_partkey"),
+            "p_retailprice",
+        ),
+        root,
+    )  # v4
+    txlog.optimize(spark, root)  # v5: emits nothing
+
+    drained: dict[int, list[tuple]] = {}
+
+    def record(df, bid):
+        # at-least-once foreachBatch: overwrite-by-batchId idempotence
+        drained[bid] = [tuple(r) for r in df.collect()]
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("rowLevel", "true")
+        .option("maxVersionsPerTrigger", 2)
+        .load(root)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    multi_batch = len(drained) >= 2
+    batch_feed = txlog.read_row_changes(spark, root, 0)
+    rows = [r for rs in drained.values() for r in rs]
+    streamed = spark.createDataFrame(rows, batch_feed.schema)
+    equals_batch = (
+        streamed.exceptAll(batch_feed).count() == 0
+        and batch_feed.exceptAll(streamed).count() == 0
+    )
+    return (
+        streamed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n_rows",
+            "sum_price",
+            F.lit(bool(equals_batch)).alias("equals_batch"),
+            F.lit(bool(multi_batch)).alias("multi_batch"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 171) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-8 window: positions 1-5 are NEW this round — deletion-vector
-    point deletes (txlog_deletion_vectors), scoped atomic overwrite
-    (txlog_replace_where), the rewrite-skipping change feed
-    (txlog_skip_rewrites), the row-level CDC diff feed
-    (txlog_row_changes), and DV-lane UPDATE (txlog_update).
-    Positions 6-41 are the 36 entries last
-    driver-certified in r4 — the full r8 rotation debt the r7 VERDICT
-    enumerated, re-certified here so nothing's driver signal ages past
-    one year of rounds. Positions 42-50 are the txlog entries whose
-    read/write path changed this round (every snapshot read now splits
-    DV-masked from plain legs; delete/overwrite/optimize/merge conflict
-    checks moved to entry identity; the change feed carries DV refs;
-    commit_staged derives partition entries): the delete, optimize,
-    change-feed/stream, scan and merge families plus the partitioned /
-    column-mapping converts. The remaining txlog entries
-    (convert, column mapping, time/timestamp travel, schema evolution,
-    stream backpressure, dsir_incremental_weights) read the same path but
-    didn't fit the 50-slot window — they are covered by the local
-    166-sweep (check_oracle.py) this round and rotate next. Positions
-    51+ are driver-green r3-r7 at unchanged semantics (still locally
-    re-certified every round)."""
-    return {
-        # ==== positions 1-4: NEW in round 8 (deletion vectors,
+    Round-9 window (applied by the ``window`` reorder at the bottom of
+    this function): positions 1-7 are NEW this round — CDC update
+    pairing (txlog_cdc_update_pairs), the row-level feed through the
+    DataSource stream (txlog_stream_row_changes), bounded capped-chunk
+    CDC consumption (txlog_row_changes_batched), parallel hot-partition
+    compaction (txlog_hot_partition_optimize), the mask-debt
+    maintenance trigger (txlog_mask_debt_fold), URI-safe deletion
+    vectors on a hostile root (txlog_dv_odd_root), and commits claimed
+    through the S3 conditional-create backend (txlog_s3_claim_commits).
+    Positions 8-50 are the 43 entries last driver-certified in r5 —
+    the full rotation debt the r8 VERDICT enumerated. Everything after
+    keeps its literal order and is still locally re-certified every
+    round by tools/check_oracle.py."""
+    q = {
+        # ==== NEW in round 9 (CDC pairing/stream/batched, hot-partition
+        # ==== optimize, mask debt, URI-safe DV, S3 claims)
+        "txlog_cdc_update_pairs": q_txlog_cdc_update_pairs,
+        "txlog_stream_row_changes": q_txlog_stream_row_changes,
+        "txlog_row_changes_batched": q_txlog_row_changes_batched,
+        "txlog_hot_partition_optimize": q_txlog_hot_partition_optimize,
+        "txlog_mask_debt_fold": q_txlog_mask_debt_fold,
+        "txlog_dv_odd_root": q_txlog_dv_odd_root,
+        "txlog_s3_claim_commits": q_txlog_s3_claim_commits,
+        # ==== NEW in round 8 (deletion vectors,
         # ==== replaceWhere, skipChangeCommits, row-level CDC)
         "txlog_deletion_vectors": q_txlog_deletion_vectors,
         "txlog_replace_where": q_txlog_replace_where,
@@ -4330,6 +4804,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_profile": q_text_profile,
+    }
+    # Driver-window rotation (PLANS.md "Driver-window rotation"): the
+    # first 50 entries are this round's certification window — reorder
+    # HERE instead of shuffling the literal above, so the registry stays
+    # stable and the next rotation is a one-list edit. r9: the 7 new
+    # entries, then the 43 entries last driver-certified in r5 (VERDICT
+    # r8 'next round' #1, verbatim).
+    window = [
+        "txlog_cdc_update_pairs",
+        "txlog_stream_row_changes",
+        "txlog_row_changes_batched",
+        "txlog_hot_partition_optimize",
+        "txlog_mask_debt_fold",
+        "txlog_dv_odd_root",
+        "txlog_s3_claim_commits",
+        "ann_topk_brute",
+        "ann_topk_ivf",
+        "ann_topk_lsh",
+        "ann_topk_pandas",
+        "asof_view_before_purchase",
+        "bpe_train",
+        "cheapest_order_per_customer",
+        "click_minus_purchase_users",
+        "custkeys_not_users",
+        "customers_no_pending",
+        "dedup_exact",
+        "dsir_topk",
+        "dsir_weights",
+        "events_daily",
+        "grouping_sets",
+        "hll_incremental_distinct",
+        "intersect_ids",
+        "kmeans_step",
+        "late_orders",
+        "minhash_lsh_pairs",
+        "minhash_signature",
+        "order_rollup",
+        "orders_by_month",
+        "pivot_event_counts",
+        "pricing_summary",
+        "range_clicks_in_error_window",
+        "region_revenue",
+        "repetition_profile",
+        "running_total",
+        "salted_join_revenue",
+        "segment_fulfilled",
+        "semdedup_pairs",
+        "session_windows",
+        "shipping_priority",
+        "simhash_pairs",
+        "streaming_cms_monitor",
+        "streaming_dedup_keys",
+        "streaming_enriched_counts",
+        "streaming_hourly_counts",
+        "streaming_interval_join",
+        "text_profile",
+        "top_customers_per_nation",
+        "word_topk",
+    ]
+    assert len(window) == 50 and len(set(window)) == 50
+    missing = [k for k in window if k not in q]
+    assert not missing, f"rotation window names unknown entries: {missing}"
+    return {k: q[k] for k in window} | {
+        k: v for k, v in q.items() if k not in window
     }
 
 
@@ -7179,6 +7717,146 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS reemits_default
         FROM orders
         WHERE o_orderkey % 4 IN (0, 1, 2)
+    """
+
+    sql["txlog_cdc_update_pairs"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi
+            FROM orders)
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS plain_without_keys
+        FROM orders
+        UNION ALL
+        SELECT 2, 'update_preimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+               TRUE
+        FROM orders, bounds
+        WHERE o_orderkey >= bounds.lo AND o_orderkey < bounds.hi
+        UNION ALL
+        SELECT 2, 'update_postimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+                    AS DOUBLE),
+               TRUE
+        FROM orders, bounds
+        WHERE o_orderkey >= bounds.lo AND o_orderkey < bounds.hi
+    """
+
+    sql["txlog_row_changes_batched"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders)
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               3 AS n_chunks, TRUE AS capped
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 2, 'insert', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+               3, TRUE
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 3, 'insert', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+               3, TRUE
+        FROM orders WHERE o_orderkey % 3 = 2
+        UNION ALL
+        SELECT 4, 'delete', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+               3, TRUE
+        FROM orders, bounds WHERE o_orderkey < bounds.cut
+    """
+
+    sql["txlog_hot_partition_optimize"] = """
+        SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'hot'
+                    ELSE 'c' || CAST(o_orderkey % 10 AS VARCHAR) END AS seg,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS hot_parallel,
+               TRUE AS cold_single
+        FROM orders
+        GROUP BY 1
+    """
+
+    sql["txlog_mask_debt_fold"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.30) AS BIGINT) AS cut
+            FROM orders)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS was_masked,
+               TRUE AS mask_folded,
+               TRUE AS untouched
+        FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_dv_odd_root"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi
+            FROM orders)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS zero_rewrites,
+               TRUE AS masked
+        FROM orders, bounds
+        WHERE NOT (o_orderkey >= bounds.lo AND o_orderkey < bounds.hi)
+    """
+
+    sql["txlog_s3_claim_commits"] = """
+        WITH bounds AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS all_conditional,
+               TRUE AS deleted
+        FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_stream_row_changes"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(p_partkey) * 0.05) AS BIGINT) AS cut,
+                   CAST(FLOOR(MAX(p_partkey) * 0.80) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(p_partkey) * 0.82) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(p_partkey) * 0.02) AS BIGINT) AS tiny
+            FROM part)
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS equals_batch, TRUE AS multi_batch
+        FROM part
+        UNION ALL
+        SELECT 2, 'delete', COUNT(*),
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE),
+               TRUE, TRUE
+        FROM part, b WHERE p_partkey < b.cut
+        UNION ALL
+        SELECT 3, 'delete', COUNT(*),
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE),
+               TRUE, TRUE
+        FROM part, b WHERE p_partkey >= b.lo AND p_partkey < b.hi
+        UNION ALL
+        SELECT 3, 'insert', COUNT(*),
+               CAST(SUM(CAST(p_retailprice * 2 AS DECIMAL(18,2)))
+                    AS DOUBLE),
+               TRUE, TRUE
+        FROM part, b WHERE p_partkey >= b.lo AND p_partkey < b.hi
+        UNION ALL
+        SELECT 4, 'insert', COUNT(*),
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE),
+               TRUE, TRUE
+        FROM part, b WHERE p_partkey < b.tiny
     """
 
     sql["txlog_convert"] = """

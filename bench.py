@@ -162,6 +162,21 @@ ROUND8 = [
     "txlog_update",
 ]
 
+# Round-9 additions: CDC update pairing, capped-chunk CDC consumption,
+# parallel hot-partition compaction, mask-debt fold, URI-safe DV roots,
+# S3-claimed commits. (txlog_stream_row_changes is certified for
+# correctness but kept out of the bench series: its cost is three
+# streaming-query startups, the same fixed overhead
+# txlog_stream_backpressure already measures.)
+ROUND9 = [
+    "txlog_cdc_update_pairs",
+    "txlog_row_changes_batched",
+    "txlog_hot_partition_optimize",
+    "txlog_mask_debt_fold",
+    "txlog_dv_odd_root",
+    "txlog_s3_claim_commits",
+]
+
 # Non-headline series, benched + reported per round under their own keys.
 SERIES = {
     "curation": CURATION,
@@ -170,6 +185,7 @@ SERIES = {
     "round6": ROUND6,
     "round7": ROUND7,
     "round8": ROUND8,
+    "round9": ROUND9,
 }
 
 
@@ -411,7 +427,28 @@ def _emit(full: dict, series: list[str] = ()) -> None:
     sys.stdout.flush()
     print("BENCH_FULL: " + json.dumps(full), flush=True)
     line = json.dumps(slim)
-    assert len(line) <= 1500, f"slim bench line too long: {len(line)}"
+    # keep the driver-parsed line under its cap by DEGRADING, never by
+    # crashing a bench run whose measurements are already complete
+    # (ADVICE r8): drop optional fields in increasing order of value
+    # until it fits; the full record is always in BENCH_RESULT.json.
+    droppable = (
+        ["loadavg"]
+        + [f"{n}_spill" for n in series]
+        + [f"{n}_min_sum" for n in series]
+        + ["rep_totals", "warmup_total"]
+    )
+    for k in droppable:
+        if len(line) <= 1500:
+            break
+        if slim.pop(k, None) is not None:
+            line = json.dumps(slim)
+    if len(line) > 1500:
+        print(
+            f"WARN: slim bench line still {len(line)} bytes after "
+            "dropping optional fields",
+            file=sys.stderr,
+            flush=True,
+        )
     print(line, flush=True)
 
 

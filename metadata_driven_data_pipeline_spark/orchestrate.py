@@ -264,9 +264,13 @@ def run_table_maintenance(
       masks boundary files in a position sidecar instead of rewriting
       them (the GDPR point-delete shape — zero data files rewritten);
     - ``"optimize": {"targetBytes": ..., "zorderBy": [...],
-      "smallFileBytes": ...}`` — compaction / Z-order clustering;
-      ``smallFileBytes`` bin-packs only under-sized files (right-sized
-      files are never rewritten — the O(small-file debt) nightly pass);
+      "smallFileBytes": ..., "maskFraction": 0.2}`` — compaction /
+      Z-order clustering; ``smallFileBytes`` bin-packs only under-sized
+      files (right-sized files are never rewritten — the O(small-file
+      debt) nightly pass); ``maskFraction`` additionally rewrites any
+      file whose deletion-vector mask covers more than that fraction of
+      its rows, folding accumulated mask debt away so point-deleted
+      files stop paying the scan-time anti-join forever;
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -320,12 +324,14 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
     if "optimize" in spec:
         o = spec["optimize"]
         small = o.get("smallFileBytes")
+        mfrac = o.get("maskFraction")
         rep["optimize"] = _txlog.optimize(
             spark,
             root,
             target_bytes=int(o.get("targetBytes", 128 * 1024 * 1024)),
             zorder_by=o.get("zorderBy"),
             small_file_bytes=int(small) if small is not None else None,
+            mask_fraction=float(mfrac) if mfrac is not None else None,
         )
     if "vacuum" in spec:
         v = spec["vacuum"]

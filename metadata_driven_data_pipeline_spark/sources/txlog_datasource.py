@@ -24,7 +24,11 @@ the standard reader surface instead of a module-level helper:
   overwrite) from every batch so ADDITIVE consumers never double-count
   rewritten rows; the default re-emits rewritten files (ignoreChanges
   semantics — safe for keep-latest consumers). Works on the batch
-  change feed (``sinceVersion``) too.
+  change feed (``sinceVersion``) too. ``.option("rowLevel", "true")``
+  (r9) streams the TRUE row-level CDC feed instead — exact per-commit
+  insert/delete deltas tagged ``_change_type`` (the streaming form of
+  :func:`txlog.read_row_changes`), with the same admission control and
+  checkpointed resume; appends fan out per-file, rewrites diff to zero.
 - ``df.write.format("txlog").mode("append"|"overwrite").save(root)`` —
   executor tasks stage one parquet file each directly into ``data/``
   (invisible until referenced), and the driver-side commit folds every
@@ -84,6 +88,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 CDF_VERSION_COL = "_commit_version"
 CDF_OP_COL = "_commit_op"
+CHANGE_TYPE_COL = "_change_type"
 
 _FILTER_OPS = {
     EqualTo: "==",
@@ -535,8 +540,11 @@ class TxlogStreamReader(DataSourceStreamReader):
                 stacklevel=2,
             )
             return [_FileSlice("")]
-        parts = _change_slices(self._root, s, e, self._skip_changes)
+        parts = self._slices(s, e)
         return parts or [_FileSlice("")]
+
+    def _slices(self, s: int, e: int) -> list:
+        return _change_slices(self._root, s, e, self._skip_changes)
 
     def read(self, partition: _FileSlice):
         if not partition.path:
@@ -554,6 +562,210 @@ class TxlogStreamReader(DataSourceStreamReader):
         # offsets live in Spark's checkpoint; the log is immutable —
         # nothing to persist, but the committed position feeds the floor
         self._observe(int(end["version"]))
+
+
+@dataclass
+class _DiffSlice(InputPartition):
+    """One commit's ROW-LEVEL diff unit (rowLevel stream lane): the
+    commit's touched files as-of the previous version (``before``) and
+    as-of this version (``after``), each a list of
+    ``(abs path, partition dict, dv abs path, rel)`` read refs. The
+    executor computes the multiset diff; per-commit granularity is the
+    parallel unit (pure-append commits bypass this and fan out
+    per-file)."""
+
+    version: int
+    op: str | None
+    before: list
+    after: list
+
+
+def _diff_batches(
+    part: _DiffSlice, schema: StructType, phys: dict | None
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side multiset diff of one commit — the Arrow-lane analog
+    of :func:`txlog.read_row_changes`'s per-commit EXCEPT ALL legs
+    (txlog.py): rows(after) minus rows(before) are inserts, the reverse
+    are deletes, exact under duplicates via a counter keyed on the full
+    row (pickled value tuple — primitives only is fine: the reader
+    schema is flat). Both sides read through the normal Arrow path
+    (DV masks, partition injection, column mapping, schema evolution).
+    Memory is O(bytes the commit touched) on one executor — bounded by
+    the stream's admission control, which is the whole point of
+    consuming CDC through this lane."""
+    import pickle
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    change_cols = (CHANGE_TYPE_COL, CDF_VERSION_COL, CDF_OP_COL)
+    base = StructType(
+        [f for f in schema.fields if f.name not in change_cols]
+    )
+    counts: Counter = Counter()
+    rows: dict[bytes, tuple] = {}
+
+    def _fold(files, sign: int) -> None:
+        for path, partd, dvp, rel in files:
+            for b in _read_file_batches(
+                path,
+                base,
+                _partition_extras(base, partd, phys),
+                phys,
+                dvp,
+                rel,
+            ):
+                for row in zip(*[c.to_pylist() for c in b.columns]):
+                    k = pickle.dumps(row)
+                    counts[k] += sign
+                    if k not in rows:
+                        rows[k] = row
+
+    _fold(part.after, 1)
+    _fold(part.before, -1)
+    ins: list[tuple] = []
+    dels: list[tuple] = []
+    for k, c in counts.items():
+        if c > 0:
+            ins.extend([rows[k]] * c)
+        elif c < 0:
+            dels.extend([rows[k]] * (-c))
+    target = to_arrow_schema(schema)
+    names = schema.fieldNames()
+
+    def _emit(rws: list[tuple], label: str):
+        n = len(rws)
+        if not n:
+            return None
+        data = list(zip(*rws))
+        arrays, fields = [], []
+        for i, f in enumerate(base.fields):
+            at = target.field(f.name).type
+            arrays.append(pa.array(list(data[i]), type=at))
+            fields.append(target.field(f.name))
+        for name, val in (
+            (CHANGE_TYPE_COL, label),
+            (CDF_VERSION_COL, part.version),
+            (CDF_OP_COL, part.op),
+        ):
+            if name in names:
+                at = target.field(name).type
+                arrays.append(pa.array([val] * n, type=at))
+                fields.append(target.field(name))
+        return pa.table(arrays, schema=pa.schema(fields))
+
+    for t in (_emit(ins, "insert"), _emit(dels, "delete")):
+        if t is not None:
+            yield from t.to_batches()
+
+
+class TxlogRowChangeStreamReader(TxlogStreamReader):
+    """``readStream.format("txlog").option("rowLevel", "true")`` (r9,
+    VERDICT r8 #8): the row-level CDC feed — exact per-commit
+    insert/delete deltas, ``_change_type``-tagged — as a streaming
+    source with the SAME offset/checkpoint/admission machinery as the
+    adds-only stream. Replication consumers get exact deltas with
+    checkpointed resume: appends fan out per-file (no diff job),
+    file-removing commits plan one :class:`_DiffSlice` each, and
+    content-preserving rewrites (OPTIMIZE) diff to zero rows, so
+    additive consumers are exact without ``skipChangeCommits`` (which
+    is contradictory here and rejected at option parse).
+    ``maxBytesPerTrigger`` admission counts each commit's ADDED bytes
+    (the stats the log carries); a diff additionally reads the before
+    side, so budget roughly 2× for rewrite-heavy histories. An UPDATE
+    appears as its delete+insert pair, like the batch feed without
+    ``key_cols``."""
+
+    def _slices(self, s: int, e: int) -> list:
+        root = self._root
+        commits, _ = txlog._list_log(root)
+        versions = [v for v in commits if s < v <= e]
+        if not versions:
+            return []
+        # before-state at s: same reconstruction contract as the batch
+        # feed — load_snapshot raises loudly below the retention horizon
+        prev: dict = (
+            {} if s == 0 else dict(txlog.load_snapshot(root, s).files)
+        )
+        log_dir = txlog._log_path(root)
+
+        def _refs(entries: list[tuple[str, dict]]) -> list[tuple]:
+            return [
+                (
+                    os.path.join(root, rel),
+                    en.get("partition"),
+                    (
+                        os.path.join(root, en["dv"]["path"])
+                        if en.get("dv")
+                        else None
+                    ),
+                    rel,
+                )
+                for rel, en in entries
+            ]
+
+        out: list = []
+        for v in versions:
+            c = txlog._read_json(
+                os.path.join(log_dir, txlog._commit_name(v))
+            )
+            op = c.get("op")
+            adds = {a["path"]: a for a in c.get("add", [])}
+            removes = list(c.get("remove", []))
+            # an add over an existing path is an in-place DV entry swap:
+            # its previous incarnation is part of the before-state
+            before_paths = sorted(set(removes) | (set(adds) & set(prev)))
+            if not before_paths:
+                for rel in sorted(adds):
+                    a = adds[rel]
+                    dv = a.get("dv")
+                    out.append(
+                        _FileSlice(
+                            os.path.join(root, rel),
+                            v,
+                            op,
+                            a.get("partition"),
+                            dv_path=(
+                                os.path.join(root, dv["path"])
+                                if dv
+                                else None
+                            ),
+                            rel=rel,
+                        )
+                    )
+            else:
+                out.append(
+                    _DiffSlice(
+                        v,
+                        op,
+                        _refs([(p, prev[p]) for p in before_paths]),
+                        _refs(sorted(adds.items())),
+                    )
+                )
+            for r in removes:
+                prev.pop(r, None)
+            prev.update(adds)
+        return out
+
+    def read(self, partition):
+        if isinstance(partition, _DiffSlice):
+            return _diff_batches(partition, self._schema, self._phys)
+        if not partition.path:
+            return iter(())
+        # pure-append fast path: every added row is an insert
+        extras = _cdf_extras(self._schema, partition, self._phys)
+        if CHANGE_TYPE_COL in self._schema.fieldNames():
+            extras[CHANGE_TYPE_COL] = "insert"
+        return _read_file_batches(
+            partition.path,
+            self._schema,
+            extras,
+            self._phys,
+            partition.dv_path,
+            partition.rel,
+        )
 
 
 @dataclass
@@ -623,16 +835,24 @@ def _write_staged_file(
     import pyarrow.compute as pc
 
     paths: list[str] = []
+    staged_rows = 0
     combos = tbl.group_by(partition_by).aggregate([]).to_pylist()
     for combo in combos:
         mask = None
         for c in partition_by:
             v = combo[c]
-            cond = (
-                pc.is_null(tbl[c])
-                if v is None
-                else pc.equal(tbl[c], pa.scalar(v, type=tbl.schema.field(c).type))
-            )
+            if v is None:
+                cond = pc.is_null(tbl[c])
+            elif isinstance(v, float) and v != v:
+                # NaN equals nothing under pc.equal (the comparison is
+                # null), so a NaN partition value needs its own branch —
+                # without it those rows silently vanish from the staged
+                # write (ADVICE r8: silent data loss)
+                cond = pc.is_nan(tbl[c])
+            else:
+                cond = pc.equal(
+                    tbl[c], pa.scalar(v, type=tbl.schema.field(c).type)
+                )
             mask = cond if mask is None else pc.and_(mask, cond)
         sub = tbl.filter(mask).drop_columns(partition_by)
         dirs = [
@@ -644,6 +864,21 @@ def _write_staged_file(
         dst = os.path.join(dst_dir, f"{uuid.uuid4().hex[:12]}-w.parquet")
         pq.write_table(sub, dst)
         paths.append(dst)
+        staged_rows += sub.num_rows
+    if staged_rows != tbl.num_rows:
+        # conservation check: every input row must land in exactly one
+        # per-combo subset — any mismatch means a value class the
+        # grouping and the filters disagree on; fail the task loudly
+        # rather than commit a short write
+        for p in paths:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        raise ValueError(
+            f"partitionBy staging dropped rows: staged {staged_rows} of "
+            f"{tbl.num_rows} across {len(combos)} partition values"
+        )
     return _StagedWrite(paths, tbl.num_rows)
 
 
@@ -840,7 +1075,14 @@ class TxlogDataSource(DataSource):
         if snap.schema is None:
             raise ValueError(f"not a txlog table (no commits): {root}")
         schema = snap.schema
-        if _as_bool(self.options, "cdf"):
+        if _as_bool(self.options, "rowlevel"):
+            # row-level CDC: change label + commit tags (cdf implied)
+            schema = (
+                schema.add(CHANGE_TYPE_COL, StringType())
+                .add(CDF_VERSION_COL, IntegerType())
+                .add(CDF_OP_COL, StringType())
+            )
+        elif _as_bool(self.options, "cdf"):
             schema = schema.add(CDF_VERSION_COL, IntegerType()).add(
                 CDF_OP_COL, StringType()
             )
@@ -858,6 +1100,13 @@ class TxlogDataSource(DataSource):
                 int(since),
                 int(to) if to is not None else None,
                 _as_bool(self.options, "skipchangecommits"),
+            )
+        if _as_bool(self.options, "rowlevel"):
+            # the batch row-level feed is the JVM lane — EXCEPT ALL
+            # over DataFrames, which this Arrow reader can't express
+            raise ValueError(
+                "txlog: rowLevel=true is a readStream option; for a "
+                "batch row-level feed use txlog.read_row_changes()"
             )
         if _as_bool(self.options, "cdf"):
             # a snapshot has no per-row commit identity — NULL tags would
@@ -877,6 +1126,23 @@ class TxlogDataSource(DataSource):
             raise ValueError("txlog: maxVersionsPerTrigger must be >= 1")
         if max_bytes is not None and int(max_bytes) < 1:
             raise ValueError("txlog: maxBytesPerTrigger must be >= 1")
+        if _as_bool(self.options, "rowlevel"):
+            if _as_bool(self.options, "skipchangecommits"):
+                # the row feed's exactness COMES from diffing change
+                # commits; skipping them would silently drop deletes
+                raise ValueError(
+                    "txlog: rowLevel=true cannot be combined with "
+                    "skipChangeCommits — the row-level feed already "
+                    "cancels rewrites to zero rows, and skipping "
+                    "file-removing commits would drop their deletes"
+                )
+            return TxlogRowChangeStreamReader(
+                root,
+                schema,
+                since,
+                int(max_versions) if max_versions is not None else None,
+                int(max_bytes) if max_bytes is not None else None,
+            )
         return TxlogStreamReader(
             root,
             schema,

@@ -143,6 +143,12 @@ AUDITED = [
     "txlog_skip_rewrites",
     "txlog_row_changes",
     "txlog_update",
+    "txlog_cdc_update_pairs",
+    "txlog_row_changes_batched",
+    "txlog_hot_partition_optimize",
+    "txlog_mask_debt_fold",
+    "txlog_dv_odd_root",
+    "txlog_s3_claim_commits",
 ]
 
 
