@@ -3101,12 +3101,33 @@ def list_changes(
     return out
 
 
+def _resolve_since(
+    root: str, commits: list[int], since_version, since_timestamp
+) -> int:
+    """Resolve a change-feed cursor: exactly one of ``since_version`` /
+    ``since_timestamp``. An instant resolves to the newest commit
+    at-or-before it (:func:`_resolve_timestamp`), so the feed emits
+    commits strictly AFTER the instant — the public
+    ``startingTimestamp`` shape."""
+    if since_timestamp is not None:
+        if since_version is not None:
+            raise ValueError(
+                "pass since_version OR since_timestamp, not both"
+            )
+        return _resolve_timestamp(root, commits, since_timestamp)
+    if since_version is None:
+        raise ValueError("a change feed needs since_version or since_timestamp")
+    return since_version
+
+
 def read_changes(
     spark: SparkSession,
     root: str,
-    since_version: int,
+    since_version: int | None = None,
     to_version: int | None = None,
     skip_change_commits: bool = False,
+    max_versions: int | None = None,
+    since_timestamp=None,
 ) -> DataFrame:
     """Change-data-feed read: rows ADDED by commits in
     ``(since_version, to_version]``, tagged with ``_commit_version`` and
@@ -3119,9 +3140,30 @@ def read_changes(
     exactly the appended batches — but ADDITIVE consumers double-count.
     ``skip_change_commits=True`` skips file-removing commits entirely
     (the public ``skipChangeCommits`` shape) so only append-shaped
-    commits flow; see :func:`list_changes`."""
+    commits flow; see :func:`list_changes`.
+
+    ``since_timestamp`` (r9) is the instant-addressed cursor: changes
+    from commits strictly AFTER that instant (resolved through the
+    per-commit ``ts``, same contract as ``read_table(timestamp=)``) —
+    the Delta ``startingTimestamp`` shape. Mutually exclusive with
+    ``since_version``. ``max_versions`` (r9) caps consumption to the
+    first N commits after the cursor — the plan is one read leg per
+    consumed commit, so an uncapped 10,000-commit backlog is a
+    10,000-leg union; capped consumers resume from
+    ``max(_commit_version)`` of the returned frame."""
     commits, _ = _list_log(root)
+    since_version = _resolve_since(
+        root, commits, since_version, since_timestamp
+    )
     hi = to_version if to_version is not None else (commits[-1] if commits else 0)
+    if max_versions is not None:
+        if max_versions < 1:
+            raise ValueError(f"max_versions must be >= 1: {max_versions}")
+        consumed = sorted(
+            x for x in commits if since_version < x <= hi
+        )[:max_versions]
+        if consumed:
+            hi = consumed[-1]
     snap = load_snapshot(root, hi)
     if snap.schema is None:
         raise ValueError(f"not a txlog table (no commits): {root}")
@@ -3155,10 +3197,11 @@ def read_changes(
 def read_row_changes(
     spark: SparkSession,
     root: str,
-    since_version: int,
+    since_version: int | None = None,
     to_version: int | None = None,
     max_versions: int | None = None,
     key_cols: list[str] | None = None,
+    since_timestamp=None,
 ) -> DataFrame:
     """TRUE row-level CDC (r8): for each commit in ``(since, to]`` emit
     the commit's NET row changes, tagged ``_change_type`` ∈
@@ -3217,8 +3260,14 @@ def read_row_changes(
     Retention contract: the BEFORE state at ``since_version`` must be
     reconstructible (a retained commit, a retained checkpoint, or v0 of
     a never-expired log) — anything below that horizon raises with the
-    earliest valid cursor instead of emitting a short feed."""
+    earliest valid cursor instead of emitting a short feed.
+    ``since_timestamp`` (r9) is the instant-addressed cursor — changes
+    from commits strictly after that instant, mutually exclusive with
+    ``since_version`` (the ``startingTimestamp`` shape)."""
     commits, checkpoints = _list_log(root)
+    since_version = _resolve_since(
+        root, commits, since_version, since_timestamp
+    )
     hi = to_version if to_version is not None else (commits[-1] if commits else 0)
     if commits and since_version < hi:
         # the feed's before-side is the FULL snapshot at since_version.
@@ -3353,10 +3402,11 @@ def read_row_changes(
 def iter_row_changes(
     spark: SparkSession,
     root: str,
-    since_version: int,
+    since_version: int | None = None,
     to_version: int | None = None,
     max_versions: int = 64,
     key_cols: list[str] | None = None,
+    since_timestamp=None,
 ):
     """Batched row-level CDC consumption (r9): yields
     ``(chunk DataFrame, resume_version)`` pairs, each chunk a
@@ -3371,8 +3421,8 @@ def iter_row_changes(
     if max_versions < 1:
         raise ValueError(f"max_versions must be >= 1: {max_versions}")
     commits, _ = _list_log(root)
+    cursor = _resolve_since(root, commits, since_version, since_timestamp)
     hi = to_version if to_version is not None else (commits[-1] if commits else 0)
-    cursor = since_version
     while cursor < hi:
         versions = [x for x in commits if cursor < x <= hi][:max_versions]
         if not versions:

@@ -581,7 +581,10 @@ class _DiffSlice(InputPartition):
 
 
 def _diff_batches(
-    part: _DiffSlice, schema: StructType, phys: dict | None
+    part: _DiffSlice,
+    schema: StructType,
+    phys: dict | None,
+    key_cols: list[str] | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side multiset diff of one commit — the Arrow-lane analog
     of :func:`txlog.read_row_changes`'s per-commit EXCEPT ALL legs
@@ -590,9 +593,11 @@ def _diff_batches(
     row (pickled value tuple — primitives only is fine: the reader
     schema is flat). Both sides read through the normal Arrow path
     (DV masks, partition injection, column mapping, schema evolution).
-    Memory is O(bytes the commit touched) on one executor — bounded by
-    the stream's admission control, which is the whole point of
-    consuming CDC through this lane."""
+    ``key_cols`` mirrors the batch feed's update pairing: keys present
+    in BOTH halves relabel update_preimage/update_postimage, NULL keys
+    never pair. Memory is O(bytes the commit touched) on one executor —
+    bounded by the stream's admission control, which is the whole point
+    of consuming CDC through this lane."""
     import pickle
     from collections import Counter
 
@@ -632,6 +637,27 @@ def _diff_batches(
             ins.extend([rows[k]] * c)
         elif c < 0:
             dels.extend([rows[k]] * (-c))
+
+    groups: list[tuple[list[tuple], str]]
+    if key_cols and ins and dels:
+        ki = [i for i, f in enumerate(base.fields) if f.name in key_cols]
+
+        def _key(row: tuple):
+            vals = tuple(row[i] for i in ki)
+            # NULL-keyed rows never pair (USING-join semantics)
+            return None if any(v is None for v in vals) else vals
+
+        ins_keys = {k for k in map(_key, ins) if k is not None}
+        del_keys = {k for k in map(_key, dels) if k is not None}
+        upd = ins_keys & del_keys
+        groups = [
+            ([r for r in dels if _key(r) in upd], "update_preimage"),
+            ([r for r in ins if _key(r) in upd], "update_postimage"),
+            ([r for r in ins if _key(r) not in upd], "insert"),
+            ([r for r in dels if _key(r) not in upd], "delete"),
+        ]
+    else:
+        groups = [(ins, "insert"), (dels, "delete")]
     target = to_arrow_schema(schema)
     names = schema.fieldNames()
 
@@ -656,7 +682,7 @@ def _diff_batches(
                 fields.append(target.field(name))
         return pa.table(arrays, schema=pa.schema(fields))
 
-    for t in (_emit(ins, "insert"), _emit(dels, "delete")):
+    for t in (_emit(rws, label) for rws, label in groups):
         if t is not None:
             yield from t.to_batches()
 
@@ -675,8 +701,21 @@ class TxlogRowChangeStreamReader(TxlogStreamReader):
     ``maxBytesPerTrigger`` admission counts each commit's ADDED bytes
     (the stats the log carries); a diff additionally reads the before
     side, so budget roughly 2× for rewrite-heavy histories. An UPDATE
-    appears as its delete+insert pair, like the batch feed without
-    ``key_cols``."""
+    appears as its delete+insert pair by default; ``option("keyCols",
+    "a,b")`` pairs the halves into update_preimage/update_postimage
+    exactly like the batch feed's ``key_cols`` (r9)."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        since_version: int,
+        max_versions: int | None = None,
+        max_bytes: int | None = None,
+        key_cols: list[str] | None = None,
+    ):
+        super().__init__(root, schema, since_version, max_versions, max_bytes)
+        self._key_cols = key_cols
 
     def _slices(self, s: int, e: int) -> list:
         root = self._root
@@ -751,7 +790,9 @@ class TxlogRowChangeStreamReader(TxlogStreamReader):
 
     def read(self, partition):
         if isinstance(partition, _DiffSlice):
-            return _diff_batches(partition, self._schema, self._phys)
+            return _diff_batches(
+                partition, self._schema, self._phys, self._key_cols
+            )
         if not partition.path:
             return iter(())
         # pure-append fast path: every added row is an insert
@@ -1136,12 +1177,32 @@ class TxlogDataSource(DataSource):
                     "cancels rewrites to zero rows, and skipping "
                     "file-removing commits would drop their deletes"
                 )
+            raw_keys = self.options.get("keycols")
+            key_cols = (
+                [c.strip() for c in raw_keys.split(",") if c.strip()]
+                if raw_keys
+                else None
+            )
+            if key_cols:
+                base_names = [
+                    f.name
+                    for f in schema.fields
+                    if f.name
+                    not in (CHANGE_TYPE_COL, CDF_VERSION_COL, CDF_OP_COL)
+                ]
+                bad = [c for c in key_cols if c not in base_names]
+                if bad:
+                    raise ValueError(
+                        f"txlog: keyCols {bad} not in table schema "
+                        f"{base_names}"
+                    )
             return TxlogRowChangeStreamReader(
                 root,
                 schema,
                 since,
                 int(max_versions) if max_versions is not None else None,
                 int(max_bytes) if max_bytes is not None else None,
+                key_cols,
             )
         return TxlogStreamReader(
             root,

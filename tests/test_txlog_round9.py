@@ -413,6 +413,91 @@ def test_rowlevel_stream_equals_batch_feed(spark, tmp_path):
     assert [(r[0], r[2]) for r in new] == [(4, "delete")]
 
 
+def test_rowlevel_stream_keycols_pairs_updates(spark, tmp_path):
+    """option("keyCols", ...) on the rowLevel stream mirrors the batch
+    feed's key_cols pairing: the DV-update commit's halves arrive as
+    update_preimage/update_postimage, everything else keeps its plain
+    label, and the drained feed equals the keyed batch feed."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _mixed_history(spark, root)
+
+    seen: dict[int, list[tuple]] = {}
+
+    def record(df, bid):
+        seen[bid] = [tuple(r) for r in df.collect()]
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("rowLevel", "true")
+        .option("keyCols", "k")
+        .load(root)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    got = sorted(r for rows in seen.values() for r in rows)
+    assert got == _rows(txlog.read_row_changes(spark, root, 0, key_cols=["k"]))
+    labels = {r[2] for r in got}
+    assert {"update_preimage", "update_postimage"} <= labels
+
+    with pytest.raises(ValueError, match="keyCols"):
+        from metadata_driven_data_pipeline_spark.sources.txlog_datasource import (
+            TxlogDataSource,
+        )
+
+        ds = TxlogDataSource(
+            options={"path": root, "rowlevel": "true", "keycols": "nope"}
+        )
+        ds.streamReader(ds.schema())
+
+
+def test_since_timestamp_cursor_equals_version_cursor(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "a")]), root)  # v1
+    txlog.append(spark, _mk(spark, [(2, "b")]), root)  # v2
+    txlog.delete(spark, root, [("k", "==", 1)])  # v3
+    ts1 = txlog.history(root)[0]["ts"]  # instant of v1
+    assert _rows(
+        txlog.read_row_changes(spark, root, since_timestamp=ts1)
+    ) == _rows(txlog.read_row_changes(spark, root, 1))
+    assert _rows(
+        txlog.read_changes(spark, root, since_timestamp=ts1)
+    ) == _rows(txlog.read_changes(spark, root, 1))
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read_row_changes(spark, root, 1, since_timestamp=ts1)
+    with pytest.raises(ValueError, match="since_version or since_timestamp"):
+        txlog.read_changes(spark, root)
+
+
+def test_read_changes_max_versions_caps_and_resumes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(5):
+        txlog.append(spark, _mk(spark, [(i, f"v{i}")]), root)
+    full = _rows(txlog.read_changes(spark, root, 0))
+    got = []
+    cursor = 0
+    hops = 0
+    while True:
+        df = txlog.read_changes(spark, root, cursor, max_versions=2)
+        rows = _rows(df)
+        if not rows:
+            break
+        vs = {r[2] for r in rows}  # _commit_version column
+        assert len(vs) <= 2
+        got.extend(rows)
+        cursor = max(vs)
+        hops += 1
+    assert hops == 3  # ceil(5/2)
+    assert sorted(got) == full
+
+
 def test_rowlevel_stream_rejects_skip_change_commits(spark, tmp_path):
     from metadata_driven_data_pipeline_spark.sources.txlog_datasource import (
         TxlogDataSource,
