@@ -83,6 +83,7 @@ zero-copy (rename + one ``convert`` commit, no data I/O).
 from __future__ import annotations
 
 import datetime
+import functools
 import json
 import os
 import uuid
@@ -1851,9 +1852,10 @@ def merge(
     updates: DataFrame,
     root: str,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | None,
     when_matched_delete=None,
     when_not_matched_by_source_delete=None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE INTO, pruned at FILE granularity: only files whose
     ``key_cols[0]`` footer range overlaps the batch's key range are
@@ -1896,6 +1898,20 @@ def merge(
     table) behave identically instead of baking the marker into the
     table schema forever (review r6 #2).
 
+    ``order_col=None`` (r9) is UNCONDITIONAL upsert — the public
+    ``whenMatchedUpdateAll`` shape: a batch row always replaces its
+    matched target row, no recency column needed. The batch must then
+    be KEY-UNIQUE (enforced with one bounded aggregate): with no
+    ordering column, "which duplicate wins" would be
+    partitioning-dependent — exactly the nondeterminism Delta rejects
+    with its multiple-matches error.
+
+    ``txn=(app_id, batch_id)`` (r9) gives the same per-app exactly-once
+    contract as :func:`append`: a replayed batch_id at-or-below the
+    app's committed watermark is a metadata no-op — what makes a
+    chunked CDC consumer (:func:`replicate`) idempotent under
+    at-least-once delivery.
+
     Optimistic concurrency: losing the version race to a commit whose
     files overlap ours (or whose stats are unknown) rebuilds the merge
     from the new snapshot; a disjoint concurrent append just re-claims.
@@ -1903,6 +1919,21 @@ def merge(
     from metadata_driven_data_pipeline_spark.operators.consolidate import (
         dedup_keep_latest,
     )
+
+    if order_col is None:
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge(order_col=None) is unconditional upsert: the "
+                "batch must contain at most one row per key (pass an "
+                "order_col to resolve duplicates by recency)"
+            )
 
     key = key_cols[0]
     bounds = updates.agg(
@@ -1928,20 +1959,27 @@ def merge(
 
     for _ in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            # at-least-once replay of an already-committed batch
+            return {
+                "version": snap.version,
+                "skipped": True,
+                "files_rewritten": 0,
+            }
         if snap.schema_json is None:
             # bootstrap: first batch IS the table (tombstones that win
             # their key's keep-latest ordering insert nothing); __-prefix
             # marker columns are dropped, mirroring the table-schema
             # projection every later merge applies
             data_cols = [c for c in updates.columns if not c.startswith("__")]
-            deduped = (
-                dedup_keep_latest(
-                    updates.withColumn("__del", del_col), key_cols, order_col
-                )
-                .filter(~F.col("__del"))
-                .select(*data_cols)
-            )
-            return append(spark, deduped, root) | {"files_rewritten": 0}
+            tagged = updates.withColumn("__del", del_col)
+            if order_col is not None:
+                tagged = dedup_keep_latest(tagged, key_cols, order_col)
+            # order_col None: the batch is key-unique (checked above)
+            deduped = tagged.filter(~F.col("__del")).select(*data_cols)
+            return append(spark, deduped, root, txn=txn) | {
+                "files_rewritten": 0
+            }
 
         # footer stats are keyed by PHYSICAL names (what the files store)
         pkey = _logical_to_physical(snap.schema).get(key, key)
@@ -1988,7 +2026,11 @@ def merge(
                     F.max("__src").over(Window.partitionBy(*key_cols)),
                 )
             merged = dedup_keep_latest(
-                unioned, key_cols, [order_col, "__src"]
+                unioned,
+                key_cols,
+                # order_col None = unconditional upsert: the key-unique
+                # batch row beats any target row on __src alone
+                ["__src"] if order_col is None else [order_col, "__src"],
             ).filter(~F.col("__del"))
             if wnm_col is not None:
                 merged = merged.filter(
@@ -1996,11 +2038,10 @@ def merge(
                 ).drop("__matched")
             merged = merged.drop("__src", "__del")
         else:
-            merged = (
-                dedup_keep_latest(upd, key_cols, order_col)
-                .filter(~F.col("__del"))
-                .drop("__del")
-            )
+            merged = upd
+            if order_col is not None:
+                merged = dedup_keep_latest(merged, key_cols, order_col)
+            merged = merged.filter(~F.col("__del")).drop("__del")
         staged = _stage_files(
             spark, _to_physical_df(merged, snap.schema), root
         )
@@ -2010,6 +2051,8 @@ def merge(
 
         def build(cur: Snapshot, version: int):
             nonlocal conflicted
+            if txn is not None and cur.txns.get(txn[0], -1) >= txn[1]:
+                return None  # concurrent replay of the same batch won
             if cur.version != snap.version:
                 # someone committed since we planned: safe only if the
                 # new state still contains exactly our candidate files
@@ -2039,7 +2082,9 @@ def merge(
                 "schema": cur.schema_json,
                 "add": adds,
                 "remove": candidates,
-                "txn": None,
+                "txn": (
+                    {"app_id": txn[0], "batch_id": txn[1]} if txn else None
+                ),
             }
 
         res = _commit_loop(root, build)
@@ -3433,3 +3478,114 @@ def iter_row_changes(
             end,
         )
         cursor = end
+
+
+def replicate(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    key_cols: list[str],
+    max_versions: int = 64,
+    app_id: str | None = None,
+) -> dict:
+    """Incremental KEYED table replication (r9): consume the source's
+    row-level CDC feed in capped chunks and apply each chunk to the
+    target as ONE atomic, exactly-once MERGE — the end-to-end loop the
+    row feed's replication contract promises, built entirely from the
+    public primitives (:func:`iter_row_changes` → per-key net change →
+    :func:`merge` with ``order_col=None`` + tombstones + ``txn``).
+
+    Resume and exactly-once need NO side-channel checkpoint: the cursor
+    IS the target's per-app txn watermark (``app_id`` defaults to
+    ``txlog-replicate:<abs source root>``). Every applied chunk commits
+    ``txn=(app_id, chunk_end_version)``, so a crashed/replayed
+    replicate() resumes exactly after the last applied chunk and an
+    at-least-once re-application is a metadata no-op.
+
+    Per chunk, a key's net change is its row at the highest
+    ``(_commit_version, change precedence)`` — postimage/insert outrank
+    preimage/delete within one commit, so an UPDATE nets to its new row
+    and a same-commit delete+insert nets to the insert. Keys whose
+    final change is a delete become merge TOMBSTONES. Keyed-table
+    contract (the same one Delta CDF application assumes): source keys
+    are unique and non-NULL — a duplicate-keyed multiset source needs
+    positional identity that keyed replication cannot carry (NULL keys
+    raise; duplicate keys surface as merge's key-unique check).
+
+    Schema contract: each chunk resolves under its own end-snapshot
+    schema; a source column added mid-stream must be added to the
+    target (append ``merge_schema`` / evolve) before the chunk carrying
+    it applies.
+
+    Cost at 100 TB: per chunk, O(bytes the chunk's commits touched) on
+    the source + one key-range-pruned MERGE on the target; admission is
+    ``max_versions``, the same knob as the stream source. Chunks that
+    net to zero rows (rewrite-only ranges) apply nothing and do NOT
+    advance the watermark — re-diffing them next call is idempotent and
+    bounded by the cap."""
+    from pyspark.sql.window import Window
+
+    if app_id is None:
+        app_id = f"txlog-replicate:{os.path.abspath(source_root)}"
+    cursor = max(0, load_snapshot(target_root).txns.get(app_id, 0))
+    start = cursor
+    change_cols = ("_change_type", "_commit_version", "_commit_op")
+    applied = empty = 0
+    for feed, end in iter_row_changes(
+        spark, source_root, cursor, max_versions=max_versions
+    ):
+        data_cols = [c for c in feed.columns if c not in change_cols]
+        prec = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("_commit_version").desc(), F.col("__prec").desc()
+        )
+        batch = (
+            feed.withColumn("__prec", prec)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*data_cols, (F.col("__prec") == 0).alias("__tomb"))
+            .cache()
+        )
+        try:
+            null_keyed = (
+                batch.filter(
+                    functools.reduce(
+                        lambda a, b: a | b,
+                        [F.col(k).isNull() for k in key_cols],
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if null_keyed:
+                raise ValueError(
+                    f"replicate: NULL key in {key_cols} at source commit "
+                    f"range ({cursor}, {end}] — keyed replication "
+                    "requires non-NULL keys"
+                )
+            if batch.limit(1).count() == 0:
+                empty += 1
+                continue  # nothing to apply; watermark not advanced
+            merge(
+                spark,
+                batch,
+                target_root,
+                key_cols,
+                order_col=None,
+                when_matched_delete="__tomb",
+                txn=(app_id, end),
+            )
+        finally:
+            batch.unpersist()
+        applied += 1
+        cursor = end
+    return {
+        "app_id": app_id,
+        "from_version": start,
+        "to_version": cursor,
+        "chunks_applied": applied,
+        "chunks_empty": empty,
+    }

@@ -458,6 +458,94 @@ def test_rowlevel_stream_keycols_pairs_updates(spark, tmp_path):
         ds.streamReader(ds.schema())
 
 
+def test_merge_unconditional_upsert_and_txn(spark, tmp_path):
+    """order_col=None: the batch row always replaces its matched target
+    row (whenMatchedUpdateAll) — no recency column; key-duplicate
+    batches raise; txn gives merge the same per-app exactly-once
+    contract as append."""
+    root = str(tmp_path / "t")
+    txlog.append(spark, _mk(spark, [(1, "zzz"), (2, "b")]), root)
+    # with an order_col, "aaa" would LOSE to "zzz"; unconditional wins
+    txlog.merge(
+        spark, _mk(spark, [(1, "aaa"), (3, "c")]), root, ["k"], None
+    )
+    assert _rows(txlog.read_table(spark, root)) == [
+        (1, "aaa"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    with pytest.raises(ValueError, match="at most one row per key"):
+        txlog.merge(
+            spark, _mk(spark, [(7, "x"), (7, "y")]), root, ["k"], None
+        )
+    v = txlog.load_snapshot(root).version
+    txlog.merge(
+        spark, _mk(spark, [(4, "d")]), root, ["k"], None,
+        txn=("repl-app", 10),
+    )
+    assert txlog.load_snapshot(root).version == v + 1
+    # at-least-once replay of the same batch id: metadata no-op
+    rep = txlog.merge(
+        spark, _mk(spark, [(4, "DUP")]), root, ["k"], None,
+        txn=("repl-app", 10),
+    )
+    assert rep["skipped"] is True
+    assert txlog.load_snapshot(root).version == v + 1
+    assert (4, "d") in _rows(txlog.read_table(spark, root))
+
+
+def test_replicate_keyed_table_end_to_end(spark, tmp_path):
+    """replicate(): source row feed → capped chunks → one exactly-once
+    MERGE per chunk; replica converges to the source through appends,
+    deletes, DV updates and rewrites, resumes from the txn watermark,
+    and re-running is a no-op."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _mixed_history(spark, src)  # 6 commits incl. delete/DV-update/optimize
+    rep = txlog.replicate(spark, src, tgt, ["k"], max_versions=2)
+    assert rep["chunks_applied"] >= 2
+    assert rep["to_version"] == txlog.load_snapshot(src).version
+    assert _rows(txlog.read_table(spark, tgt)) == _rows(
+        txlog.read_table(spark, src)
+    )
+
+    # idempotent re-run: watermark says everything is applied
+    v_tgt = txlog.load_snapshot(tgt).version
+    rep2 = txlog.replicate(spark, src, tgt, ["k"], max_versions=2)
+    assert rep2["chunks_applied"] == 0
+    assert txlog.load_snapshot(tgt).version == v_tgt
+
+    # source advances (delete + append): one incremental chunk applies
+    txlog.delete(spark, src, [("k", "==", 4)])
+    txlog.append(spark, _mk(spark, [(9, "z")]), src)
+    rep3 = txlog.replicate(spark, src, tgt, ["k"], max_versions=10)
+    assert rep3["chunks_applied"] == 1
+    assert _rows(txlog.read_table(spark, tgt)) == _rows(
+        txlog.read_table(spark, src)
+    )
+
+    # trailing rewrite-only range: nets to zero, watermark stays behind,
+    # next run is still a converged no-op
+    txlog.optimize(spark, src, target_bytes=1 << 30)
+    rep4 = txlog.replicate(spark, src, tgt, ["k"], max_versions=10)
+    assert rep4["chunks_applied"] == 0 and rep4["chunks_empty"] == 1
+    assert _rows(txlog.read_table(spark, tgt)) == _rows(
+        txlog.read_table(spark, src)
+    )
+
+
+def test_replicate_rejects_null_keys(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(None, "a"), (1, "b")], "k int, v string"),
+        src,
+    )
+    with pytest.raises(ValueError, match="non-NULL keys"):
+        txlog.replicate(spark, src, tgt, ["k"])
+
+
 def test_since_timestamp_cursor_equals_version_cursor(spark, tmp_path):
     root = str(tmp_path / "t")
     txlog.append(spark, _mk(spark, [(1, "a")]), root)  # v1
