@@ -271,6 +271,13 @@ def run_table_maintenance(
       file whose deletion-vector mask covers more than that fraction of
       its rows, folding accumulated mask debt away so point-deleted
       files stop paying the scan-time anti-join forever;
+    - ``"replicate": {"source": <txlog root>, "keyCols": [...],
+      "maxVersions": N, "appId": ...}`` — incremental keyed replication
+      INTO this table from another txlog table's row-level CDC feed
+      (see :func:`txlog.replicate`); exactly-once per chunk via the
+      target's txn watermark, so re-running the DAG never double-
+      applies. Runs before delete/optimize so the same run can
+      maintain what it just replicated;
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -312,6 +319,16 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
     if "restore" in spec:
         rep["restore"] = _txlog.restore(
             spark, root, int(spec["restore"]["version"])
+        )
+    if "replicate" in spec:
+        r = spec["replicate"]
+        rep["replicate"] = _txlog.replicate(
+            spark,
+            r["source"],
+            root,
+            list(r["keyCols"]),
+            max_versions=int(r.get("maxVersions", 64)),
+            app_id=r.get("appId"),
         )
     if "delete" in spec:
         where = [tuple(c) for c in spec["delete"]["where"]]

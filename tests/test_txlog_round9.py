@@ -534,6 +534,32 @@ def test_replicate_keyed_table_end_to_end(spark, tmp_path):
     )
 
 
+def test_maintenance_spec_replicate(spark, tmp_path):
+    """Declarative replication: a maintenance spec on the TARGET table
+    names its source; re-running the spec is exactly-once."""
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    txlog.append(spark, _mk(spark, [(1, "a"), (2, "b")]), src)
+    txlog.delete(spark, src, [("k", "==", 2)])
+    spec = [
+        {
+            "table": tgt,
+            "replicate": {"source": src, "keyCols": ["k"], "maxVersions": 1},
+        }
+    ]
+    reports = run_table_maintenance(spark, spec)
+    assert reports[0]["replicate"]["chunks_applied"] >= 1
+    assert _rows(txlog.read_table(spark, tgt)) == [(1, "a")]
+    v = txlog.load_snapshot(tgt).version
+    reports2 = run_table_maintenance(spark, spec)  # DAG re-run: no-op
+    assert reports2[0]["replicate"]["chunks_applied"] == 0
+    assert txlog.load_snapshot(tgt).version == v
+
+
 def test_replicate_rejects_null_keys(spark, tmp_path):
     src = str(tmp_path / "src")
     tgt = str(tmp_path / "tgt")

@@ -149,6 +149,7 @@ AUDITED = [
     "txlog_mask_debt_fold",
     "txlog_dv_odd_root",
     "txlog_s3_claim_commits",
+    "txlog_replicate",
 ]
 
 
