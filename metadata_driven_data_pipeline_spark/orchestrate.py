@@ -271,6 +271,9 @@ def run_table_maintenance(
       file whose deletion-vector mask covers more than that fraction of
       its rows, folding accumulated mask debt away so point-deleted
       files stop paying the scan-time anti-join forever;
+      ``withinPartitions: true`` makes ``zorderBy`` re-cluster each
+      partition value IN PLACE (layout kept) instead of the global
+      layout-folding re-cluster;
     - ``"replicate": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` — incremental keyed replication
       INTO this table from another txlog table's row-level CDC feed
@@ -349,6 +352,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             zorder_by=o.get("zorderBy"),
             small_file_bytes=int(small) if small is not None else None,
             mask_fraction=float(mfrac) if mfrac is not None else None,
+            within_partitions=bool(o.get("withinPartitions", False)),
         )
     if "vacuum" in spec:
         v = spec["vacuum"]

@@ -42,10 +42,14 @@ def scale_to_grid(col: Column, mn: Column, mx: Column, bits: int) -> Column:
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     """Morton interleave of pre-gridded integer columns (each already in
     ``[0, 2**bits)``): bit ``b`` of column ``i`` lands at position
-    ``b * ncols + i``. Requires ``bits * len(cols) <= 62``."""
+    ``b * ncols + i``. Requires ``bits * len(cols) <= 62``. A single
+    column is the degenerate interleave — the key IS the gridded value
+    (plain range clustering), matching Delta's single-column ZORDER BY."""
     ncols = len(cols)
-    if ncols < 2:
-        raise ValueError("zorder_key needs at least 2 columns")
+    if ncols < 1:
+        raise ValueError("zorder_key needs at least 1 column")
+    if ncols == 1:
+        return cols[0].cast("bigint")
     if bits * ncols > 62:
         raise ValueError("bits * ncols must be <= 62 for a BIGINT key")
     key = F.lit(0).cast("bigint")

@@ -2594,6 +2594,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     small_file_bytes: int | None = None,
     mask_fraction: float | None = None,
+    within_partitions: bool = False,
 ) -> dict:
     """Compaction (and optional Z-order clustering) as ONE atomic
     commit: read the selected files, rewrite them into right-sized
@@ -2643,6 +2644,16 @@ def optimize(
     file paying the scan-time anti-join forever. Unmasked right-sized
     files keep their mtime untouched, preserving the O(debt) bound.
 
+    ``zorder_by`` + ``within_partitions=True`` (r9) is the public
+    Delta ``OPTIMIZE ... ZORDER BY`` shape for partitioned tables:
+    each partition VALUE is re-clustered on the Z-key while KEEPING its
+    ``key=value`` layout — cold values one job per layout (each value's
+    file receives its rows in Z-key order through the partitionBy
+    staging), hot values their own range-partitioned jobs into
+    ceil(bytes/target) Z-key-disjoint files. The default
+    (``within_partitions=False``) remains the deliberate GLOBAL
+    re-cluster, which folds partition columns back into the data files.
+
     Optimistic concurrency: a concurrent APPEND between plan and claim
     is safe (its files simply aren't compacted this pass), but a
     concurrent commit that REMOVED a selected plan-time file (delete/
@@ -2661,6 +2672,11 @@ def optimize(
             "optimize: small_file_bytes cannot be combined with "
             "zorder_by (Z-order clustering rewrites the whole table); "
             "run a bin-packed compaction and a Z-order pass separately"
+        )
+    if within_partitions and not zorder_by:
+        raise ValueError(
+            "optimize: within_partitions only modifies zorder_by "
+            "(plain compaction is always partition-aware)"
         )
     for _ in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
@@ -2723,12 +2739,22 @@ def optimize(
                 with_zorder_key,
             )
 
+            def _cluster(df: DataFrame, parts_fn) -> DataFrame:
+                # Z-key → caller's partitioning → in-task sort: each
+                # output file receives its rows in Z-key order (the
+                # partitionBy staging writer preserves encounter order
+                # per key=value file)
+                keyed = with_zorder_key(df, zorder_by, key_col="__zkey")
+                return (
+                    parts_fn(keyed)
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+
+        if zorder_by and not within_partitions:
             df = _read_files(spark, root, snap.schema, snap.files, selected)
-            keyed = with_zorder_key(df, zorder_by, key_col="__zkey")
-            df = (
-                keyed.repartitionByRange(n_files, F.col("__zkey"))
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
+            df = _cluster(
+                df, lambda k: k.repartitionByRange(n_files, F.col("__zkey"))
             )
             staged = _stage_files(
                 spark, _to_physical_df(df, snap.schema), root
@@ -2786,6 +2812,29 @@ def optimize(
                         part = snap.files[p]["partition"]
                         vs = tuple(json.dumps(part[k]) for k in pkeys)
                         vals.setdefault(vs, []).append(p)
+                    def _hot_shape(df: DataFrame, n: int) -> DataFrame:
+                        if zorder_by:
+                            # within-partition Z-order: the hot value's
+                            # files come out Z-key-range-DISJOINT, so
+                            # later Z-key predicates prune within it
+                            return _cluster(
+                                df,
+                                lambda k: k.repartitionByRange(
+                                    n, F.col("__zkey")
+                                ),
+                            )
+                        return df.repartition(n)
+
+                    def _cold_shape(df: DataFrame, n: int) -> DataFrame:
+                        by_part = lambda k: k.repartition(  # noqa: E731
+                            n, *[F.col(c) for c in logical]
+                        )
+                        if zorder_by:
+                            # one task per value; the in-task Z-key sort
+                            # lands each value's single file clustered
+                            return _cluster(df, by_part)
+                        return by_part(df)
+
                     cold: list[str] = []
                     for vs in sorted(vals):
                         vfiles = sorted(vals[vs])
@@ -2800,7 +2849,7 @@ def optimize(
                             adds.extend(
                                 _rewrite_parted(
                                     vfiles,
-                                    lambda df, n=n_val: df.repartition(n),
+                                    lambda df, n=n_val: _hot_shape(df, n),
                                 )
                             )
                         else:
@@ -2815,9 +2864,7 @@ def optimize(
                         adds.extend(
                             _rewrite_parted(
                                 sorted(cold),
-                                lambda df, n=n_grp: df.repartition(
-                                    n, *[F.col(c) for c in logical]
-                                ),
+                                lambda df, n=n_grp: _cold_shape(df, n),
                             )
                         )
                 else:
@@ -2829,7 +2876,18 @@ def optimize(
                     )
                     df = _read_files(
                         spark, root, snap.schema, snap.files, grp
-                    ).repartition(n_grp)
+                    )
+                    if zorder_by:
+                        # flat files have no layout to preserve: the
+                        # within-partitions mode Z-orders them globally
+                        df = _cluster(
+                            df,
+                            lambda k: k.repartitionByRange(
+                                n_grp, F.col("__zkey")
+                            ),
+                        )
+                    else:
+                        df = df.repartition(n_grp)
                     staged = _stage_files(
                         spark, _to_physical_df(df, snap.schema), root
                     )

@@ -22,10 +22,18 @@ def test_zorder_key_interleaves_bits(spark):
 
 
 def test_zorder_key_validation(spark):
-    with pytest.raises(ValueError, match="at least 2"):
-        L.zorder_key([F.lit(1)], bits=4)
+    with pytest.raises(ValueError, match="at least 1"):
+        L.zorder_key([], bits=4)
     with pytest.raises(ValueError, match="<= 62"):
         L.zorder_key([F.lit(1), F.lit(2)], bits=32)
+    # single column degenerates to the gridded value itself (range
+    # clustering — Delta allows single-column ZORDER BY)
+    row = (
+        spark.range(1)
+        .select(L.zorder_key([F.lit(7).cast("bigint")], bits=4).alias("k"))
+        .first()
+    )
+    assert row["k"] == 7
 
 
 def test_scale_to_grid_endpoints_and_monotone(spark):

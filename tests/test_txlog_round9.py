@@ -272,6 +272,70 @@ def test_optimize_splits_hot_partition_into_right_sized_files(
     assert _rows(txlog.read_table(spark, root)) == before
 
 
+def test_zorder_within_partitions_keeps_layout_and_clusters(
+    spark, tmp_path
+):
+    """optimize(zorder_by=, within_partitions=True) — the Delta
+    OPTIMIZE ZORDER shape for partitioned tables: every partition value
+    keeps its key=value directory, a hot value re-clusters into
+    Z-key-range-DISJOINT right-sized files, and the global mode's
+    layout-folding behavior is untouched."""
+    import uuid as _uuid
+
+    root = str(tmp_path / "t")
+    # shuffled keys so pre-optimize files have overlapping k ranges
+    hot = [(i * 7919 % 4000, _uuid.uuid4().hex * 4, "hot") for i in range(4000)]
+    small = [(i, _uuid.uuid4().hex * 4, "small") for i in range(50)]
+    df = spark.createDataFrame(hot + small, "k int, payload string, p string")
+    txlog.append(spark, df.repartition(6), root, partition_by=["p"])
+    before = _rows(txlog.read_table(spark, root))
+
+    snap = txlog.load_snapshot(root)
+    hot_bytes = sum(
+        e.get("bytes", 0)
+        for e in snap.files.values()
+        if (e.get("partition") or {}).get("p") == "hot"
+    )
+    rep = txlog.optimize(
+        spark,
+        root,
+        target_bytes=hot_bytes // 3,
+        zorder_by=["k"],
+        within_partitions=True,
+    )
+    assert not rep.get("skipped")
+    snap2 = txlog.load_snapshot(root)
+    hot_files = {
+        p: e
+        for p, e in snap2.files.items()
+        if (e.get("partition") or {}).get("p") == "hot"
+    }
+    small_files = {
+        p: e
+        for p, e in snap2.files.items()
+        if (e.get("partition") or {}).get("p") == "small"
+    }
+    # layout preserved (the global mode would have flattened it)
+    assert all("p=hot" in p for p in hot_files)
+    assert all("p=small" in p for p in small_files)
+    assert len(small_files) == 1
+    # hot value: parallel AND clustered — k ranges disjoint across files
+    assert len(hot_files) >= 2
+    spans = sorted(
+        (e["stats"]["k"]["min"], e["stats"]["k"]["max"])
+        for e in hot_files.values()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # Z-key-range-disjoint: predicates prune
+    assert _rows(txlog.read_table(spark, root)) == before
+    # clustered stats actually prune: a narrow k slice skips files
+    _, report = txlog.scan(spark, root, [("k", "<", 100)])
+    assert report["files_scanned"] < report["files_total"]
+
+    with pytest.raises(ValueError, match="within_partitions"):
+        txlog.optimize(spark, root, within_partitions=True)
+
+
 # --------------------------------------- mask-debt maintenance
 
 
