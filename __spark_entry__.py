@@ -4659,26 +4659,235 @@ def q_txlog_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE clauses (sinks/txlog.py:merge — NEW r10,
+    VERDICT r9 #2, the last Delta-MERGE parity gap):
+    ``when_matched_update(set, condition)`` updates ONLY the listed
+    columns and only when ``s.o_orderdate > t.o_orderdate`` — a
+    late-arriving CDC row never regresses a newer target row — and
+    ``when_not_matched_insert(values)`` inserts batch-only keys with
+    explicit column maps, unlisted columns defaulting NULL. Batch:
+    keys in [10%,12%) of the key range arrive with a NEWER date and
+    doubled price (update fires), keys in [5%,7%) with an OLDER date
+    and price*100 (update must NOT fire), and keys shifted past the
+    table carry only (key, price) — inserted with a NULL date.
+    Certified: the final table's aggregate equals the pure-SQL
+    recomputation of those clause semantics."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="txlog_condmerge_") + "/t"
+    txlog.append(spark, orders.repartitionByRange(4, "o_orderkey"), root)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    up_lo, up_hi = int(mx * 0.10), int(mx * 0.12)
+    old_lo, old_hi = int(mx * 0.05), int(mx * 0.07)
+    newer = orders.filter(
+        (F.col("o_orderkey") >= up_lo) & (F.col("o_orderkey") < up_hi)
+    ).select(
+        "o_orderkey",
+        (_dec("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+        F.date_add(F.col("o_orderdate"), 30).alias("o_orderdate"),
+    )
+    older = orders.filter(
+        (F.col("o_orderkey") >= old_lo) & (F.col("o_orderkey") < old_hi)
+    ).select(
+        "o_orderkey",
+        (_dec("o_totalprice") * 100).cast("double").alias("o_totalprice"),
+        F.date_sub(F.col("o_orderdate"), 30).alias("o_orderdate"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") < old_lo).select(
+        (F.col("o_orderkey") + F.lit(2 * int(mx))).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),  # present in the batch but NOT in VALUES
+    )
+    batch = newer.unionByName(older).unionByName(inserts)
+    txlog.merge(
+        spark,
+        batch,
+        root,
+        ["o_orderkey"],
+        order_col=None,
+        when_matched_update={
+            "set": {
+                "o_totalprice": "s.o_totalprice",
+                "o_orderdate": "s.o_orderdate",
+            },
+            "condition": "s.o_orderdate > t.o_orderdate",
+        },
+        when_not_matched_insert={
+            "values": {
+                "o_orderkey": "s.o_orderkey",
+                "o_totalprice": "s.o_totalprice",
+            }
+        },
+    )
+    return txlog.read_table(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.sum(
+            F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+        ).alias("n_null_date"),
+    )
+
+
+def q_txlog_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS keyed replication (sinks/txlog.py:replicate_stream —
+    NEW r10, VERDICT r9 #4): the source's row-level CDC stream
+    (rowLevel DataSource, keyed pairing) drives a foreachBatch loop
+    whose body is the exactly-once MERGE — streaming checkpoint for
+    deterministic micro-batch content, target txn watermark for
+    idempotent apply. Source history: append, DV-lane UPDATE, boundary
+    DELETE, second append — drained in capped micro-batches
+    (maxVersionsPerTrigger=2 over 4 commits → ≥2 epochs). Certified:
+    the replica's aggregate equals the SQL recomputation;
+    ``converged`` pins replica == source multiset-exactly,
+    ``multi_epoch`` pins ≥2 epochs applied, and ``idempotent`` pins a
+    checkpointed restart commits nothing new."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="txlog_replstream_")
+    src, tgt, ckpt = base + "/src", base + "/tgt", base + "/ckpt"
+    txlog.append(
+        spark, orders.repartitionByRange(4, "o_orderkey"), src
+    )  # v1
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.update(
+        spark,
+        src,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )  # v2
+    cut = int(mx * 0.05)
+    txlog.delete(spark, src, [("o_orderkey", "<", cut)])  # v3
+    txlog.append(
+        spark,
+        orders.filter(F.col("o_orderkey") < cut).select(
+            (F.col("o_orderkey") + F.lit(2 * int(mx))).alias("o_orderkey"),
+            "o_totalprice",
+        ),
+        src,
+    )  # v4
+    txlog.replicate_stream(spark, src, tgt, ["o_orderkey"], ckpt, max_versions=2)
+    src_df = txlog.read_table(spark, src)
+    tgt_df = txlog.read_table(spark, tgt)
+    converged = (
+        tgt_df.exceptAll(src_df).count() == 0
+        and src_df.exceptAll(tgt_df).count() == 0
+    )
+    app = f"txlog-replicate-stream:{os.path.abspath(src)}"
+    multi_epoch = txlog.load_snapshot(tgt).txns.get(app, -1) >= 1
+    v_tgt = txlog.load_snapshot(tgt).version
+    txlog.replicate_stream(spark, src, tgt, ["o_orderkey"], ckpt, max_versions=2)
+    idempotent = txlog.load_snapshot(tgt).version == v_tgt
+    return tgt_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(bool(converged)).alias("converged"),
+        F.lit(bool(multi_epoch)).alias("multi_epoch"),
+        F.lit(bool(idempotent)).alias("idempotent"),
+    )
+
+
+def q_txlog_replicate_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH replication (sinks/txlog.py:replicate +
+    merge(merge_schema=True) — NEW r10, VERDICT r9 #5): the source adds
+    a column mid-history (append merge_schema) and the replica
+    auto-evolves in the chunk that first carries it — no manual target
+    evolve; historic replica files read the new column as NULL.
+    History: append (key, price) → replicate → source appends shifted
+    keys carrying a new ``flag`` column (=1) → source DV-updates a
+    price slice → replicate again. Certified: the replica aggregate
+    (row count, price sum, flagged-row count, null-flag count) equals
+    the SQL recomputation, and ``converged`` pins replica == source."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    base = tempfile.mkdtemp(prefix="txlog_replevolve_")
+    src, tgt = base + "/src", base + "/tgt"
+    txlog.append(spark, part.repartitionByRange(4, "p_partkey"), src)  # v1
+    txlog.replicate(spark, src, tgt, ["p_partkey"])
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    cut = int(mx * 0.03)
+    txlog.append(
+        spark,
+        part.filter(F.col("p_partkey") < cut).select(
+            (F.col("p_partkey") + F.lit(2 * int(mx))).alias("p_partkey"),
+            "p_retailprice",
+            F.lit(1).alias("flag"),
+        ),
+        src,
+        merge_schema=True,
+    )  # v2: adds the column
+    lo, hi = int(mx * 0.50), int(mx * 0.52)
+    txlog.update(
+        spark,
+        src,
+        [("p_partkey", ">=", lo), ("p_partkey", "<", hi)],
+        {"p_retailprice": "p_retailprice * 3"},
+        deletion_vectors=True,
+    )  # v3
+    txlog.replicate(spark, src, tgt, ["p_partkey"], max_versions=1)
+    src_df = txlog.read_table(spark, src)
+    tgt_df = txlog.read_table(spark, tgt)
+    converged = (
+        tgt_df.exceptAll(src_df).count() == 0
+        and src_df.exceptAll(tgt_df).count() == 0
+    )
+    return tgt_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
+        F.sum(F.coalesce(F.col("flag"), F.lit(0))).alias("n_flagged"),
+        F.sum(
+            F.when(F.col("flag").isNull(), 1).otherwise(0)
+        ).alias("n_null_flag"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        "n_flagged",
+        "n_null_flag",
+        F.lit(bool(converged)).alias("converged"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 171) is additionally
     checked locally each round by tools/check_oracle.py with the identical
     protocol (rotation policy: PLANS.md "Driver-window rotation").
 
-    Round-9 window (applied by the ``window`` reorder at the bottom of
-    this function): positions 1-7 are NEW this round — CDC update
-    pairing (txlog_cdc_update_pairs), the row-level feed through the
-    DataSource stream (txlog_stream_row_changes), bounded capped-chunk
-    CDC consumption (txlog_row_changes_batched), parallel hot-partition
-    compaction (txlog_hot_partition_optimize), the mask-debt
-    maintenance trigger (txlog_mask_debt_fold), URI-safe deletion
-    vectors on a hostile root (txlog_dv_odd_root), and commits claimed
-    through the S3 conditional-create backend (txlog_s3_claim_commits).
-    Positions 8-50 are the 43 entries last driver-certified in r5 —
-    the full rotation debt the r8 VERDICT enumerated. Everything after
-    keeps its literal order and is still locally re-certified every
-    round by tools/check_oracle.py."""
+    Round-10 window (applied by the ``window`` reorder at the bottom of
+    this function): position 1 is ``txlog_replicate`` — the one
+    registry entry that had never been in a driver window (r9 close
+    addition; VERDICT r9 #1 demanded it lead). Positions 2-4 are NEW
+    this round: conditional MERGE clauses (txlog_merge_conditional),
+    continuous replication under the streaming engine
+    (txlog_replicate_stream), and schema evolution through replication
+    (txlog_replicate_evolve). Positions 5-41 are the 37 entries last
+    driver-certified in r6 (the full rotation list the r9 VERDICT
+    enumerated, verbatim); positions 42-50 top up with the
+    alphabetically-first 9 of the 41 r7-stale entries. Everything
+    after keeps its literal order and is still locally re-certified
+    every round by tools/check_oracle.py."""
     q = {
+        # ==== NEW in round 10 (conditional MERGE clauses, streaming
+        # ==== replication, schema evolution through replicate)
+        "txlog_merge_conditional": q_txlog_merge_conditional,
+        "txlog_replicate_stream": q_txlog_replicate_stream,
+        "txlog_replicate_evolve": q_txlog_replicate_evolve,
         # ==== NEW in round 9 (CDC pairing/stream/batched, hot-partition
         # ==== optimize, mask debt, URI-safe DV, S3 claims)
         "txlog_cdc_update_pairs": q_txlog_cdc_update_pairs,
@@ -4885,56 +5094,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, then the 43 entries last driver-certified in r5 (VERDICT
     # r8 'next round' #1, verbatim).
     window = [
-        "txlog_cdc_update_pairs",
-        "txlog_stream_row_changes",
-        "txlog_row_changes_batched",
-        "txlog_hot_partition_optimize",
-        "txlog_mask_debt_fold",
-        "txlog_dv_odd_root",
-        "txlog_s3_claim_commits",
-        "ann_topk_brute",
-        "ann_topk_ivf",
-        "ann_topk_lsh",
-        "ann_topk_pandas",
-        "asof_view_before_purchase",
-        "bpe_train",
-        "cheapest_order_per_customer",
-        "click_minus_purchase_users",
-        "custkeys_not_users",
-        "customers_no_pending",
-        "dedup_exact",
-        "dsir_topk",
-        "dsir_weights",
-        "events_daily",
-        "grouping_sets",
-        "hll_incremental_distinct",
-        "intersect_ids",
-        "kmeans_step",
-        "late_orders",
-        "minhash_lsh_pairs",
-        "minhash_signature",
-        "order_rollup",
-        "orders_by_month",
-        "pivot_event_counts",
-        "pricing_summary",
-        "range_clicks_in_error_window",
-        "region_revenue",
-        "repetition_profile",
-        "running_total",
-        "salted_join_revenue",
-        "segment_fulfilled",
-        "semdedup_pairs",
-        "session_windows",
-        "shipping_priority",
-        "simhash_pairs",
-        "streaming_cms_monitor",
-        "streaming_dedup_keys",
-        "streaming_enriched_counts",
-        "streaming_hourly_counts",
-        "streaming_interval_join",
-        "text_profile",
-        "top_customers_per_nation",
-        "word_topk",
+        "txlog_replicate",
+        "txlog_merge_conditional",
+        "txlog_replicate_stream",
+        "txlog_replicate_evolve",
+        "big_orders_having",
+        "click_purchase_common_users",
+        "conditional_agg",
+        "corpus_clean",
+        "corr_stats",
+        "daily_activity",
+        "doc_chunks",
+        "dominant_part_suppliers",
+        "first_event_funnel",
+        "hash_sample",
+        "hourly_gap_fill",
+        "important_part_volumes",
+        "kmeans_assign",
+        "market_share",
+        "multimodal_frames",
+        "nation_trade_flows",
+        "order_count_distribution",
+        "order_deciles",
+        "order_line_numbers",
+        "order_percent_rank",
+        "pack_sequences",
+        "pii_redact",
+        "price_range_frame",
+        "profit_by_nation_year",
+        "promo_revenue_share",
+        "returned_item_customers",
+        "rich_idle_customers",
+        "rolling_fingerprint",
+        "salted_dedup_latest",
+        "similar_part_names",
+        "sliding_window_counts",
+        "small_qty_order_revenue",
+        "stratified_sample",
+        "tfidf_topterms",
+        "top_supplier_revenue",
+        "train_test_split",
+        "unpivot_metrics",
+        "add_fields",
+        "approx_stats",
+        "bigram_entropy",
+        "bloom_incremental_dedup",
+        "bloom_index_words",
+        "bpe_encode",
+        "brand_filter_revenue",
+        "cms_frequencies",
+        "cohort_retention",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -7894,6 +8103,73 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS all_conditional,
                TRUE AS deleted
         FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_merge_conditional"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS up_lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS up_hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS old_lo
+            FROM orders),
+        final AS (
+            SELECT CASE WHEN o_orderkey >= b.up_lo AND o_orderkey < b.up_hi
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                                  AS DOUBLE)
+                        ELSE o_totalprice END AS p,
+                   0 AS nd
+            FROM orders, b
+            UNION ALL
+            SELECT o_totalprice AS p, 1 AS nd
+            FROM orders, b WHERE o_orderkey < b.old_lo)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(nd) AS BIGINT) AS n_null_date
+        FROM final
+    """
+
+    sql["txlog_replicate_stream"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders),
+        final AS (
+            SELECT CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut
+            UNION ALL
+            SELECT o_totalprice FROM orders, b WHERE o_orderkey < b.cut)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               TRUE AS converged,
+               TRUE AS multi_epoch,
+               TRUE AS idempotent
+        FROM final
+    """
+
+    sql["txlog_replicate_evolve"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(p_partkey) * 0.03) AS BIGINT) AS cut,
+                   CAST(FLOOR(MAX(p_partkey) * 0.50) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(p_partkey) * 0.52) AS BIGINT) AS hi
+            FROM part),
+        final AS (
+            SELECT CASE WHEN p_partkey >= b.lo AND p_partkey < b.hi
+                        THEN p_retailprice * 3
+                        ELSE p_retailprice END AS p,
+                   CAST(NULL AS INTEGER) AS flag
+            FROM part, b
+            UNION ALL
+            SELECT p_retailprice AS p, 1 AS flag
+            FROM part, b WHERE p_partkey < b.cut)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(COALESCE(flag, 0)) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_flag,
+               TRUE AS converged
+        FROM final
     """
 
     sql["txlog_replicate"] = """

@@ -280,7 +280,22 @@ def run_table_maintenance(
       (see :func:`txlog.replicate`); exactly-once per chunk via the
       target's txn watermark, so re-running the DAG never double-
       applies. Runs before delete/optimize so the same run can
-      maintain what it just replicated;
+      maintain what it just replicated. Add ``"checkpoint": <dir>``
+      (r10) to run it through the STREAMING engine instead —
+      :func:`txlog.replicate_stream` drains the backlog in checkpointed
+      micro-batches (the continuous-replication shape; schema
+      auto-evolves either way);
+    - ``"merge": {"source": {"path": ..., "format": "parquet"},
+      "keyCols": [...], "orderCol": ..., "whenMatchedUpdate": {"set":
+      {col: expr}, "condition": expr}, "whenNotMatchedInsert": true |
+      {"values": {col: expr}, "condition": expr}, "whenMatchedDelete":
+      expr, "whenNotMatchedBySourceDelete": expr | true,
+      "mergeSchema": true, "txn": [appId, batchId]}`` (r10) — a full
+      MERGE INTO this table from a file source (or another txlog table
+      with ``"format": "txlog"``), conditional clauses riding the JSON
+      verbatim as :func:`txlog.merge` kwargs (SQL-string conditions use
+      the same ``s.``/``t.`` qualifiers). Runs after replicate, before
+      delete;
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -325,13 +340,64 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
         )
     if "replicate" in spec:
         r = spec["replicate"]
-        rep["replicate"] = _txlog.replicate(
+        if r.get("checkpoint"):
+            _txlog.replicate_stream(
+                spark,
+                r["source"],
+                root,
+                list(r["keyCols"]),
+                r["checkpoint"],
+                max_versions=int(r.get("maxVersions", 64)),
+                app_id=r.get("appId"),
+            )
+            rep["replicate"] = {
+                "mode": "stream",
+                "source": r["source"],
+                "checkpoint": r["checkpoint"],
+                "version": _txlog.load_snapshot(root).version,
+            }
+        else:
+            rep["replicate"] = _txlog.replicate(
+                spark,
+                r["source"],
+                root,
+                list(r["keyCols"]),
+                max_versions=int(r.get("maxVersions", 64)),
+                app_id=r.get("appId"),
+            )
+    if "merge" in spec:
+        m = spec["merge"]
+        src = m["source"]
+        if isinstance(src, str):
+            src = {"path": src, "format": "parquet"}
+        fmt = src.get("format", "parquet")
+        if fmt == "txlog":
+            batch = _txlog.read_table(spark, src["path"])
+        else:
+            batch = (
+                spark.read.format(fmt)
+                .options(**src.get("options", {}))
+                .load(src["path"])
+            )
+        wni = m.get("whenNotMatchedInsert")
+        rep["merge"] = _txlog.merge(
             spark,
-            r["source"],
+            batch,
             root,
-            list(r["keyCols"]),
-            max_versions=int(r.get("maxVersions", 64)),
-            app_id=r.get("appId"),
+            list(m["keyCols"]),
+            order_col=m.get("orderCol"),
+            when_matched_delete=m.get("whenMatchedDelete"),
+            when_not_matched_by_source_delete=m.get(
+                "whenNotMatchedBySourceDelete"
+            ),
+            txn=(
+                (str(m["txn"][0]), int(m["txn"][1]))
+                if m.get("txn")
+                else None
+            ),
+            when_matched_update=m.get("whenMatchedUpdate"),
+            when_not_matched_insert=wni,
+            merge_schema=bool(m.get("mergeSchema", False)),
         )
     if "delete" in spec:
         where = [tuple(c) for c in spec["delete"]["where"]]

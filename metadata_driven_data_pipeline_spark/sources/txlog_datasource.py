@@ -589,15 +589,29 @@ def _diff_batches(
     """Executor-side multiset diff of one commit — the Arrow-lane analog
     of :func:`txlog.read_row_changes`'s per-commit EXCEPT ALL legs
     (txlog.py): rows(after) minus rows(before) are inserts, the reverse
-    are deletes, exact under duplicates via a counter keyed on the full
-    row (pickled value tuple — primitives only is fine: the reader
-    schema is flat). Both sides read through the normal Arrow path
-    (DV masks, partition injection, column mapping, schema evolution).
-    ``key_cols`` mirrors the batch feed's update pairing: keys present
-    in BOTH halves relabel update_preimage/update_postimage, NULL keys
-    never pair. Memory is O(bytes the commit touched) on one executor —
-    bounded by the stream's admission control, which is the whole point
-    of consuming CDC through this lane."""
+    are deletes, exact under duplicates via a counter keyed on a
+    16-byte digest of the normalized row. Both sides read through the
+    normal Arrow path (DV masks, partition injection, column mapping,
+    schema evolution). ``key_cols`` mirrors the batch feed's update
+    pairing: keys present in BOTH halves relabel
+    update_preimage/update_postimage, NULL keys never pair.
+
+    Two equality/memory fixes vs the r9 shape (ADVICE r9):
+
+    - rows are NORMALIZED before hashing — ``-0.0`` maps to ``0.0``
+      and every NaN to one canonical NaN, recursively — because
+      Spark's set-op equality treats them equal, so a rewrite that
+      flips a zero's sign bit must cancel here exactly as the batch
+      lane's EXCEPT ALL cancels it;
+    - the counting pass stores ONLY the 16-byte digest per distinct
+      row, and a second pass re-reads the commit to materialize row
+      values solely for digests with a nonzero net count
+      (collision-checked against the digest's first row). Executor
+      memory is therefore O(net change) + 16 B per distinct row
+      touched — a single large rewrite commit no longer pins its
+      entire before+after row sets in Python tuples. A pure rewrite
+      (OPTIMIZE) nets to zero everywhere and skips the second read."""
+    import hashlib
     import pickle
     from collections import Counter
 
@@ -609,10 +623,26 @@ def _diff_batches(
     base = StructType(
         [f for f in schema.fields if f.name not in change_cols]
     )
-    counts: Counter = Counter()
-    rows: dict[bytes, tuple] = {}
+    nan = float("nan")
 
-    def _fold(files, sign: int) -> None:
+    def _norm(v):
+        if isinstance(v, float):
+            if v != v:
+                return nan  # one canonical NaN, whatever the payload
+            if v == 0.0:
+                return 0.0  # -0.0 folds into +0.0, like Spark set ops
+            return v
+        if isinstance(v, (list, tuple)):
+            return tuple(_norm(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        return v
+
+    def _key(row: tuple) -> tuple[bytes, bytes]:
+        pk = pickle.dumps(tuple(_norm(v) for v in row))
+        return hashlib.blake2b(pk, digest_size=16).digest(), pk
+
+    def _scan(files):
         for path, partd, dvp, rel in files:
             for b in _read_file_batches(
                 path,
@@ -622,14 +652,37 @@ def _diff_batches(
                 dvp,
                 rel,
             ):
-                for row in zip(*[c.to_pylist() for c in b.columns]):
-                    k = pickle.dumps(row)
-                    counts[k] += sign
-                    if k not in rows:
-                        rows[k] = row
+                yield from zip(*[c.to_pylist() for c in b.columns])
 
-    _fold(part.after, 1)
-    _fold(part.before, -1)
+    counts: Counter = Counter()
+    for row in _scan(part.after):
+        counts[_key(row)[0]] += 1
+    for row in _scan(part.before):
+        counts[_key(row)[0]] -= 1
+    live = {k for k, c in counts.items() if c != 0}
+    rows: dict[bytes, tuple] = {}
+    picks: dict[bytes, bytes] = {}
+    if live:
+        for row in _scan(part.after):
+            k, pk = _key(row)
+            if k in live:
+                if k not in rows:
+                    rows[k], picks[k] = row, pk
+                elif picks[k] != pk:
+                    raise RuntimeError(
+                        "txlog row-diff digest collision — cannot "
+                        "attribute net change to a row"
+                    )
+        for row in _scan(part.before):
+            k, pk = _key(row)
+            if k in live:
+                if k not in rows:
+                    rows[k], picks[k] = row, pk
+                elif picks[k] != pk:
+                    raise RuntimeError(
+                        "txlog row-diff digest collision — cannot "
+                        "attribute net change to a row"
+                    )
     ins: list[tuple] = []
     dels: list[tuple] = []
     for k, c in counts.items():
@@ -719,12 +772,28 @@ class TxlogRowChangeStreamReader(TxlogStreamReader):
 
     def _slices(self, s: int, e: int) -> list:
         root = self._root
-        commits, _ = txlog._list_log(root)
+        commits, checkpoints = txlog._list_log(root)
         versions = [v for v in commits if s < v <= e]
         if not versions:
             return []
-        # before-state at s: same reconstruction contract as the batch
-        # feed — load_snapshot raises loudly below the retention horizon
+        # before-state at s: the SAME reconstructibility contract as the
+        # batch feed (read_row_changes) — including s == 0, which is only
+        # an empty before-state when commit 1 is still retained; on an
+        # expired log it must raise the actionable error, not a KeyError
+        # deep in _refs (ADVICE r9)
+        ok = (
+            s >= commits[0]
+            or s in checkpoints
+            or (s == 0 and commits[0] == 1)
+        )
+        if not ok:
+            raise ValueError(
+                f"row change stream from v{s} at {root}: the "
+                f"before-state at v{s} was expired by log retention "
+                "(cleanup_log) and cannot be reconstructed — restart "
+                "the consumer from a full snapshot read; the earliest "
+                f"valid row-feed cursor is v{commits[0]}"
+            )
         prev: dict = (
             {} if s == 0 else dict(txlog.load_snapshot(root, s).files)
         )
