@@ -47,6 +47,14 @@ shuffle/spill bytes measured from the AppStatusStore stage metrics
 untouched code" diagnosis can point at measured spill instead of
 inferring host I/O pressure from loadavg alone.
 
+Load gating (round-10, r9 verdict item 7): a timed rep whose pre-rep
+1-min loadavg exceeds $SPARK_GRAFT_LOAD_QUIET_MAX (default 6.0) is
+marked contaminated and replaced by an extra rep (at most 2x reps
+attempts per series); reported stats come from the quiet reps when at
+least `reps` exist, and every series carries `quiet: true/false` (plus
+per-attempt `rep_quiet`) in both the slim line and BENCH_RESULT.json —
+verdict-side load attribution is now mechanical.
+
 `python bench.py --curation` runs only the curation series (for quick
 iteration); the default run emits both.
 """
@@ -177,6 +185,17 @@ ROUND9 = [
     "txlog_s3_claim_commits",
 ]
 
+# Round-10 additions: end-to-end keyed replication (the r9 late entry,
+# first benched here), conditional MERGE clauses, schema evolution
+# through replication. (txlog_replicate_stream is certified for
+# correctness but kept out of the bench series for the same reason as
+# txlog_stream_row_changes: its cost is streaming-query startups.)
+ROUND10 = [
+    "txlog_replicate",
+    "txlog_merge_conditional",
+    "txlog_replicate_evolve",
+]
+
 # Non-headline series, benched + reported per round under their own keys.
 SERIES = {
     "curation": CURATION,
@@ -186,6 +205,7 @@ SERIES = {
     "round7": ROUND7,
     "round8": ROUND8,
     "round9": ROUND9,
+    "round10": ROUND10,
 }
 
 
@@ -255,17 +275,43 @@ def run_series(
     loadavgs: list[float] = []
     warmup_total = one_rep(measure=False)
     # spill attribution (r7 verdict item 8): per-rep deltas of the
-    # AppStatusStore stage totals over the TIMED reps only
+    # AppStatusStore stage totals over the TIMED reps only.
+    # Load gating (r10, VERDICT r9 #7): a rep whose pre-rep 1-min
+    # loadavg marker exceeds SPARK_GRAFT_LOAD_QUIET_MAX is marked
+    # CONTAMINATED and replaced by an extra rep (bounded at 2x reps
+    # total); per-query stats are computed from the quiet reps when at
+    # least ``reps`` of them exist, so a noisy-neighbor spike re-runs
+    # instead of burning a round of verdict-side load attribution. All
+    # attempts stay in the artifact (rep_totals/rep_quiet/loadavg) —
+    # gating selects, it never hides.
+    quiet_max = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET_MAX", "6.0"))
     rep_metrics: list[dict | None] = []
-    rep_totals = []
-    for _ in range(reps):
+    rep_totals: list[float] = []
+    rep_quiet: list[bool] = []
+    while sum(rep_quiet) < reps and len(rep_totals) < 2 * reps:
+        marker = os.getloadavg()[0]
         before = _stage_metrics(spark)
         rep_totals.append(one_rep(measure=True))
         rep_metrics.append(_metrics_delta(before, _stage_metrics(spark)))
+        rep_quiet.append(marker <= quiet_max)
 
-    timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
+    quiet = sum(rep_quiet) >= reps
+    # indices whose samples feed the reported stats: the quiet attempts
+    # when enough exist, every attempt otherwise (an always-loaded host
+    # degrades to the r9 behavior, flagged quiet=false)
+    kept = (
+        [i for i, q in enumerate(rep_quiet) if q] if quiet
+        else list(range(len(rep_totals)))
+    )
+
+    def _kept(xs: list[float]) -> list[float]:
+        return [xs[i] for i in kept]
+
+    timings = {
+        name: round(_median(_kept(xs)), 3) for name, xs in samples.items()
+    }
     spread = {
-        name: [round(min(xs), 3), round(max(xs), 3)]
+        name: [round(min(_kept(xs)), 3), round(max(_kept(xs)), 3)]
         for name, xs in samples.items()
     }
     spill = [
@@ -279,8 +325,12 @@ def run_series(
         "spread": spread,
         "rep_totals": rep_totals,
         "warmup_total": warmup_total,
-        "min_sum": round(sum(min(xs) for xs in samples.values()), 3),
+        "min_sum": round(
+            sum(min(_kept(xs)) for xs in samples.values()), 3
+        ),
         "loadavg": loadavgs,  # 1-min loadavg before warmup + each rep
+        "quiet": quiet,  # >= reps attempts ran under the load threshold
+        "rep_quiet": rep_quiet,  # per attempt: marker <= quiet_max
         "spill_bytes": spill,  # per timed rep: memory+disk spill delta
         "shuffle_write_bytes": shw,  # per timed rep
     }
@@ -333,6 +383,8 @@ def main() -> None:
             "rep_totals": cur["rep_totals"],
             "value_min_sum": cur["min_sum"],
             "loadavg": cur["loadavg"],
+            "quiet": cur["quiet"],
+            "rep_quiet": cur["rep_quiet"],
             "spill_bytes": cur["spill_bytes"],
             "shuffle_write_bytes": cur["shuffle_write_bytes"],
         }
@@ -366,6 +418,8 @@ def main() -> None:
         "warmup_total": head["warmup_total"],
         "value_min_sum": head["min_sum"],
         "loadavg": head["loadavg"],
+        "quiet": head["quiet"],
+        "rep_quiet": head["rep_quiet"],
         "spill_bytes": head["spill_bytes"],
         "shuffle_write_bytes": head["shuffle_write_bytes"],
     }
@@ -376,6 +430,8 @@ def main() -> None:
             "spread",
             "min_sum",
             "loadavg",
+            "quiet",
+            "rep_quiet",
             "spill_bytes",
             "shuffle_write_bytes",
         ):
@@ -412,6 +468,7 @@ def _emit(full: dict, series: list[str] = ()) -> None:
             "warmup_total",
             "value_min_sum",
             "loadavg",
+            "quiet",
         )
         if k in full
     }
@@ -423,6 +480,7 @@ def _emit(full: dict, series: list[str] = ()) -> None:
     for name in series:
         slim[f"{name}_total"] = full[f"{name}_total"]
         slim[f"{name}_min_sum"] = full[f"{name}_min_sum"]
+        slim[f"{name}_quiet"] = full[f"{name}_quiet"]
         slim[f"{name}_spill"] = _sum_or_none(full[f"{name}_spill_bytes"])
     sys.stdout.flush()
     print("BENCH_FULL: " + json.dumps(full), flush=True)
@@ -433,6 +491,7 @@ def _emit(full: dict, series: list[str] = ()) -> None:
     # until it fits; the full record is always in BENCH_RESULT.json.
     droppable = (
         ["loadavg"]
+        + [f"{n}_quiet" for n in series]
         + [f"{n}_spill" for n in series]
         + [f"{n}_min_sum" for n in series]
         + ["rep_totals", "warmup_total"]
