@@ -4863,6 +4863,85 @@ def q_txlog_replicate_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD replication (sinks/txlog.py:apply_changes_scd2 — NEW
+    r10): the row-level CDC feed applied as HISTORY — every key change
+    closes the key's current row (``_scd2_end`` = change version) and
+    inserts a new one (``_scd2_start``), one atomic exactly-once MERGE
+    per chunk keyed on (key, _scd2_start). The DLT "APPLY CHANGES ...
+    STORED AS SCD TYPE 2" shape. Source history: append, DV-lane UPDATE
+    of a ~2% slice (prices doubled), boundary DELETE, second append —
+    consumed in capped chunks. Certified: history row count / current
+    slice aggregate / closed-row count equal the SQL recomputation;
+    ``asof_ok`` pins that reconstructing every version from the history
+    (scd2_snapshot_as_of) equals the source's own time travel, and
+    ``idempotent`` pins a replayed run applies zero chunks."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="txlog_scd2_")
+    src, tgt = base + "/src", base + "/tgt"
+    txlog.append(spark, orders.repartitionByRange(4, "o_orderkey"), src)  # v1
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.update(
+        spark,
+        src,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )  # v2
+    cut = int(mx * 0.05)
+    txlog.delete(spark, src, [("o_orderkey", "<", cut)])  # v3
+    txlog.append(
+        spark,
+        orders.filter(F.col("o_orderkey") < cut).select(
+            (F.col("o_orderkey") + F.lit(2 * int(mx))).alias("o_orderkey"),
+            "o_totalprice",
+        ),
+        src,
+    )  # v4
+    rep = txlog.apply_changes_scd2(spark, src, tgt, ["o_orderkey"], max_versions=2)
+    hist = txlog.read_table(spark, tgt)
+    asof_ok = all(
+        txlog.scd2_snapshot_as_of(hist, v)
+        .exceptAll(txlog.read_table(spark, src, version=v))
+        .count()
+        == 0
+        and txlog.read_table(spark, src, version=v)
+        .exceptAll(txlog.scd2_snapshot_as_of(hist, v))
+        .count()
+        == 0
+        for v in range(1, 5)
+    )
+    v_tgt = txlog.load_snapshot(tgt).version
+    rep2 = txlog.apply_changes_scd2(spark, src, tgt, ["o_orderkey"], max_versions=2)
+    idempotent = (
+        rep2["chunks_applied"] == 0
+        and txlog.load_snapshot(tgt).version == v_tgt
+    )
+    cur = F.col("_scd2_end").isNull()
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(cur, 1).otherwise(0)).alias("n_current"),
+        F.sum(F.when(cur, _dec("o_totalprice")))
+        .cast("double")
+        .alias("sum_current"),
+        F.sum(F.when(~cur, 1).otherwise(0)).alias("n_closed"),
+    ).select(
+        "n_rows",
+        "n_current",
+        "sum_current",
+        "n_closed",
+        F.lit(bool(asof_ok)).alias("asof_ok"),
+        F.lit(bool(rep["chunks_applied"] >= 2 and idempotent)).alias(
+            "idempotent"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 171) is additionally
@@ -4872,14 +4951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 window (applied by the ``window`` reorder at the bottom of
     this function): position 1 is ``txlog_replicate`` — the one
     registry entry that had never been in a driver window (r9 close
-    addition; VERDICT r9 #1 demanded it lead). Positions 2-4 are NEW
+    addition; VERDICT r9 #1 demanded it lead). Positions 2-5 are NEW
     this round: conditional MERGE clauses (txlog_merge_conditional),
     continuous replication under the streaming engine
-    (txlog_replicate_stream), and schema evolution through replication
-    (txlog_replicate_evolve). Positions 5-41 are the 37 entries last
+    (txlog_replicate_stream), schema evolution through replication
+    (txlog_replicate_evolve), and Type-2 SCD history replication
+    (txlog_scd2). Positions 6-42 are the 37 entries last
     driver-certified in r6 (the full rotation list the r9 VERDICT
-    enumerated, verbatim); positions 42-50 top up with the
-    alphabetically-first 9 of the 41 r7-stale entries. Everything
+    enumerated, verbatim); positions 43-50 top up with the
+    alphabetically-first 8 of the 41 r7-stale entries. Everything
     after keeps its literal order and is still locally re-certified
     every round by tools/check_oracle.py."""
     q = {
@@ -4888,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_merge_conditional": q_txlog_merge_conditional,
         "txlog_replicate_stream": q_txlog_replicate_stream,
         "txlog_replicate_evolve": q_txlog_replicate_evolve,
+        "txlog_scd2": q_txlog_scd2,
         # ==== NEW in round 9 (CDC pairing/stream/batched, hot-partition
         # ==== optimize, mask debt, URI-safe DV, S3 claims)
         "txlog_cdc_update_pairs": q_txlog_cdc_update_pairs,
@@ -5098,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_merge_conditional",
         "txlog_replicate_stream",
         "txlog_replicate_evolve",
+        "txlog_scd2",
         "big_orders_having",
         "click_purchase_common_users",
         "conditional_agg",
@@ -5143,7 +5225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode",
         "brand_filter_revenue",
         "cms_frequencies",
-        "cohort_retention",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -8103,6 +8184,35 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS all_conditional,
                TRUE AS deleted
         FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_scd2"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders),
+        cnt AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                            THEN 1 ELSE 0 END) AS upd,
+                   SUM(CASE WHEN o_orderkey < b.cut THEN 1 ELSE 0 END) AS del
+            FROM orders, b),
+        cur AS (
+            SELECT CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut
+            UNION ALL
+            SELECT o_totalprice FROM orders, b WHERE o_orderkey < b.cut)
+        SELECT CAST(cnt.n + cnt.upd + cnt.del AS BIGINT) AS n_rows,
+               (SELECT COUNT(*) FROM cur) AS n_current,
+               (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+                FROM cur) AS sum_current,
+               CAST(cnt.upd + cnt.del AS BIGINT) AS n_closed,
+               TRUE AS asof_ok,
+               TRUE AS idempotent
+        FROM cnt
     """
 
     sql["txlog_merge_conditional"] = """

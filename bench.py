@@ -194,6 +194,7 @@ ROUND10 = [
     "txlog_replicate",
     "txlog_merge_conditional",
     "txlog_replicate_evolve",
+    "txlog_scd2",
 ]
 
 # Non-headline series, benched + reported per round under their own keys.

@@ -285,6 +285,12 @@ def run_table_maintenance(
       :func:`txlog.replicate_stream` drains the backlog in checkpointed
       micro-batches (the continuous-replication shape; schema
       auto-evolves either way);
+    - ``"scd2": {"source": <txlog root>, "keyCols": [...],
+      "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
+      replication INTO this table (:func:`txlog.apply_changes_scd2`):
+      key changes close the current history row and insert a new one,
+      exactly-once per chunk via the same txn-watermark cursor as
+      replicate. Runs after replicate, before merge;
     - ``"merge": {"source": {"path": ..., "format": "parquet"},
       "keyCols": [...], "orderCol": ..., "whenMatchedUpdate": {"set":
       {col: expr}, "condition": expr}, "whenNotMatchedInsert": true |
@@ -365,6 +371,16 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
                 max_versions=int(r.get("maxVersions", 64)),
                 app_id=r.get("appId"),
             )
+    if "scd2" in spec:
+        s2 = spec["scd2"]
+        rep["scd2"] = _txlog.apply_changes_scd2(
+            spark,
+            s2["source"],
+            root,
+            list(s2["keyCols"]),
+            max_versions=int(s2.get("maxVersions", 64)),
+            app_id=s2.get("appId"),
+        )
     if "merge" in spec:
         m = spec["merge"]
         src = m["source"]

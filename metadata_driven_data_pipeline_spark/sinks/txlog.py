@@ -4091,3 +4091,173 @@ def replicate_stream(
         q.stop()
         q.awaitTermination(120)
     return q
+
+
+SCD2_START = "_scd2_start"
+SCD2_END = "_scd2_end"
+
+
+def apply_changes_scd2(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    key_cols: list[str],
+    max_versions: int = 64,
+    app_id: str | None = None,
+) -> dict:
+    """HISTORY-preserving replication (r10): apply the source's
+    row-level CDC feed as a Type-2 slowly-changing dimension — the
+    Delta Live Tables ``APPLY CHANGES INTO ... STORED AS SCD TYPE 2``
+    shape. Instead of upserting in place (:func:`replicate`), every key
+    change CLOSES the key's current history row and INSERTS a new one:
+
+    - target schema = source data columns + ``_scd2_start`` (the
+      source commit that made the row current) + ``_scd2_end`` (the
+      commit that superseded it; NULL = still current) — single
+      underscore deliberately: ``__``-prefixed batch columns are
+      MERGE-LOCAL markers the merge projection drops;
+    - the CURRENT slice (``_scd2_end IS NULL``) always equals the
+      source table; ``scd2_snapshot_as_of(df, v)`` — rows with
+      ``start <= v < coalesce(end, inf)`` — reconstructs the source
+      AS OF any replicated commit, even ones the source's own log
+      retention has since expired (that is the point of SCD2: history
+      OUTLIVES the source's time travel);
+    - per chunk, the per-(key, commit) net change (postimage/insert
+      outrank preimage/delete within one commit; rank ties raise, the
+      same duplicate-key contract as replicate) becomes: one closure
+      row per affected key that HAS a current row (its end set to the
+      key's first change version in the chunk), plus one history row
+      per upsert version (its end pre-filled with the key's NEXT
+      change version in the chunk via LEAD — so an N-change key yields
+      N adjacent intervals in one pass, no iteration); a delete closes
+      without inserting. Closures and inserts ride ONE atomic
+      exactly-once MERGE keyed on ``(*key_cols, __start_version)`` —
+      closures replace their matched history row, inserts miss, and
+      the txn watermark ``(app_id, chunk_end)`` makes crash/replay
+      resume exactly like :func:`replicate` (zero-net chunks advance
+      it with a metadata-only commit).
+
+    Cost at 100 TB: per chunk, O(bytes the chunk's commits touched) on
+    the source, one key-range-pruned SCAN of the target for the
+    affected keys' current rows (footer-stats pruning on the leading
+    key), and one key-range-pruned MERGE. History grows by exactly the
+    change volume — closed rows are never rewritten again."""
+    from pyspark.sql.window import Window
+
+    if app_id is None:
+        app_id = f"txlog-scd2:{os.path.abspath(source_root)}"
+    cursor = max(0, load_snapshot(target_root).txns.get(app_id, 0))
+    start = cursor
+    applied = empty = 0
+    key = key_cols[0]
+    change_cols = ("_change_type", "_commit_version", "_commit_op")
+    for feed, end in iter_row_changes(
+        spark, source_root, cursor, max_versions=max_versions
+    ):
+        data_cols = [c for c in feed.columns if c not in change_cols]
+        prec = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy(*key_cols, "_commit_version").orderBy(
+            F.col("__prec").desc()
+        )
+        changes = (
+            feed.withColumn("__prec", prec)
+            .withColumn("__rk", F.rank().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(
+                *data_cols,
+                F.col("_commit_version").cast("long").alias("__v"),
+                (F.col("__prec") == 0).alias("__is_del"),
+            )
+            .cache()
+        )
+        try:
+            _validate_net_batch(
+                changes,
+                key_cols + ["__v"],
+                f"scd2 source commit range ({cursor}, {end}]",
+            )
+            if changes.limit(1).count() == 0:
+                empty += 1
+                if load_snapshot(target_root).schema_json is not None:
+                    _advance_txn(target_root, app_id, end)
+                    cursor = end
+                continue
+            nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
+            inserts = (
+                changes.withColumn("__next", F.lead("__v").over(nxt))
+                .filter(~F.col("__is_del"))
+                .select(
+                    *data_cols,
+                    F.col("__v").alias(SCD2_START),
+                    F.col("__next").alias(SCD2_END),
+                )
+            )
+            first_v = changes.groupBy(*key_cols).agg(
+                F.min("__v").alias("__v0")
+            )
+            batch = inserts
+            if load_snapshot(target_root).schema_json is not None:
+                b = first_v.agg(
+                    F.min(key).alias("lo"), F.max(key).alias("hi")
+                ).collect()[0]
+                cur, _ = scan(
+                    spark,
+                    target_root,
+                    where=[(key, ">=", b["lo"]), (key, "<=", b["hi"])],
+                )
+                closures = (
+                    cur.filter(F.col(SCD2_END).isNull())
+                    .join(first_v, key_cols)
+                    .withColumn(SCD2_END, F.col("__v0"))
+                    .drop("__v0")
+                    # a column the source added AFTER this current row
+                    # was written isn't in the target yet: closure rows
+                    # carry the target row's own columns, NULL-filled
+                    # for the rest by the union/merge evolution path
+                    .select(
+                        *[c for c in data_cols if c in cur.columns],
+                        SCD2_START,
+                        SCD2_END,
+                    )
+                )
+                batch = closures.unionByName(
+                    inserts, allowMissingColumns=True
+                )
+            merge(
+                spark,
+                batch,
+                target_root,
+                key_cols + [SCD2_START],
+                order_col=None,
+                txn=(app_id, end),
+                merge_schema=True,
+            )
+        finally:
+            changes.unpersist()
+        applied += 1
+        cursor = end
+    return {
+        "app_id": app_id,
+        "from_version": start,
+        "to_version": cursor,
+        "chunks_applied": applied,
+        "chunks_empty": empty,
+    }
+
+
+def scd2_snapshot_as_of(history: DataFrame, version: int) -> DataFrame:
+    """The source table AS OF source commit ``version``, reconstructed
+    from an :func:`apply_changes_scd2` history frame: rows whose
+    validity interval ``[_scd2_start, _scd2_end)`` contains the
+    version. Works even after the source's own log retention expired
+    that version — the SCD2 history is the durable time-travel store."""
+    return history.filter(
+        (F.col(SCD2_START) <= F.lit(version))
+        & (
+            F.col(SCD2_END).isNull()
+            | (F.col(SCD2_END) > F.lit(version))
+        )
+    ).drop(SCD2_START, SCD2_END)

@@ -472,3 +472,119 @@ def test_declarative_conditional_merge_and_stream_replicate(spark, tmp_path):
     t = txlog.read_table(spark, replica)
     s = txlog.read_table(spark, root)
     assert t.exceptAll(s).count() == 0 and s.exceptAll(t).count() == 0
+
+
+# ----------------------------------------------------------- SCD2 history
+
+
+def _scd2_source(spark, src):
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    txlog.append(spark, df.repartitionByRange(2, "k"), src)  # v1
+    txlog.update(
+        spark, src, [("k", ">=", 10), ("k", "<", 15)], {"v": "v*2"},
+        deletion_vectors=True,
+    )  # v2
+    txlog.delete(spark, src, [("k", "<", 3)])  # v3
+    txlog.append(
+        spark,
+        df.filter("k < 3").select((F.col("k") + 100).alias("k"), "v"),
+        src,
+    )  # v4
+    return df
+
+
+def test_scd2_history_intervals_and_as_of(spark, tmp_path):
+    src = _mk(spark, tmp_path, "scd2_src")
+    tgt = _mk(spark, tmp_path, "scd2_tgt")
+    _scd2_source(spark, src)
+    txlog.optimize(spark, src, target_bytes=64 * 1024 * 1024)  # v5 zero-net
+    r = txlog.apply_changes_scd2(spark, src, tgt, ["k"], max_versions=2)
+    assert r["chunks_applied"] == 2 and r["chunks_empty"] == 1
+    assert r["to_version"] == txlog.load_snapshot(src).version  # incl. zero-net
+    hist = txlog.read_table(spark, tgt)
+    # a twice-changed key holds adjacent intervals; updated key 10:
+    rows = sorted(
+        (r2["_scd2_start"], r2["_scd2_end"], r2["v"])
+        for r2 in hist.filter("k = 10").collect()
+    )
+    assert rows == [(1, 2, 10.0), (2, None, 20.0)]
+    # deleted key 0: closed at v3, never reopened
+    assert [(r2["_scd2_start"], r2["_scd2_end"]) for r2 in hist.filter("k = 0").collect()] == [(1, 3)]
+    # current slice == source, as-of slices == source time travel
+    cur = hist.filter(F.col("_scd2_end").isNull()).drop("_scd2_start", "_scd2_end")
+    s = txlog.read_table(spark, src)
+    assert cur.exceptAll(s).count() == 0 and s.exceptAll(cur).count() == 0
+    for v in range(1, 5):
+        want = txlog.read_table(spark, src, version=v)
+        got = txlog.scd2_snapshot_as_of(hist, v)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    # exactly-once: a replayed run applies nothing and commits nothing
+    v0 = txlog.load_snapshot(tgt).version
+    r2 = txlog.apply_changes_scd2(spark, src, tgt, ["k"], max_versions=2)
+    assert r2["chunks_applied"] == 0
+    assert txlog.load_snapshot(tgt).version == v0
+
+
+def test_scd2_resume_mid_history_equals_one_shot(spark, tmp_path):
+    src = _mk(spark, tmp_path, "scd2_src2")
+    a = _mk(spark, tmp_path, "scd2_a")
+    b = _mk(spark, tmp_path, "scd2_b")
+    _scd2_source(spark, src)
+    # chunked 1-commit-at-a-time (with a simulated stop/restart between
+    # calls) must equal the one-shot history multiset-exactly
+    txlog.apply_changes_scd2(spark, src, a, ["k"], max_versions=1)
+    txlog.apply_changes_scd2(spark, src, b, ["k"], max_versions=64)
+    ha, hb = txlog.read_table(spark, a), txlog.read_table(spark, b)
+    assert ha.exceptAll(hb).count() == 0 and hb.exceptAll(ha).count() == 0
+
+
+def test_scd2_history_outlives_source_retention(spark, tmp_path):
+    src = _mk(spark, tmp_path, "scd2_src3")
+    tgt = _mk(spark, tmp_path, "scd2_tgt3")
+    for i in range(12):
+        txlog.append(
+            spark, spark.createDataFrame([(i, float(i))], "k int, v double"), src
+        )
+    txlog.apply_changes_scd2(spark, src, tgt, ["k"])
+    txlog.cleanup_log(src, keep_versions=2)
+    with pytest.raises(ValueError):
+        txlog.read_table(spark, src, version=3)  # source time travel expired
+    hist = txlog.read_table(spark, tgt)
+    got = txlog.scd2_snapshot_as_of(hist, 3)  # SCD2 history still has it
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2]
+
+
+def test_scd2_duplicate_key_raises(spark, tmp_path):
+    src = _mk(spark, tmp_path, "scd2_dup")
+    tgt = _mk(spark, tmp_path, "scd2_dup_t")
+    txlog.append(
+        spark,
+        spark.createDataFrame([(1, 1.0), (1, 2.0)], "k int, v double"),
+        src,
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        txlog.apply_changes_scd2(spark, src, tgt, ["k"])
+
+
+def test_declarative_scd2_verb(spark, tmp_path):
+    import json
+
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+
+    src = _mk(spark, tmp_path, "decl_scd2_src")
+    hist = _mk(spark, tmp_path, "decl_scd2_hist")
+    _scd2_source(spark, src)
+    specs = json.loads(json.dumps([
+        {"table": hist, "scd2": {"source": src, "keyCols": ["k"], "maxVersions": 2}},
+    ]))
+    reports = run_table_maintenance(spark, specs)
+    assert reports[0]["scd2"]["chunks_applied"] == 2
+    h = txlog.read_table(spark, hist)
+    cur = h.filter(F.col("_scd2_end").isNull()).drop("_scd2_start", "_scd2_end")
+    s = txlog.read_table(spark, src)
+    assert cur.exceptAll(s).count() == 0 and s.exceptAll(cur).count() == 0
