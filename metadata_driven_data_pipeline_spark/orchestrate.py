@@ -300,8 +300,9 @@ def run_table_maintenance(
       MERGE INTO this table from a file source (or another txlog table
       with ``"format": "txlog"``), conditional clauses riding the JSON
       verbatim as :func:`txlog.merge` kwargs (SQL-string conditions use
-      the same ``s.``/``t.`` qualifiers). Runs after replicate, before
-      delete;
+      the same ``s.``/``t.`` qualifiers); ``"whenMatched": [{"action":
+      "update"|"delete", ...}, ...]`` is the ordered multi-clause form.
+      Runs after replicate, before delete;
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -413,6 +414,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             ),
             when_matched_update=m.get("whenMatchedUpdate"),
             when_not_matched_insert=wni,
+            when_matched=m.get("whenMatched"),
             merge_schema=bool(m.get("mergeSchema", False)),
         )
     if "delete" in spec:

@@ -1855,15 +1855,81 @@ def _clause_expr(e):
     return F.expr(e) if isinstance(e, str) else e
 
 
+def _parse_matched_clauses(
+    when_matched,
+    when_matched_update,
+    when_matched_delete,
+    out_schema: StructType,
+):
+    """Normalize the WHEN MATCHED surface into one ORDERED clause list
+    ``[(kind, condition, set_map)]`` (r10): either the explicit
+    ``when_matched=[{"action": "update"|"delete", "condition": ...,
+    "set": {...}}, ...]`` list — Delta's multi-clause form, first
+    matching clause wins in the GIVEN order — or the legacy two-kwarg
+    form, which keeps its documented fixed precedence (delete, then
+    update). Mixing both is rejected."""
+    if when_matched is not None:
+        if when_matched_update is not None or when_matched_delete is not None:
+            raise ValueError(
+                "pass either when_matched=[...] (ordered clause list) "
+                "or when_matched_update/when_matched_delete, not both"
+            )
+        clauses = []
+        for i, spec in enumerate(when_matched):
+            if not isinstance(spec, dict) or spec.get("action") not in (
+                "update",
+                "delete",
+            ):
+                raise ValueError(
+                    f"when_matched[{i}] must be {{'action': 'update'|"
+                    "'delete', 'condition': optional, 'set': {col: expr} "
+                    "for update}"
+                )
+            smap = {}
+            if spec["action"] == "update":
+                if "set" not in spec:
+                    raise ValueError(
+                        f"when_matched[{i}]: update clause requires 'set'"
+                    )
+                smap = {
+                    c: _clause_expr(e) for c, e in spec["set"].items()
+                }
+                unknown = sorted(set(smap) - set(out_schema.fieldNames()))
+                if unknown:
+                    raise ValueError(
+                        f"when_matched[{i}] SET targets unknown columns "
+                        f"{unknown}"
+                    )
+            clauses.append((spec["action"], spec.get("condition"), smap))
+        return clauses
+    clauses = []
+    if when_matched_delete is not None:
+        clauses.append(("delete", when_matched_delete, {}))
+    if when_matched_update is not None:
+        spec = when_matched_update
+        if not isinstance(spec, dict) or "set" not in spec:
+            raise ValueError(
+                "when_matched_update must be {'set': {col: expr}, "
+                "'condition': optional expr}"
+            )
+        smap = {c: _clause_expr(e) for c, e in spec["set"].items()}
+        unknown = sorted(set(smap) - set(out_schema.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"when_matched_update SET targets unknown columns {unknown}"
+            )
+        clauses.append(("update", spec.get("condition"), smap))
+    return clauses
+
+
 def _conditional_merged(
     spark: SparkSession,
     existing: DataFrame,
     batch: DataFrame,
     key_cols: list[str],
     out_schema: StructType,
-    when_matched_update,
+    matched_clauses: list,
     when_not_matched_insert,
-    del_cond,
     wnmbs_cond,
 ) -> DataFrame:
     """Clause-driven MERGE evaluation (r10): one full-outer join of the
@@ -1872,43 +1938,23 @@ def _conditional_merged(
     map over the joined row — no keep-latest window, because in
     conditional mode "which row wins" is the clause's job, not recency's.
 
-    Clause precedence (fixed, documented): WHEN MATCHED DELETE beats
-    WHEN MATCHED UPDATE; a matched row neither clause claims keeps its
-    TARGET values (Delta: an unmatched-by-any-clause row is untouched).
-    A source-only row inserts only when the INSERT clause (and its
-    condition) admits it; a target-only row is kept unless the
-    NOT-MATCHED-BY-SOURCE DELETE predicate claims it. Unlisted columns:
-    UPDATE keeps the target value, INSERT fills NULL — except key
-    columns, which default to the batch key (an inserted row without
-    its key would violate the keyed-table contract).
+    ``matched_clauses`` is an ORDERED list (from
+    :func:`_parse_matched_clauses`): per matched row, the FIRST clause
+    whose condition holds applies and later clauses are ignored —
+    Delta's multi-clause WHEN MATCHED semantics. A matched row no
+    clause claims keeps its TARGET values. A source-only row inserts
+    only when the INSERT clause (and its condition) admits it; a
+    target-only row is kept unless the NOT-MATCHED-BY-SOURCE DELETE
+    predicate claims it. Unlisted columns: UPDATE keeps the target
+    value, INSERT fills NULL — except key columns, which default to
+    the batch key (an inserted row without its key would violate the
+    keyed-table contract).
 
     One wide join on the MERGE keys — the same single shuffle the
     keep-latest path pays; at 100 TB the file-pruning upstream (only
     key-overlapping files reach ``existing``) is what bounds the left
     side, identically to the unconditional path."""
-    upd_spec = when_matched_update
     ins_spec = when_not_matched_insert
-    set_map = {}
-    upd_cond = F.lit(True)
-    if upd_spec is not None:
-        if not isinstance(upd_spec, dict) or "set" not in upd_spec:
-            raise ValueError(
-                "when_matched_update must be {'set': {col: expr}, "
-                "'condition': optional expr}"
-            )
-        set_map = {
-            c: _clause_expr(e) for c, e in upd_spec["set"].items()
-        }
-        unknown = sorted(set(set_map) - set(out_schema.fieldNames()))
-        if unknown:
-            raise ValueError(
-                f"when_matched_update SET targets unknown columns {unknown}"
-            )
-        if upd_spec.get("condition") is not None:
-            upd_cond = F.coalesce(
-                _clause_expr(upd_spec["condition"]).cast("boolean"),
-                F.lit(False),
-            )
     values_map = None
     ins_cond = F.lit(True)
     if ins_spec is not None:
@@ -1959,16 +2005,26 @@ def _conditional_merged(
     tpres = F.coalesce(F.col("t.__tpres__"), F.lit(False))
     spres = F.coalesce(F.col("s.__spres__"), F.lit(False))
     matched = tpres & spres
-    del_fire = (
-        (matched & F.coalesce(del_cond.cast("boolean"), F.lit(False)))
-        if del_cond is not None
-        else F.lit(False)
-    )
-    upd_fire = (
-        (matched & ~del_fire & upd_cond)
-        if upd_spec is not None
-        else F.lit(False)
-    )
+
+    # first-match-wins in clause order: each clause consumes what the
+    # previous ones left (the fires are mutually exclusive by
+    # construction, so the column chain below needs no nesting order)
+    remaining = matched
+    del_any = F.lit(False)
+    upd_fires: list = []
+    for kind, cond, smap in matched_clauses:
+        c = (
+            F.lit(True)
+            if cond is None
+            else F.coalesce(_clause_expr(cond).cast("boolean"), F.lit(False))
+        )
+        fire = remaining & c
+        remaining = remaining & ~c
+        if kind == "delete":
+            del_any = del_any | fire
+        else:
+            upd_fires.append((fire, smap))
+
     ins_fire = (
         (~tpres & spres & ins_cond)
         if values_map is not None
@@ -1978,7 +2034,7 @@ def _conditional_merged(
     wnmbs_fire = (
         (tgt_only & wnmbs_cond) if wnmbs_cond is not None else F.lit(False)
     )
-    keep = (matched & ~del_fire) | ins_fire | (tgt_only & ~wnmbs_fire)
+    keep = (matched & ~del_any) | ins_fire | (tgt_only & ~wnmbs_fire)
 
     cols = []
     for f in out_schema.fields:
@@ -2001,8 +2057,9 @@ def _conditional_merged(
             else:
                 ins_val = F.lit(None)
             col = F.when(ins_fire, ins_val).otherwise(col)
-        if name in set_map:
-            col = F.when(upd_fire, set_map[name]).otherwise(col)
+        for fire, smap in upd_fires:
+            if name in smap:
+                col = F.when(fire, smap[name]).otherwise(col)
         cols.append(col.cast(f.dataType).alias(name))
     return j.filter(keep).select(*cols)
 
@@ -2018,6 +2075,7 @@ def merge(
     txn: tuple[str, int] | None = None,
     when_matched_update: dict | None = None,
     when_not_matched_insert=None,
+    when_matched: list | None = None,
     merge_schema: bool = False,
 ) -> dict:
     """MERGE INTO, pruned at FILE granularity: only files whose
@@ -2115,7 +2173,8 @@ def merge(
     )
 
     conditional = (
-        when_matched_update is not None
+        when_matched is not None
+        or when_matched_update is not None
         or when_not_matched_insert is not None
     )
     if conditional:
@@ -2198,9 +2257,13 @@ def merge(
                     updates,
                     key_cols,
                     out_schema,
-                    when_matched_update,
+                    _parse_matched_clauses(
+                        when_matched,
+                        when_matched_update,
+                        when_matched_delete,
+                        out_schema,
+                    ),
                     when_not_matched_insert,
-                    None if when_matched_delete is None else del_col,
                     wnm_col,
                 )
                 return append(spark, merged0, root, txn=txn) | {
@@ -2265,9 +2328,13 @@ def merge(
                 updates,
                 key_cols,
                 snap.schema,
-                when_matched_update,
+                _parse_matched_clauses(
+                    when_matched,
+                    when_matched_update,
+                    when_matched_delete,
+                    snap.schema,
+                ),
                 when_not_matched_insert,
-                None if when_matched_delete is None else del_col,
                 wnm_col,
             )
         else:

@@ -588,3 +588,79 @@ def test_declarative_scd2_verb(spark, tmp_path):
     cur = h.filter(F.col("_scd2_end").isNull()).drop("_scd2_start", "_scd2_end")
     s = txlog.read_table(spark, src)
     assert cur.exceptAll(s).count() == 0 and s.exceptAll(cur).count() == 0
+
+
+def test_when_matched_ordered_clause_list(spark, tmp_path):
+    """Delta's multi-clause WHEN MATCHED: first matching clause wins in
+    the GIVEN order — tombstone-delete, then recency-guarded update,
+    then unconditional fallback update."""
+    root = _mk(spark, tmp_path, "multi1")
+    _seed_target(spark, root)
+    batch = spark.createDataFrame(
+        [
+            (1, "del", 0.0, 999),   # clause 1 (delete) fires
+            (2, "upd", 22.0, 999),  # clause 2 (guarded update) fires
+            (3, "fb", 33.0, 100),   # guard false -> clause 3 fallback fires
+        ],
+        "k int, name string, price double, ts int",
+    )
+    txlog.merge(
+        spark,
+        batch,
+        root,
+        ["k"],
+        order_col=None,
+        when_matched=[
+            {"action": "delete", "condition": "s.name = 'del'"},
+            {
+                "action": "update",
+                "condition": "s.ts > t.ts",
+                "set": {"price": "s.price", "ts": "s.ts"},
+            },
+            {"action": "update", "set": {"name": "s.name"}},
+        ],
+    )
+    rows = {r.k: (r.name, r.price, r.ts) for r in txlog.read_table(spark, root).collect()}
+    assert 1 not in rows                       # first clause consumed it
+    assert rows[2] == ("b", 22.0, 999)         # second clause, name kept
+    assert rows[3] == ("fb", 30.0, 300)        # fallback: only name set
+    # order matters: the same specs reversed give a different result
+    root2 = _mk(spark, tmp_path, "multi2")
+    _seed_target(spark, root2)
+    txlog.merge(
+        spark,
+        batch,
+        root2,
+        ["k"],
+        order_col=None,
+        when_matched=[
+            {"action": "update", "set": {"name": "s.name"}},  # now first
+            {"action": "delete", "condition": "s.name = 'del'"},
+        ],
+    )
+    rows2 = {r.k: r.name for r in txlog.read_table(spark, root2).collect()}
+    assert rows2[1] == "del"  # update claimed the row before the delete
+
+
+def test_when_matched_list_rejects_mixing_and_bad_specs(spark, tmp_path):
+    root = _mk(spark, tmp_path, "multi3")
+    _seed_target(spark, root)
+    batch = spark.createDataFrame(
+        [(1, "a", 1.0, 1)], "k int, name string, price double, ts int"
+    )
+    with pytest.raises(ValueError, match="not both"):
+        txlog.merge(
+            spark, batch, root, ["k"], order_col=None,
+            when_matched=[{"action": "delete"}],
+            when_matched_update={"set": {"price": "s.price"}},
+        )
+    with pytest.raises(ValueError, match="requires 'set'"):
+        txlog.merge(
+            spark, batch, root, ["k"], order_col=None,
+            when_matched=[{"action": "update"}],
+        )
+    with pytest.raises(ValueError, match="action"):
+        txlog.merge(
+            spark, batch, root, ["k"], order_col=None,
+            when_matched=[{"action": "upsert"}],
+        )
