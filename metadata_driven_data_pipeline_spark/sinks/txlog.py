@@ -4198,7 +4198,7 @@ def apply_changes_scd2(
       change version in the chunk via LEAD — so an N-change key yields
       N adjacent intervals in one pass, no iteration); a delete closes
       without inserting. Closures and inserts ride ONE atomic
-      exactly-once MERGE keyed on ``(*key_cols, __start_version)`` —
+      exactly-once MERGE keyed on ``(*key_cols, _scd2_start)`` —
       closures replace their matched history row, inserts miss, and
       the txn watermark ``(app_id, chunk_end)`` makes crash/replay
       resume exactly like :func:`replicate` (zero-net chunks advance
@@ -4209,102 +4209,28 @@ def apply_changes_scd2(
     affected keys' current rows (footer-stats pruning on the leading
     key), and one key-range-pruned MERGE. History grows by exactly the
     change volume — closed rows are never rewritten again."""
-    from pyspark.sql.window import Window
-
     if app_id is None:
         app_id = f"txlog-scd2:{os.path.abspath(source_root)}"
     cursor = max(0, load_snapshot(target_root).txns.get(app_id, 0))
     start = cursor
     applied = empty = 0
-    key = key_cols[0]
-    change_cols = ("_change_type", "_commit_version", "_commit_op")
     for feed, end in iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
-        data_cols = [c for c in feed.columns if c not in change_cols]
-        prec = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        w = Window.partitionBy(*key_cols, "_commit_version").orderBy(
-            F.col("__prec").desc()
-        )
-        changes = (
-            feed.withColumn("__prec", prec)
-            .withColumn("__rk", F.rank().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(
-                *data_cols,
-                F.col("_commit_version").cast("long").alias("__v"),
-                (F.col("__prec") == 0).alias("__is_del"),
-            )
-            .cache()
-        )
-        try:
-            _validate_net_batch(
-                changes,
-                key_cols + ["__v"],
-                f"scd2 source commit range ({cursor}, {end}]",
-            )
-            if changes.limit(1).count() == 0:
-                empty += 1
-                if load_snapshot(target_root).schema_json is not None:
-                    _advance_txn(target_root, app_id, end)
-                    cursor = end
-                continue
-            nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
-            inserts = (
-                changes.withColumn("__next", F.lead("__v").over(nxt))
-                .filter(~F.col("__is_del"))
-                .select(
-                    *data_cols,
-                    F.col("__v").alias(SCD2_START),
-                    F.col("__next").alias(SCD2_END),
-                )
-            )
-            first_v = changes.groupBy(*key_cols).agg(
-                F.min("__v").alias("__v0")
-            )
-            batch = inserts
-            if load_snapshot(target_root).schema_json is not None:
-                b = first_v.agg(
-                    F.min(key).alias("lo"), F.max(key).alias("hi")
-                ).collect()[0]
-                cur, _ = scan(
-                    spark,
-                    target_root,
-                    where=[(key, ">=", b["lo"]), (key, "<=", b["hi"])],
-                )
-                closures = (
-                    cur.filter(F.col(SCD2_END).isNull())
-                    .join(first_v, key_cols)
-                    .withColumn(SCD2_END, F.col("__v0"))
-                    .drop("__v0")
-                    # a column the source added AFTER this current row
-                    # was written isn't in the target yet: closure rows
-                    # carry the target row's own columns, NULL-filled
-                    # for the rest by the union/merge evolution path
-                    .select(
-                        *[c for c in data_cols if c in cur.columns],
-                        SCD2_START,
-                        SCD2_END,
-                    )
-                )
-                batch = closures.unionByName(
-                    inserts, allowMissingColumns=True
-                )
-            merge(
-                spark,
-                batch,
-                target_root,
-                key_cols + [SCD2_START],
-                order_col=None,
-                txn=(app_id, end),
-                merge_schema=True,
-            )
-        finally:
-            changes.unpersist()
-        applied += 1
+        if _apply_scd2_feed(
+            spark,
+            feed,
+            target_root,
+            key_cols,
+            app_id,
+            end,
+            f"scd2 source commit range ({cursor}, {end}]",
+        ):
+            applied += 1
+        else:
+            empty += 1
+            if load_snapshot(target_root).schema_json is None:
+                continue  # nothing to watermark against yet
         cursor = end
     return {
         "app_id": app_id,
@@ -4313,6 +4239,160 @@ def apply_changes_scd2(
         "chunks_applied": applied,
         "chunks_empty": empty,
     }
+
+
+def _apply_scd2_feed(
+    spark: SparkSession,
+    feed: DataFrame,
+    target_root: str,
+    key_cols: list[str],
+    app_id: str,
+    batch_id: int,
+    ctx: str,
+) -> bool:
+    """Apply ONE row-level CDC feed (a capped batch chunk or a stream
+    epoch) to an SCD2 history table as one atomic exactly-once MERGE —
+    the shared body of :func:`apply_changes_scd2` and
+    :func:`apply_changes_scd2_stream`. Returns True if data rows were
+    applied, False for a zero-net feed (whose txn watermark is still
+    advanced when the target exists)."""
+    from pyspark.sql.window import Window
+
+    key = key_cols[0]
+    change_cols = ("_change_type", "_commit_version", "_commit_op")
+    data_cols = [c for c in feed.columns if c not in change_cols]
+    prec = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy(*key_cols, "_commit_version").orderBy(
+        F.col("__prec").desc()
+    )
+    changes = (
+        feed.withColumn("__prec", prec)
+        .withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            *data_cols,
+            F.col("_commit_version").cast("long").alias("__v"),
+            (F.col("__prec") == 0).alias("__is_del"),
+        )
+        .cache()
+    )
+    try:
+        _validate_net_batch(changes, key_cols + ["__v"], ctx)
+        if changes.limit(1).count() == 0:
+            if load_snapshot(target_root).schema_json is not None:
+                _advance_txn(target_root, app_id, batch_id)
+            return False
+        nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
+        inserts = (
+            changes.withColumn("__next", F.lead("__v").over(nxt))
+            .filter(~F.col("__is_del"))
+            .select(
+                *data_cols,
+                F.col("__v").alias(SCD2_START),
+                F.col("__next").alias(SCD2_END),
+            )
+        )
+        first_v = changes.groupBy(*key_cols).agg(F.min("__v").alias("__v0"))
+        batch = inserts
+        if load_snapshot(target_root).schema_json is not None:
+            b = first_v.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            cur, _ = scan(
+                spark,
+                target_root,
+                where=[(key, ">=", b["lo"]), (key, "<=", b["hi"])],
+            )
+            closures = (
+                cur.filter(F.col(SCD2_END).isNull())
+                .join(first_v, key_cols)
+                .withColumn(SCD2_END, F.col("__v0"))
+                .drop("__v0")
+                # a column the source added AFTER this current row was
+                # written isn't in the target yet: closure rows carry
+                # the target row's own columns, NULL-filled for the
+                # rest by the union/merge evolution path
+                .select(
+                    *[c for c in data_cols if c in cur.columns],
+                    SCD2_START,
+                    SCD2_END,
+                )
+            )
+            batch = closures.unionByName(inserts, allowMissingColumns=True)
+        merge(
+            spark,
+            batch,
+            target_root,
+            key_cols + [SCD2_START],
+            order_col=None,
+            txn=(app_id, batch_id),
+            merge_schema=True,
+        )
+        return True
+    finally:
+        changes.unpersist()
+
+
+def apply_changes_scd2_stream(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    max_versions: int = 64,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """CONTINUOUS SCD2 history maintenance (r10): the streaming twin of
+    :func:`apply_changes_scd2`, exactly as :func:`replicate_stream` is
+    the twin of :func:`replicate` — the rowLevel CDC stream drives a
+    ``foreachBatch`` loop whose body is the shared
+    :func:`_apply_scd2_feed` chunk application (one atomic exactly-once
+    MERGE per epoch, keyed on ``(app_id, epoch)``). Streaming
+    checkpoint + txn watermark compose the same crash-safe exactly-once
+    contract; zero-net epochs advance the watermark. Drain mode uses
+    ``processAllAvailable()`` for the same Python-DataSource reason as
+    replicate_stream. Returns the ``StreamingQuery`` (stopped in drain
+    mode)."""
+    from metadata_driven_data_pipeline_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    if app_id is None:
+        app_id = f"txlog-scd2-stream:{os.path.abspath(source_root)}"
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _apply_scd2_feed(
+            spark,
+            batch_df,
+            target_root,
+            key_cols,
+            app_id,
+            int(epoch_id),
+            f"scd2 stream epoch {epoch_id}",
+        )
+
+    feed = (
+        spark.readStream.format("txlog")
+        .option("rowLevel", "true")
+        .option("keyCols", ",".join(key_cols))
+        .option("maxVersionsPerTrigger", max_versions)
+        .load(source_root)
+    )
+    writer = feed.writeStream.foreachBatch(apply_epoch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if not available_now:
+        return writer.start()
+    q = writer.trigger(processingTime="100 milliseconds").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return q
 
 
 def scd2_snapshot_as_of(history: DataFrame, version: int) -> DataFrame:

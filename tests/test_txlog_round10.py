@@ -664,3 +664,30 @@ def test_when_matched_list_rejects_mixing_and_bad_specs(spark, tmp_path):
             spark, batch, root, ["k"], order_col=None,
             when_matched=[{"action": "upsert"}],
         )
+
+
+def test_scd2_stream_converges_and_resumes(spark, tmp_path):
+    src = _mk(spark, tmp_path, "scd2st_src")
+    tgt = _mk(spark, tmp_path, "scd2st_tgt")
+    ckpt = _mk(spark, tmp_path, "scd2st_ckpt")
+    _scd2_source(spark, src)
+    txlog.apply_changes_scd2_stream(spark, src, tgt, ["k"], ckpt, max_versions=2)
+    hist = txlog.read_table(spark, tgt)
+    cur = hist.filter(F.col("_scd2_end").isNull()).drop("_scd2_start", "_scd2_end")
+    s = txlog.read_table(spark, src)
+    assert cur.exceptAll(s).count() == 0 and s.exceptAll(cur).count() == 0
+    # streamed history == batch-lane history multiset-exactly
+    tgt_b = _mk(spark, tmp_path, "scd2st_batchlane")
+    txlog.apply_changes_scd2(spark, src, tgt_b, ["k"], max_versions=2)
+    hb = txlog.read_table(spark, tgt_b)
+    assert hist.exceptAll(hb).count() == 0 and hb.exceptAll(hist).count() == 0
+    # idempotent restart, then catch-up over new commits from the checkpoint
+    v0 = txlog.load_snapshot(tgt).version
+    txlog.apply_changes_scd2_stream(spark, src, tgt, ["k"], ckpt, max_versions=2)
+    assert txlog.load_snapshot(tgt).version == v0
+    txlog.delete(spark, src, [("k", ">=", 100)])
+    txlog.apply_changes_scd2_stream(spark, src, tgt, ["k"], ckpt, max_versions=2)
+    hist2 = txlog.read_table(spark, tgt)
+    cur2 = hist2.filter(F.col("_scd2_end").isNull()).drop("_scd2_start", "_scd2_end")
+    s2 = txlog.read_table(spark, src)
+    assert cur2.exceptAll(s2).count() == 0 and s2.exceptAll(cur2).count() == 0
