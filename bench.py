@@ -195,6 +195,7 @@ ROUND10 = [
     "txlog_merge_conditional",
     "txlog_replicate_evolve",
     "txlog_scd2",
+    "txlog_check_constraint",
 ]
 
 # Non-headline series, benched + reported per round under their own keys.

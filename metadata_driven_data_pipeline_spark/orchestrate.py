@@ -285,6 +285,12 @@ def run_table_maintenance(
       :func:`txlog.replicate_stream` drains the backlog in checkpointed
       micro-batches (the continuous-replication shape; schema
       auto-evolves either way);
+    - ``"addConstraint": {"name": ..., "expr": <SQL predicate>}`` /
+      ``"dropConstraint": {"name": ...}`` (r10) — CHECK-constraint
+      lifecycle (:func:`txlog.add_constraint`): existing rows are
+      validated first, then every later row-materializing write
+      enforces the predicate in-plan. Runs first (before replicate)
+      so the same run's ingestion is already covered;
     - ``"scd2": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
       replication INTO this table (:func:`txlog.apply_changes_scd2`):
@@ -344,6 +350,15 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
     if "restore" in spec:
         rep["restore"] = _txlog.restore(
             spark, root, int(spec["restore"]["version"])
+        )
+    if "addConstraint" in spec:
+        c = spec["addConstraint"]
+        rep["addConstraint"] = _txlog.add_constraint(
+            spark, root, c["name"], c["expr"]
+        )
+    if "dropConstraint" in spec:
+        rep["dropConstraint"] = _txlog.drop_constraint(
+            root, spec["dropConstraint"]["name"]
         )
     if "replicate" in spec:
         r = spec["replicate"]

@@ -303,10 +303,13 @@ class Snapshot:
     files: dict  # rel path -> add entry
     txns: dict  # app_id -> last committed batch_id
     retired: set = None  # physical names of dropped columns (type: ignore)
+    constraints: dict = None  # CHECK constraints: name -> SQL expr
 
     def __post_init__(self):
         if self.retired is None:
             self.retired = set()
+        if self.constraints is None:
+            self.constraints = {}
 
     @property
     def schema(self) -> StructType | None:
@@ -654,6 +657,7 @@ def load_snapshot(
     files: dict = {}
     txns: dict = {}
     retired: set = set()
+    constraints: dict = {}
     schema_json = None
     start = 1
     log_dir = _log_path(root)
@@ -673,6 +677,7 @@ def load_snapshot(
         txns = dict(cp.get("txns", {}))
         schema_json = cp.get("schema")
         retired = set(cp.get("retired", []))
+        constraints = dict(cp.get("constraints", {}))
         start = base[-1] + 1
     for v in range(start, target + 1):
         p = os.path.join(log_dir, _commit_name(v))
@@ -714,11 +719,18 @@ def load_snapshot(
             retired = set(c["retired"])
         else:
             retired.update(c.get("retired") or [])
+        if c.get("op") == "add_constraint":
+            con = c["constraint"]
+            constraints[con["name"]] = con["expr"]
+        if c.get("op") == "drop_constraint":
+            constraints.pop(c["drop_constraint"], None)
         t = c.get("txn")
         if t:
             prev = txns.get(t["app_id"], -1)
             txns[t["app_id"]] = max(prev, t["batch_id"])
-    return Snapshot(root, target, schema_json, files, txns, retired)
+    return Snapshot(
+        root, target, schema_json, files, txns, retired, constraints
+    )
 
 
 def read_table(
@@ -842,6 +854,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "txns": snap.txns,
         "schema": snap.schema_json,
         "retired": sorted(snap.retired),
+        "constraints": snap.constraints,
     }
     log_dir = _log_path(root)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1062,6 +1075,106 @@ def _schema_compatible(
     return widened.json()
 
 
+def _check_constraints(df: DataFrame, constraints: dict) -> DataFrame:
+    """Enforce the table's CHECK constraints IN the write plan (r10):
+    the first output column is wrapped in ``coalesce(assert_true(...),
+    ..., col)`` so every row evaluates every constraint while the batch
+    is being written — a violating row aborts the write job with an
+    error naming the constraint, and a clean batch pays zero extra
+    passes (Delta enforces CHECK constraints the same in-plan way). A
+    NULL-valued condition PASSES (SQL CHECK semantics: only FALSE
+    violates), hence the ``coalesce(cond, true)``. The wrapped column
+    is always materialized (every data column is written to parquet),
+    so the asserts can't be pruned away."""
+    if not constraints or not df.columns:
+        return df
+    guards = [
+        F.assert_true(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+            F.lit(
+                f"txlog CHECK constraint {name!r} violated: {expr}"
+            ),
+        )
+        for name, expr in sorted(constraints.items())
+    ]
+    first = df.columns[0]
+    ftype = df.schema[first].dataType
+    wrapped = F.coalesce(
+        *[g.cast(ftype) for g in guards], F.col(first)
+    ).alias(first)
+    return df.select(wrapped, *df.columns[1:])
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> dict:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (r10, Delta
+    parity): after verifying EVERY existing row satisfies ``expr``
+    (one stats-prunable scan — a table that already violates can never
+    gain the constraint), a metadata-only commit records it. From that
+    commit on, every write path that materializes rows (append, merge,
+    update, replace_where, overwrite) enforces it in-plan via
+    :func:`_check_constraints`; ``convert_to_txlog`` adoption is
+    zero-copy and therefore NOT checked — add constraints after
+    converting. Constraints survive checkpointing, ``overwrite`` (they
+    are table properties, not data), and log retention."""
+    snap = load_snapshot(root)
+    if snap.schema_json is None:
+        raise ValueError(f"not a txlog table (no commits): {root}")
+    if name in snap.constraints:
+        raise ValueError(
+            f"constraint {name!r} already exists at {root} with "
+            f"expression {snap.constraints[name]!r} — drop it first"
+        )
+    violating = (
+        read_table(spark, root)
+        .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if violating:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing "
+            f"rows at {root} violate it"
+        )
+
+    def build(cur: Snapshot, version: int):
+        if name in cur.constraints:
+            raise ValueError(
+                f"constraint {name!r} concurrently added at {root}"
+            )
+        return {
+            "version": version,
+            "op": "add_constraint",
+            "schema": cur.schema_json,
+            "add": [],
+            "remove": [],
+            "constraint": {"name": name, "expr": expr},
+        }
+
+    return _commit_loop(root, build) | {"name": name, "expr": expr}
+
+
+def drop_constraint(root: str, name: str) -> dict:
+    """Remove a CHECK constraint by name — metadata-only commit; a
+    missing name raises (dropping what isn't there is a spec bug)."""
+    snap = load_snapshot(root)
+    if name not in snap.constraints:
+        raise ValueError(f"no constraint {name!r} at {root}")
+
+    def build(cur: Snapshot, version: int):
+        return {
+            "version": version,
+            "op": "drop_constraint",
+            "schema": cur.schema_json,
+            "add": [],
+            "remove": [],
+            "drop_constraint": name,
+        }
+
+    return _commit_loop(root, build) | {"name": name}
+
+
 def append(
     spark: SparkSession,
     df: DataFrame,
@@ -1108,7 +1221,9 @@ def append(
         # #1 — without the check the new generation would silently read
         # the staged files' old physical names as NULL)
         smap = _staging_map(snap0, df.columns)
-        pdf = _to_physical_df(df, snap0.schema)
+        pdf = _to_physical_df(
+            _check_constraints(df, snap0.constraints), snap0.schema
+        )
         if partition_by:
             pmap = (
                 _logical_to_physical(snap0.schema)
@@ -1177,7 +1292,14 @@ def overwrite(
     same per-file metadata as :func:`append`'s partitioned lane."""
     if partition_by:
         _check_partition_by(partition_by, df.columns, "overwrite")
-    staged = _stage_files(spark, df, root, partition_by)
+    # constraints are table PROPERTIES: they survive the data replace,
+    # so the replacement generation must satisfy them too
+    staged = _stage_files(
+        spark,
+        _check_constraints(df, load_snapshot(root).constraints),
+        root,
+        partition_by,
+    )
     adds = _collect_adds(spark, root, staged)
     if partition_by:
         for add, path in zip(adds, staged):
@@ -1282,7 +1404,9 @@ def replace_where(
                 rewrites.append(rel)
 
         # stage the new data (physical names; optional key=value layout)
-        pdf = _to_physical_df(df, snap.schema)
+        pdf = _to_physical_df(
+            _check_constraints(df, snap.constraints), snap.schema
+        )
         if partition_by:
             _check_partition_by(partition_by, df.columns, "replace_where", pm)
             ppart = [pm.get(c, c) for c in partition_by]
@@ -2386,7 +2510,11 @@ def merge(
                     merged = dedup_keep_latest(merged, key_cols, order_col)
                 merged = merged.filter(~F.col("__del")).drop("__del")
         staged = _stage_files(
-            spark, _to_physical_df(merged, work_schema), root
+            spark,
+            _to_physical_df(
+                _check_constraints(merged, snap.constraints), work_schema
+            ),
+            root,
         )
         adds = _collect_adds(spark, root, staged)
 
@@ -2827,7 +2955,12 @@ def update(
                 ]
             )
             staged = _stage_files(
-                spark, _to_physical_df(updated, snap.schema), root
+                spark,
+                _to_physical_df(
+                    _check_constraints(updated, snap.constraints),
+                    snap.schema,
+                ),
+                root,
             )
             new_adds = _collect_adds(spark, root, staged)
             new_pos = mdf.select("rel", "pos")
@@ -2898,7 +3031,12 @@ def update(
                 ]
             )
             staged = _stage_files(
-                spark, _to_physical_df(rewritten, snap.schema), root
+                spark,
+                _to_physical_df(
+                    _check_constraints(rewritten, snap.constraints),
+                    snap.schema,
+                ),
+                root,
             )
             adds = _collect_adds(spark, root, staged)
             removed = list(touched)
