@@ -5028,6 +5028,103 @@ def q_txlog_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (sinks/txlog.py:maintain_aggregate — NEW r10): a grouped
+    sum/count aggregate of the source kept exact from the row-level
+    CDC feed — per chunk O(changed bytes), never a source rescan, the
+    deltas applied as ONE exactly-once conditional MERGE (insert new
+    groups, fold matched groups, delete groups whose live count hits
+    zero). Source history: append, DV-lane UPDATE (prices doubled on a
+    2% key slice), boundary DELETE, second append — consumed in capped
+    chunks. Certified: the VIEW (by o_orderpriority) equals the direct
+    SQL aggregate of the final state; ``converged`` pins view == direct
+    Spark aggregate multiset-exactly and ``idempotent`` pins a replayed
+    run applies zero chunks."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txlog_mv_")
+    src, tgt = base + "/src", base + "/tgt"
+    txlog.append(spark, orders.repartitionByRange(4, "o_orderkey"), src)  # v1
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.update(
+        spark,
+        src,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )  # v2
+    cut = int(mx * 0.05)
+    txlog.delete(spark, src, [("o_orderkey", "<", cut)])  # v3
+    txlog.append(
+        spark,
+        orders.filter(F.col("o_orderkey") < cut).select(
+            (F.col("o_orderkey") + F.lit(2 * int(mx))).alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ),
+        src,
+    )  # v4
+    rep = txlog.maintain_aggregate(
+        spark,
+        src,
+        tgt,
+        ["o_orderpriority"],
+        {"n": ("count", "*"), "sum_price": ("sum", "o_totalprice")},
+        max_versions=2,
+    )
+    view = txlog.read_table(spark, tgt).select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_price").cast("decimal(18,2)").cast("double").alias(
+            "sum_price"
+        ),
+    )
+    direct = (
+        txlog.read_table(spark, src)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    converged = (
+        view.exceptAll(direct).count() == 0
+        and direct.exceptAll(view).count() == 0
+    )
+    v_tgt = txlog.load_snapshot(tgt).version
+    rep2 = txlog.maintain_aggregate(
+        spark,
+        src,
+        tgt,
+        ["o_orderpriority"],
+        {"n": ("count", "*"), "sum_price": ("sum", "o_totalprice")},
+        max_versions=2,
+    )
+    idempotent = (
+        rep2["chunks_applied"] == 0
+        and txlog.load_snapshot(tgt).version == v_tgt
+    )
+    return view.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        "sum_price",
+        F.lit(bool(converged and rep["chunks_applied"] >= 2)).alias(
+            "converged"
+        ),
+        F.lit(bool(idempotent)).alias("idempotent"),
+    ).orderBy("priority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
     the FIRST 50 entries only; every entry (all 171) is additionally
@@ -5037,15 +5134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 window (applied by the ``window`` reorder at the bottom of
     this function): position 1 is ``txlog_replicate`` — the one
     registry entry that had never been in a driver window (r9 close
-    addition; VERDICT r9 #1 demanded it lead). Positions 2-6 are NEW
+    addition; VERDICT r9 #1 demanded it lead). Positions 2-7 are NEW
     this round: conditional MERGE clauses (txlog_merge_conditional),
     continuous replication under the streaming engine
     (txlog_replicate_stream), schema evolution through replication
     (txlog_replicate_evolve), Type-2 SCD history replication
-    (txlog_scd2), and CHECK constraints (txlog_check_constraint).
-    Positions 7-43 are the 37 entries last driver-certified in r6 (the
+    (txlog_scd2), CHECK constraints (txlog_check_constraint), and
+    incremental materialized-view maintenance (txlog_incremental_mv).
+    Positions 8-44 are the 37 entries last driver-certified in r6 (the
     full rotation list the r9 VERDICT enumerated, verbatim); positions
-    44-50 top up with the alphabetically-first 7 of the 41 r7-stale
+    45-50 top up with the alphabetically-first 6 of the 41 r7-stale
     entries. Everything
     after keeps its literal order and is still locally re-certified
     every round by tools/check_oracle.py."""
@@ -5057,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replicate_evolve": q_txlog_replicate_evolve,
         "txlog_scd2": q_txlog_scd2,
         "txlog_check_constraint": q_txlog_check_constraint,
+        "txlog_incremental_mv": q_txlog_incremental_mv,
         # ==== NEW in round 9 (CDC pairing/stream/batched, hot-partition
         # ==== optimize, mask debt, URI-safe DV, S3 claims)
         "txlog_cdc_update_pairs": q_txlog_cdc_update_pairs,
@@ -5269,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replicate_evolve",
         "txlog_scd2",
         "txlog_check_constraint",
+        "txlog_incremental_mv",
         "big_orders_having",
         "click_purchase_common_users",
         "conditional_agg",
@@ -5312,7 +5412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental_dedup",
         "bloom_index_words",
         "bpe_encode",
-        "brand_filter_revenue",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -8272,6 +8371,31 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS all_conditional,
                TRUE AS deleted
         FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_incremental_mv"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders),
+        final AS (
+            SELECT o_orderpriority AS priority,
+                   CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice
+            FROM orders, b WHERE o_orderkey < b.cut)
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+               TRUE AS converged,
+               TRUE AS idempotent
+        FROM final
+        GROUP BY priority
+        ORDER BY priority
     """
 
     sql["txlog_check_constraint"] = """

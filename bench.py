@@ -196,6 +196,7 @@ ROUND10 = [
     "txlog_replicate_evolve",
     "txlog_scd2",
     "txlog_check_constraint",
+    "txlog_incremental_mv",
 ]
 
 # Non-headline series, benched + reported per round under their own keys.

@@ -291,6 +291,12 @@ def run_table_maintenance(
       validated first, then every later row-materializing write
       enforces the predicate in-plan. Runs first (before replicate)
       so the same run's ingestion is already covered;
+    - ``"maintainAggregate": {"source": <txlog root>, "groupCols":
+      [...], "aggs": {out: ["sum"|"count", expr]}, "maxVersions": N}``
+      (r10) — incremental materialized-view maintenance INTO this
+      table (:func:`txlog.maintain_aggregate`): the source's CDC
+      deltas fold into the grouped aggregate, exactly-once per chunk,
+      never a source rescan. Runs before scd2;
     - ``"scd2": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
       replication INTO this table (:func:`txlog.apply_changes_scd2`):
@@ -387,6 +393,17 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
                 max_versions=int(r.get("maxVersions", 64)),
                 app_id=r.get("appId"),
             )
+    if "maintainAggregate" in spec:
+        ma = spec["maintainAggregate"]
+        rep["maintainAggregate"] = _txlog.maintain_aggregate(
+            spark,
+            ma["source"],
+            root,
+            list(ma["groupCols"]),
+            {k: (v[0], v[1]) for k, v in ma["aggs"].items()},
+            max_versions=int(ma.get("maxVersions", 64)),
+            app_id=ma.get("appId"),
+        )
     if "scd2" in spec:
         s2 = spec["scd2"]
         rep["scd2"] = _txlog.apply_changes_scd2(

@@ -4533,6 +4533,190 @@ def apply_changes_scd2_stream(
     return q
 
 
+MV_COUNT = "_mv_count"
+
+
+def maintain_aggregate(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    group_cols: list[str],
+    aggs: dict,
+    max_versions: int = 64,
+    app_id: str | None = None,
+) -> dict:
+    """INCREMENTAL materialized-view maintenance (r10): keep a grouped
+    aggregate of the source table up to date from its row-level CDC
+    feed — per chunk, O(bytes the chunk's commits touched), NEVER a
+    rescan of the source. The 100 TB shape: a nightly 1 GB of changes
+    maintains an aggregate over a 100 TB table for the cost of reading
+    the 1 GB (plus one key-pruned MERGE on the much smaller view).
+
+    ``aggs`` maps output column -> ``("sum", expr)`` or
+    ``("count", expr)`` — the ALGEBRAIC aggregates whose deltas invert
+    (insert adds, delete subtracts); ``("count", "*")`` counts rows.
+    AVG derives as sum/count at read time. MIN/MAX are deliberately
+    rejected: a delete can't invert them without a rescan — that is a
+    different maintenance class, not a missing flag.
+
+    Mechanics per chunk: every CDC row carries sign +1
+    (insert/update_postimage) or -1 (delete/update_preimage) — an
+    UPDATE contributes both halves, so its group deltas are exact net
+    effects; one partial aggregate per group computes the chunk's
+    deltas plus a live-row delta (``_mv_count``); the deltas apply to
+    the view as ONE exactly-once conditional MERGE (r10 clauses):
+    a group whose live count falls to zero DELETES its view row, a
+    matched group folds ``t.col + s.delta``, a new group inserts its
+    deltas verbatim. The txn watermark ``(app_id, chunk_end)`` gives
+    crash/replay exactly-once; zero-net chunks advance it with a
+    metadata-only commit. Group columns must be non-NULL (checked per
+    chunk): NULL groups would break MERGE's key-range pruning contract.
+
+    SUM-over-NULL semantics match SQL exactly: each sum carries a
+    companion non-null-contribution counter (``_nn_<col>``, internal
+    but visible in the view schema) so that a group whose LAST non-null
+    value is deleted reverts to SUM NULL — the case a naive signed fold
+    gets wrong (10 + NULL rows, delete the 10: true SUM is NULL, not
+    0). ``("count", expr)`` counts non-null values, ``("count", "*")``
+    rows, both NULL-free by construction."""
+    for out, (kind, expr) in aggs.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(
+                f"maintain_aggregate: {out!r} uses {kind!r} — only the "
+                "invertible aggregates sum/count can be maintained from "
+                "deltas (MIN/MAX need a rescan by nature)"
+            )
+    if MV_COUNT in aggs or MV_COUNT in group_cols:
+        raise ValueError(f"{MV_COUNT!r} is reserved for group liveness")
+    reserved = {f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
+    clash = sorted(reserved & (set(aggs) | set(group_cols)))
+    if clash:
+        raise ValueError(
+            f"column names {clash} collide with the reserved _nn_* "
+            "companion counters of sum aggregates"
+        )
+    if app_id is None:
+        app_id = f"txlog-mv:{os.path.abspath(source_root)}"
+    cursor = max(0, load_snapshot(target_root).txns.get(app_id, 0))
+    start = cursor
+    applied = empty = 0
+    for feed, end in iter_row_changes(
+        spark, source_root, cursor, max_versions=max_versions
+    ):
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        nn = {out: f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
+        agg_exprs = []
+        for out, (kind, expr) in aggs.items():
+            if kind == "sum":
+                agg_exprs.append(
+                    F.sum(F.col("__sign") * F.expr(expr)).alias(out)
+                )
+                agg_exprs.append(
+                    F.sum(
+                        F.col("__sign")
+                        * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
+                    ).alias(nn[out])
+                )
+            elif expr == "*":
+                agg_exprs.append(F.sum(F.col("__sign")).alias(out))
+            else:
+                agg_exprs.append(
+                    F.sum(
+                        F.col("__sign")
+                        * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
+                    ).alias(out)
+                )
+        delta_cols = [*aggs, *nn.values(), MV_COUNT]
+        deltas = (
+            feed.withColumn("__sign", sign)
+            .groupBy(*group_cols)
+            .agg(*agg_exprs, F.sum("__sign").alias(MV_COUNT))
+            # a group the chunk touches but nets to zero in EVERY
+            # maintained quantity is a no-op — drop it so pure rewrites
+            # net to an empty batch
+            .filter(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [
+                        F.coalesce(F.col(c), F.lit(0)) != 0
+                        for c in delta_cols
+                    ],
+                )
+            )
+            .cache()
+        )
+        try:
+            null_grouped = (
+                deltas.filter(
+                    functools.reduce(
+                        lambda a, b: a | b,
+                        [F.col(k).isNull() for k in group_cols],
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if null_grouped:
+                raise ValueError(
+                    f"maintain_aggregate: NULL group value in {group_cols} "
+                    f"at source commit range ({cursor}, {end}] — group "
+                    "columns must be non-NULL"
+                )
+            if deltas.limit(1).count() == 0:
+                empty += 1
+                if load_snapshot(target_root).schema_json is not None:
+                    _advance_txn(target_root, app_id, end)
+                    cursor = end
+                continue
+            # fold: counts add; sums add zero-based raw values and the
+            # exposed value reverts to NULL exactly when the folded
+            # non-null-contribution count is zero (SQL SUM semantics) —
+            # a NULL stored sum implies raw 0, so coalesce reconstructs
+            fold = {}
+            for out, (kind, _) in aggs.items():
+                if kind == "count":
+                    fold[out] = f"t.{out} + s.{out}"
+                else:
+                    c = nn[out]
+                    fold[out] = (
+                        f"CASE WHEN t.{c} + s.{c} = 0 THEN NULL "
+                        f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.{out}, 0) "
+                        "END"
+                    )
+                    fold[c] = f"t.{c} + s.{c}"
+            fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
+            merge(
+                spark,
+                deltas,
+                target_root,
+                group_cols,
+                order_col=None,
+                when_matched=[
+                    {
+                        "action": "delete",
+                        "condition": f"t.{MV_COUNT} + s.{MV_COUNT} = 0",
+                    },
+                    {"action": "update", "set": fold},
+                ],
+                when_not_matched_insert=True,
+                txn=(app_id, end),
+            )
+        finally:
+            deltas.unpersist()
+        applied += 1
+        cursor = end
+    return {
+        "app_id": app_id,
+        "from_version": start,
+        "to_version": cursor,
+        "chunks_applied": applied,
+        "chunks_empty": empty,
+    }
+
+
 def scd2_snapshot_as_of(history: DataFrame, version: int) -> DataFrame:
     """The source table AS OF source commit ``version``, reconstructed
     from an :func:`apply_changes_scd2` history frame: rows whose
