@@ -4603,110 +4603,21 @@ def maintain_aggregate(
     for feed, end in iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        ).otherwise(F.lit(-1))
-        nn = {out: f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
-        agg_exprs = []
-        for out, (kind, expr) in aggs.items():
-            if kind == "sum":
-                agg_exprs.append(
-                    F.sum(F.col("__sign") * F.expr(expr)).alias(out)
-                )
-                agg_exprs.append(
-                    F.sum(
-                        F.col("__sign")
-                        * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
-                    ).alias(nn[out])
-                )
-            elif expr == "*":
-                agg_exprs.append(F.sum(F.col("__sign")).alias(out))
-            else:
-                agg_exprs.append(
-                    F.sum(
-                        F.col("__sign")
-                        * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
-                    ).alias(out)
-                )
-        delta_cols = [*aggs, *nn.values(), MV_COUNT]
-        deltas = (
-            feed.withColumn("__sign", sign)
-            .groupBy(*group_cols)
-            .agg(*agg_exprs, F.sum("__sign").alias(MV_COUNT))
-            # a group the chunk touches but nets to zero in EVERY
-            # maintained quantity is a no-op — drop it so pure rewrites
-            # net to an empty batch
-            .filter(
-                functools.reduce(
-                    lambda a, b: a | b,
-                    [
-                        F.coalesce(F.col(c), F.lit(0)) != 0
-                        for c in delta_cols
-                    ],
-                )
-            )
-            .cache()
-        )
-        try:
-            null_grouped = (
-                deltas.filter(
-                    functools.reduce(
-                        lambda a, b: a | b,
-                        [F.col(k).isNull() for k in group_cols],
-                    )
-                )
-                .limit(1)
-                .count()
-            )
-            if null_grouped:
-                raise ValueError(
-                    f"maintain_aggregate: NULL group value in {group_cols} "
-                    f"at source commit range ({cursor}, {end}] — group "
-                    "columns must be non-NULL"
-                )
-            if deltas.limit(1).count() == 0:
-                empty += 1
-                if load_snapshot(target_root).schema_json is not None:
-                    _advance_txn(target_root, app_id, end)
-                    cursor = end
-                continue
-            # fold: counts add; sums add zero-based raw values and the
-            # exposed value reverts to NULL exactly when the folded
-            # non-null-contribution count is zero (SQL SUM semantics) —
-            # a NULL stored sum implies raw 0, so coalesce reconstructs
-            fold = {}
-            for out, (kind, _) in aggs.items():
-                if kind == "count":
-                    fold[out] = f"t.{out} + s.{out}"
-                else:
-                    c = nn[out]
-                    fold[out] = (
-                        f"CASE WHEN t.{c} + s.{c} = 0 THEN NULL "
-                        f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.{out}, 0) "
-                        "END"
-                    )
-                    fold[c] = f"t.{c} + s.{c}"
-            fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
-            merge(
-                spark,
-                deltas,
-                target_root,
-                group_cols,
-                order_col=None,
-                when_matched=[
-                    {
-                        "action": "delete",
-                        "condition": f"t.{MV_COUNT} + s.{MV_COUNT} = 0",
-                    },
-                    {"action": "update", "set": fold},
-                ],
-                when_not_matched_insert=True,
-                txn=(app_id, end),
-            )
-        finally:
-            deltas.unpersist()
-        applied += 1
+        if _apply_mv_feed(
+            spark,
+            feed,
+            target_root,
+            group_cols,
+            aggs,
+            app_id,
+            end,
+            f"source commit range ({cursor}, {end}]",
+        ):
+            applied += 1
+        else:
+            empty += 1
+            if load_snapshot(target_root).schema_json is None:
+                continue  # nothing to watermark against yet
         cursor = end
     return {
         "app_id": app_id,
@@ -4715,6 +4626,187 @@ def maintain_aggregate(
         "chunks_applied": applied,
         "chunks_empty": empty,
     }
+
+
+def _apply_mv_feed(
+    spark: SparkSession,
+    feed: DataFrame,
+    target_root: str,
+    group_cols: list[str],
+    aggs: dict,
+    app_id: str,
+    batch_id: int,
+    ctx: str,
+) -> bool:
+    """Fold ONE row-level CDC feed (batch chunk or stream epoch) into
+    the aggregate view — the shared body of :func:`maintain_aggregate`
+    and :func:`maintain_aggregate_stream`. Returns True if deltas were
+    applied, False for a zero-net feed (whose txn watermark is still
+    advanced when the view exists)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    nn = {out: f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
+    agg_exprs = []
+    for out, (kind, expr) in aggs.items():
+        if kind == "sum":
+            agg_exprs.append(
+                F.sum(F.col("__sign") * F.expr(expr)).alias(out)
+            )
+            agg_exprs.append(
+                F.sum(
+                    F.col("__sign")
+                    * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
+                ).alias(nn[out])
+            )
+        elif expr == "*":
+            agg_exprs.append(F.sum(F.col("__sign")).alias(out))
+        else:
+            agg_exprs.append(
+                F.sum(
+                    F.col("__sign")
+                    * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
+                ).alias(out)
+            )
+    delta_cols = [*aggs, *nn.values(), MV_COUNT]
+    deltas = (
+        feed.withColumn("__sign", sign)
+        .groupBy(*group_cols)
+        .agg(*agg_exprs, F.sum("__sign").alias(MV_COUNT))
+        # a group the chunk touches but nets to zero in EVERY
+        # maintained quantity is a no-op — drop it so pure rewrites
+        # net to an empty batch
+        .filter(
+            functools.reduce(
+                lambda a, b: a | b,
+                [F.coalesce(F.col(c), F.lit(0)) != 0 for c in delta_cols],
+            )
+        )
+        .cache()
+    )
+    try:
+        null_grouped = (
+            deltas.filter(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if null_grouped:
+            raise ValueError(
+                f"maintain_aggregate: NULL group value in {group_cols} "
+                f"at {ctx} — group columns must be non-NULL"
+            )
+        if deltas.limit(1).count() == 0:
+            if load_snapshot(target_root).schema_json is not None:
+                _advance_txn(target_root, app_id, batch_id)
+            return False
+        # fold: counts add; sums add zero-based raw values and the
+        # exposed value reverts to NULL exactly when the folded
+        # non-null-contribution count is zero (SQL SUM semantics) —
+        # a NULL stored sum implies raw 0, so coalesce reconstructs
+        fold = {}
+        for out, (kind, _) in aggs.items():
+            if kind == "count":
+                fold[out] = f"t.{out} + s.{out}"
+            else:
+                c = nn[out]
+                fold[out] = (
+                    f"CASE WHEN t.{c} + s.{c} = 0 THEN NULL "
+                    f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.{out}, 0) "
+                    "END"
+                )
+                fold[c] = f"t.{c} + s.{c}"
+        fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
+        merge(
+            spark,
+            deltas,
+            target_root,
+            group_cols,
+            order_col=None,
+            when_matched=[
+                {
+                    "action": "delete",
+                    "condition": f"t.{MV_COUNT} + s.{MV_COUNT} = 0",
+                },
+                {"action": "update", "set": fold},
+            ],
+            when_not_matched_insert=True,
+            txn=(app_id, batch_id),
+        )
+        return True
+    finally:
+        deltas.unpersist()
+
+
+def maintain_aggregate_stream(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    group_cols: list[str],
+    aggs: dict,
+    checkpoint_dir: str,
+    max_versions: int = 64,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """CONTINUOUS incremental-view maintenance (r10): the streaming
+    twin of :func:`maintain_aggregate`, following the same pattern as
+    :func:`replicate_stream` / :func:`apply_changes_scd2_stream` — the
+    rowLevel CDC stream drives a ``foreachBatch`` loop whose body is
+    the shared :func:`_apply_mv_feed` delta fold (one exactly-once
+    conditional MERGE per epoch keyed on ``(app_id, epoch)``).
+    Streaming checkpoint + txn watermark compose crash-safe
+    exactly-once; zero-net epochs advance the watermark. Drain mode
+    uses ``processAllAvailable()`` for the same Python-DataSource
+    reason as the other stream twins. Returns the ``StreamingQuery``
+    (stopped in drain mode)."""
+    for out, (kind, _) in aggs.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(
+                f"maintain_aggregate_stream: {out!r} uses {kind!r} — "
+                "only sum/count can be maintained from deltas"
+            )
+    from metadata_driven_data_pipeline_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    if app_id is None:
+        app_id = f"txlog-mv-stream:{os.path.abspath(source_root)}"
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _apply_mv_feed(
+            spark,
+            batch_df,
+            target_root,
+            group_cols,
+            aggs,
+            app_id,
+            int(epoch_id),
+            f"stream epoch {epoch_id}",
+        )
+
+    feed = (
+        spark.readStream.format("txlog")
+        .option("rowLevel", "true")
+        .option("maxVersionsPerTrigger", max_versions)
+        .load(source_root)
+    )
+    writer = feed.writeStream.foreachBatch(apply_epoch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if not available_now:
+        return writer.start()
+    q = writer.trigger(processingTime="100 milliseconds").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return q
 
 
 def scd2_snapshot_as_of(history: DataFrame, version: int) -> DataFrame:

@@ -160,3 +160,36 @@ def test_declarative_maintain_aggregate_verb(spark, tmp_path):
     assert rep[0]["maintainAggregate"]["chunks_applied"] == 1
     got = {r.g: (r.n, r.sum_v) for r in txlog.read_table(spark, tgt).collect()}
     assert got == {1: (2, 3.0), 2: (1, 3.0)}
+
+
+def test_mv_stream_converges_and_resumes(spark, tmp_path):
+    src = _mk(tmp_path, "mvst_src")
+    tgt = _mk(tmp_path, "mvst_tgt")
+    ckpt = _mk(tmp_path, "mvst_ckpt")
+    df = spark.range(0, 60).select(
+        (F.col("id") % 6).cast("int").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    txlog.append(spark, df.repartition(3), src)
+    txlog.update(
+        spark, src, [("k", ">=", 10), ("k", "<", 20)], {"v": "v * 3"},
+        deletion_vectors=True,
+    )
+    txlog.delete(spark, src, [("k", "<", 6)])
+    txlog.maintain_aggregate_stream(
+        spark, src, tgt, ["g"], AGGS, ckpt, max_versions=1
+    )
+    _assert_equal(spark, src, tgt)
+    # idempotent restart; then catch-up over a zero-net + data commit
+    v0 = txlog.load_snapshot(tgt).version
+    txlog.maintain_aggregate_stream(
+        spark, src, tgt, ["g"], AGGS, ckpt, max_versions=1
+    )
+    assert txlog.load_snapshot(tgt).version == v0
+    txlog.optimize(spark, src, target_bytes=64 * 1024 * 1024)
+    txlog.delete(spark, src, [("g", "==", 5)])
+    txlog.maintain_aggregate_stream(
+        spark, src, tgt, ["g"], AGGS, ckpt, max_versions=1
+    )
+    _assert_equal(spark, src, tgt)
