@@ -296,13 +296,15 @@ def run_table_maintenance(
       (r10) — incremental materialized-view maintenance INTO this
       table (:func:`txlog.maintain_aggregate`): the source's CDC
       deltas fold into the grouped aggregate, exactly-once per chunk,
-      never a source rescan. Runs before scd2;
+      never a source rescan; ``"checkpoint": <dir>`` runs it through
+      the streaming engine. Runs before scd2;
     - ``"scd2": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
       replication INTO this table (:func:`txlog.apply_changes_scd2`):
       key changes close the current history row and insert a new one,
       exactly-once per chunk via the same txn-watermark cursor as
-      replicate. Runs after replicate, before merge;
+      replicate; ``"checkpoint": <dir>`` runs it through the streaming
+      engine like replicate's. Runs after replicate, before merge;
     - ``"merge": {"source": {"path": ..., "format": "parquet"},
       "keyCols": [...], "orderCol": ..., "whenMatchedUpdate": {"set":
       {col: expr}, "condition": expr}, "whenNotMatchedInsert": true |
@@ -395,25 +397,59 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             )
     if "maintainAggregate" in spec:
         ma = spec["maintainAggregate"]
-        rep["maintainAggregate"] = _txlog.maintain_aggregate(
-            spark,
-            ma["source"],
-            root,
-            list(ma["groupCols"]),
-            {k: (v[0], v[1]) for k, v in ma["aggs"].items()},
-            max_versions=int(ma.get("maxVersions", 64)),
-            app_id=ma.get("appId"),
-        )
+        ma_aggs = {k: (v[0], v[1]) for k, v in ma["aggs"].items()}
+        if ma.get("checkpoint"):
+            _txlog.maintain_aggregate_stream(
+                spark,
+                ma["source"],
+                root,
+                list(ma["groupCols"]),
+                ma_aggs,
+                ma["checkpoint"],
+                max_versions=int(ma.get("maxVersions", 64)),
+                app_id=ma.get("appId"),
+            )
+            rep["maintainAggregate"] = {
+                "mode": "stream",
+                "source": ma["source"],
+                "version": _txlog.load_snapshot(root).version,
+            }
+        else:
+            rep["maintainAggregate"] = _txlog.maintain_aggregate(
+                spark,
+                ma["source"],
+                root,
+                list(ma["groupCols"]),
+                ma_aggs,
+                max_versions=int(ma.get("maxVersions", 64)),
+                app_id=ma.get("appId"),
+            )
     if "scd2" in spec:
         s2 = spec["scd2"]
-        rep["scd2"] = _txlog.apply_changes_scd2(
-            spark,
-            s2["source"],
-            root,
-            list(s2["keyCols"]),
-            max_versions=int(s2.get("maxVersions", 64)),
-            app_id=s2.get("appId"),
-        )
+        if s2.get("checkpoint"):
+            _txlog.apply_changes_scd2_stream(
+                spark,
+                s2["source"],
+                root,
+                list(s2["keyCols"]),
+                s2["checkpoint"],
+                max_versions=int(s2.get("maxVersions", 64)),
+                app_id=s2.get("appId"),
+            )
+            rep["scd2"] = {
+                "mode": "stream",
+                "source": s2["source"],
+                "version": _txlog.load_snapshot(root).version,
+            }
+        else:
+            rep["scd2"] = _txlog.apply_changes_scd2(
+                spark,
+                s2["source"],
+                root,
+                list(s2["keyCols"]),
+                max_versions=int(s2.get("maxVersions", 64)),
+                app_id=s2.get("appId"),
+            )
     if "merge" in spec:
         m = spec["merge"]
         src = m["source"]
