@@ -4057,42 +4057,45 @@ def _net_changes(feed: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def _validate_net_batch(
     batch: DataFrame, key_cols: list[str], ctx: str
-) -> None:
+) -> bool:
     """Fail loudly on the two keyed-table contract violations a CDC
     source can commit: NULL keys, and duplicate keys (>1 row surviving
     at the winning rank — e.g. one commit inserting the same key twice).
     Both are raised, never silently resolved: keyed replication cannot
     carry positional identity, so an arbitrary pick would diverge the
-    replica (ADVICE r9, medium)."""
-    null_keyed = (
-        batch.filter(
-            functools.reduce(
-                lambda a, b: a | b,
-                [F.col(k).isNull() for k in key_cols],
-            )
-        )
-        .limit(1)
-        .count()
+    replica (ADVICE r9, medium).
+
+    Returns True when the batch is EMPTY — all three per-chunk checks
+    (empty, NULL key, duplicate key) ride ONE aggregate job (one
+    shuffle on the keys, one action), not three, since the chunk loops
+    pay this on every chunk."""
+    nullc = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
     )
-    if null_keyed:
+    row = (
+        batch.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(nullc.cast("int")).alias("nl"),
+        )
+        .agg(F.max("n").alias("mx"), F.max("nl").alias("anynull"))
+        .first()
+    )
+    if row["mx"] is None:
+        return True  # empty chunk
+    if row["anynull"]:
         raise ValueError(
             f"replicate: NULL key in {key_cols} at {ctx} — keyed "
             "replication requires non-NULL keys"
         )
-    dup = (
-        batch.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if row["mx"] > 1:
         raise ValueError(
             f"replicate: duplicate key in {key_cols} at {ctx} — the "
             "source is not key-unique (multiple rows tie at the "
             "winning (_commit_version, precedence) rank); keyed "
             "replication cannot represent a duplicate-keyed multiset"
         )
+    return False
 
 
 def _advance_txn(root: str, app_id: str, batch_id: int) -> dict:
@@ -4180,10 +4183,9 @@ def replicate(
     ):
         batch = _net_changes(feed, key_cols).cache()
         try:
-            _validate_net_batch(
+            if _validate_net_batch(
                 batch, key_cols, f"source commit range ({cursor}, {end}]"
-            )
-            if batch.limit(1).count() == 0:
+            ):
                 empty += 1
                 if load_snapshot(target_root).schema_json is not None:
                     _advance_txn(target_root, app_id, end)
@@ -4259,8 +4261,9 @@ def replicate_stream(
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch = _net_changes(batch_df, key_cols).cache()
         try:
-            _validate_net_batch(batch, key_cols, f"stream epoch {epoch_id}")
-            if batch.limit(1).count() == 0:
+            if _validate_net_batch(
+                batch, key_cols, f"stream epoch {epoch_id}"
+            ):
                 if load_snapshot(target_root).schema_json is not None:
                     _advance_txn(target_root, app_id, int(epoch_id))
                 return
@@ -4418,8 +4421,7 @@ def _apply_scd2_feed(
         .cache()
     )
     try:
-        _validate_net_batch(changes, key_cols + ["__v"], ctx)
-        if changes.limit(1).count() == 0:
+        if _validate_net_batch(changes, key_cols + ["__v"], ctx):
             if load_snapshot(target_root).schema_json is not None:
                 _advance_txn(target_root, app_id, batch_id)
             return False
