@@ -4554,12 +4554,15 @@ def maintain_aggregate(
     maintains an aggregate over a 100 TB table for the cost of reading
     the 1 GB (plus one key-pruned MERGE on the much smaller view).
 
-    ``aggs`` maps output column -> ``("sum", expr)`` or
-    ``("count", expr)`` — the ALGEBRAIC aggregates whose deltas invert
-    (insert adds, delete subtracts); ``("count", "*")`` counts rows.
-    AVG derives as sum/count at read time. MIN/MAX are deliberately
-    rejected: a delete can't invert them without a rescan — that is a
-    different maintenance class, not a missing flag.
+    ``aggs`` maps output column -> ``("sum", expr)``, ``("count",
+    expr)``, or ``("avg", expr)`` — the ALGEBRAIC aggregates whose
+    deltas invert (insert adds, delete subtracts); ``("count", "*")``
+    counts rows; ``("avg", expr)`` maintains a hidden raw sum +
+    non-null count pair (``_avg_sum_<col>``/``_avg_cnt_<col>``) and
+    exposes their quotient, NULL when the count is zero — exactly the
+    direct AVG. MIN/MAX are deliberately rejected: a delete can't
+    invert them without a rescan — that is a different maintenance
+    class, not a missing flag.
 
     Mechanics per chunk: every CDC row carries sign +1
     (insert/update_postimage) or -1 (delete/update_preimage) — an
@@ -4582,15 +4585,18 @@ def maintain_aggregate(
     0). ``("count", expr)`` counts non-null values, ``("count", "*")``
     rows, both NULL-free by construction."""
     for out, (kind, expr) in aggs.items():
-        if kind not in ("sum", "count"):
+        if kind not in ("sum", "count", "avg"):
             raise ValueError(
                 f"maintain_aggregate: {out!r} uses {kind!r} — only the "
-                "invertible aggregates sum/count can be maintained from "
-                "deltas (MIN/MAX need a rescan by nature)"
+                "invertible aggregates sum/count/avg can be maintained "
+                "from deltas (MIN/MAX need a rescan by nature)"
             )
     if MV_COUNT in aggs or MV_COUNT in group_cols:
         raise ValueError(f"{MV_COUNT!r} is reserved for group liveness")
     reserved = {f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
+    for out, (k, _) in aggs.items():
+        if k == "avg":
+            reserved |= {f"_avg_sum_{out}", f"_avg_cnt_{out}"}
     clash = sorted(reserved & (set(aggs) | set(group_cols)))
     if clash:
         raise ValueError(
@@ -4650,6 +4656,11 @@ def _apply_mv_feed(
         F.lit(1),
     ).otherwise(F.lit(-1))
     nn = {out: f"_nn_{out}" for out, (k, _) in aggs.items() if k == "sum"}
+    avg_cols = {
+        out: (f"_avg_sum_{out}", f"_avg_cnt_{out}")
+        for out, (k, _) in aggs.items()
+        if k == "avg"
+    }
     agg_exprs = []
     for out, (kind, expr) in aggs.items():
         if kind == "sum":
@@ -4662,6 +4673,20 @@ def _apply_mv_feed(
                     * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
                 ).alias(nn[out])
             )
+        elif kind == "avg":
+            # AVG = maintained raw sum / maintained non-null count; the
+            # exposed column is DERIVED (below and in the fold) and is
+            # NULL exactly when the count is zero
+            s_, c_ = avg_cols[out]
+            agg_exprs.append(
+                F.sum(F.col("__sign") * F.expr(expr)).alias(s_)
+            )
+            agg_exprs.append(
+                F.sum(
+                    F.col("__sign")
+                    * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
+                ).alias(c_)
+            )
         elif expr == "*":
             agg_exprs.append(F.sum(F.col("__sign")).alias(out))
         else:
@@ -4671,11 +4696,29 @@ def _apply_mv_feed(
                     * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
                 ).alias(out)
             )
-    delta_cols = [*aggs, *nn.values(), MV_COUNT]
-    deltas = (
+    delta_cols = [
+        *[o for o, (k, _) in aggs.items() if k != "avg"],
+        *nn.values(),
+        *[c for pair in avg_cols.values() for c in pair],
+        MV_COUNT,
+    ]
+    deltas0 = (
         feed.withColumn("__sign", sign)
         .groupBy(*group_cols)
         .agg(*agg_exprs, F.sum("__sign").alias(MV_COUNT))
+    )
+    for out, (s_, c_) in avg_cols.items():
+        # exposed value for brand-new groups (the insert clause)
+        deltas0 = deltas0.withColumn(
+            out,
+            F.when(
+                F.coalesce(F.col(c_), F.lit(0)) == 0, F.lit(None)
+            ).otherwise(
+                F.coalesce(F.col(s_), F.lit(0)) / F.col(c_)
+            ),
+        )
+    deltas = (
+        deltas0
         # a group the chunk touches but nets to zero in EVERY
         # maintained quantity is a no-op — drop it so pure rewrites
         # net to an empty batch
@@ -4715,6 +4758,15 @@ def _apply_mv_feed(
         for out, (kind, _) in aggs.items():
             if kind == "count":
                 fold[out] = f"t.{out} + s.{out}"
+            elif kind == "avg":
+                s_, c_ = avg_cols[out]
+                fold[s_] = f"COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)"
+                fold[c_] = f"t.{c_} + s.{c_}"
+                fold[out] = (
+                    f"CASE WHEN t.{c_} + s.{c_} = 0 THEN NULL "
+                    f"ELSE (COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)) "
+                    f"/ (t.{c_} + s.{c_}) END"
+                )
             else:
                 c = nn[out]
                 fold[out] = (
@@ -4768,10 +4820,10 @@ def maintain_aggregate_stream(
     reason as the other stream twins. Returns the ``StreamingQuery``
     (stopped in drain mode)."""
     for out, (kind, _) in aggs.items():
-        if kind not in ("sum", "count"):
+        if kind not in ("sum", "count", "avg"):
             raise ValueError(
                 f"maintain_aggregate_stream: {out!r} uses {kind!r} — "
-                "only sum/count can be maintained from deltas"
+                "only sum/count/avg can be maintained from deltas"
             )
     from metadata_driven_data_pipeline_spark.sources import txlog_datasource
 

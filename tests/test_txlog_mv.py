@@ -235,3 +235,39 @@ def test_declarative_stream_checkpoint_options(spark, tmp_path):
     ).drop("_scd2_start", "_scd2_end")
     s = txlog.read_table(spark, src)
     assert cur.exceptAll(s).count() == 0 and s.exceptAll(cur).count() == 0
+
+
+def test_mv_avg_tracks_direct_aggregate(spark, tmp_path):
+    src = _mk(tmp_path, "mvavg_src")
+    tgt = _mk(tmp_path, "mvavg_tgt")
+    aggs = {"n": ("count", "*"), "avg_v": ("avg", "v")}
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, None), (2, 4, 8.0)],
+        "g int, k int, v double",
+    )
+    txlog.append(spark, df, src)
+    txlog.maintain_aggregate(spark, src, tgt, ["g"], aggs)
+
+    def check():
+        d = txlog.read_table(spark, src).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("v").alias("avg_v")
+        )
+        m = txlog.read_table(spark, tgt).select("g", "n", "avg_v")
+        assert m.exceptAll(d).count() == 0 and d.exceptAll(m).count() == 0, (
+            sorted(map(tuple, m.collect())), sorted(map(tuple, d.collect())))
+
+    check()
+    # update shifts the average; delete of the last non-null value in a
+    # group reverts AVG to NULL
+    txlog.update(spark, src, [("k", "==", 1)], {"v": "v * 5"},
+                 deletion_vectors=True)
+    txlog.delete(spark, src, [("k", "==", 4)])
+    txlog.maintain_aggregate(spark, src, tgt, ["g"], aggs, max_versions=1)
+    check()
+    txlog.delete(spark, src, [("k", "==", 1)])
+    txlog.delete(spark, src, [("k", "==", 2)])
+    txlog.maintain_aggregate(spark, src, tgt, ["g"], aggs)
+    row = {r.g: (r.n, r.avg_v) for r in
+           txlog.read_table(spark, tgt).select("g", "n", "avg_v").collect()}
+    assert row[1] == (1, None)  # only the NULL-valued row remains
+    check()
