@@ -5125,29 +5125,413 @@ def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("priority")
 
 
+def q_txlog_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized views via group-scoped rescan
+    (sinks/txlog.py:maintain_aggregate — NEW r11, VERDICT r10 #2):
+    inserts fold monotonically (LEAST/GREATEST against the stored
+    extremum); a delete that touches a group's stored extremum marks
+    ONLY that group invalid and recomputes it with one key-range-pruned
+    source scan AS OF the chunk end — never a full rescan. History:
+    append all orders, then DELETE every row whose price is >= half the
+    global max (guaranteed to remove at least one group's stored max).
+    Certified: the view (by o_orderpriority) equals the direct
+    aggregate of the final state; ``converged`` pins multiset equality,
+    ``rescanned`` pins that the delete actually exercised the rescan
+    lane, ``idempotent`` pins a replayed run applies zero chunks."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txlog_mvmm_")
+    src, tgt = base + "/src", base + "/tgt"
+    aggs = {
+        "n": ("count", "*"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    txlog.append(spark, orders.repartitionByRange(4, "o_orderkey"), src)
+    txlog.maintain_aggregate(spark, src, tgt, ["o_orderpriority"], aggs)
+    thr = float(orders.agg(F.max("o_totalprice")).first()[0]) * 0.5
+    txlog.delete(spark, src, [("o_totalprice", ">=", thr)])
+    rep = txlog.maintain_aggregate(spark, src, tgt, ["o_orderpriority"], aggs)
+    view = txlog.read_table(spark, tgt).select(
+        "o_orderpriority", "n", "min_price", "max_price"
+    )
+    direct = (
+        txlog.read_table(spark, src)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    converged = (
+        view.exceptAll(direct).count() == 0
+        and direct.exceptAll(view).count() == 0
+    )
+    rescanned = rep.get("groups_rescanned", 0) >= 1
+    rep2 = txlog.maintain_aggregate(spark, src, tgt, ["o_orderpriority"], aggs)
+    idempotent = rep2["chunks_applied"] == 0 and rep2["chunks_empty"] == 0
+    return view.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        "min_price",
+        "max_price",
+        F.lit(bool(converged)).alias("converged"),
+        F.lit(bool(rescanned)).alias("rescanned"),
+        F.lit(bool(idempotent)).alias("idempotent"),
+    ).orderBy("priority")
+
+
+def q_txlog_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause materialized-view aggregates (r11, VERDICT r10
+    #7): ``("sum"|"count", "CASE WHEN <pred> THEN <expr> END")`` gives
+    ``SUM(expr) FILTER (WHERE pred)`` semantics with zero new machinery
+    — rows failing the predicate contribute NULL, which the signed
+    delta fold and the non-null companion counter already ignore
+    (sinks/txlog.py:maintain_aggregate docstring example). History:
+    append, DV-lane UPDATE doubling prices on a 2% key slice (rows
+    CROSS the filter boundary both ways), boundary DELETE. Certified
+    against the direct FILTER aggregate of the final state."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txlog_mvf_")
+    src, tgt = base + "/src", base + "/tgt"
+    case = "CASE WHEN o_totalprice > 150000 THEN o_totalprice END"
+    aggs = {
+        "n": ("count", "*"),
+        "hi_sum": ("sum", case),
+        "hi_cnt": ("count", case),
+    }
+    txlog.append(spark, orders.repartitionByRange(4, "o_orderkey"), src)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    txlog.update(
+        spark,
+        src,
+        [("o_orderkey", ">=", lo), ("o_orderkey", "<", hi)],
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )
+    cut = int(mx * 0.05)
+    txlog.delete(spark, src, [("o_orderkey", "<", cut)])
+    rep = txlog.maintain_aggregate(
+        spark, src, tgt, ["o_orderpriority"], aggs, max_versions=2
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)").cast("double").alias(c)  # noqa: E731
+    view = txlog.read_table(spark, tgt).select(
+        "o_orderpriority", "n", dec("hi_sum"), "hi_cnt"
+    )
+    direct = (
+        txlog.read_table(spark, src)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(case)).cast("decimal(18,2)").cast("double").alias(
+                "hi_sum"
+            ),
+            F.count(F.expr(case)).alias("hi_cnt"),
+        )
+    )
+    converged = (
+        view.exceptAll(direct).count() == 0
+        and direct.exceptAll(view).count() == 0
+    )
+    return view.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        "hi_sum",
+        "hi_cnt",
+        F.lit(bool(converged and rep["chunks_applied"] >= 1)).alias(
+            "converged"
+        ),
+    ).orderBy("priority")
+
+
+def q_txlog_replicate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES FROM SNAPSHOT, replica lane (sinks/txlog.py:
+    replicate_from_snapshot + snapshot_changes — NEW r11, VERDICT r10
+    #3): converge a txlog replica to successive FULL snapshots of a
+    source that is NOT a txlog table (the vendor-dump shape) — keyed
+    full-outer diff against the replica itself, netted through the same
+    exactly-once MERGE as the CDC lane. Snapshot 1 = all orders;
+    snapshot 2 drops keys < 5% of max, doubles prices on the
+    [10%, 12%) key slice, and inserts shifted new keys. Certified: the
+    replica equals snapshot 2 exactly (aggregated by priority);
+    ``converged`` pins row-level multiset equality and ``idempotent``
+    pins that replaying version 2 is a metadata no-op."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txlog_rsnap_")
+    tgt = base + "/tgt"
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi, cut = int(mx * 0.10), int(mx * 0.12), int(mx * 0.05)
+    s1 = orders
+    s2 = (
+        orders.filter(F.col("o_orderkey") >= cut)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi),
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") < cut).select(
+                (F.col("o_orderkey") + F.lit(2 * int(mx))).alias(
+                    "o_orderkey"
+                ),
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+    )
+    txlog.replicate_from_snapshot(spark, s1, tgt, ["o_orderkey"], 1)
+    r2 = txlog.replicate_from_snapshot(spark, s2, tgt, ["o_orderkey"], 2)
+    replica = txlog.read_table(spark, tgt)
+    converged = (
+        r2["applied"]
+        and replica.exceptAll(s2).count() == 0
+        and s2.exceptAll(replica).count() == 0
+    )
+    idempotent = txlog.replicate_from_snapshot(
+        spark, s2, tgt, ["o_orderkey"], 2
+    )["skipped"]
+    return (
+        replica.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "n",
+            "sum_price",
+            F.lit(bool(converged)).alias("converged"),
+            F.lit(bool(idempotent)).alias("idempotent"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_txlog_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES FROM SNAPSHOT, SCD2 lane (sinks/txlog.py:
+    apply_changes_scd2_from_snapshot — NEW r11, VERDICT r10 #3 done
+    bar): a Type-2 history built from three successive FULL snapshots
+    must EQUAL the history built from the equivalent CDC feed with the
+    same version stamps. Snapshots: (1) all orders; (2) keys < 5%
+    dropped + prices doubled on [10%, 12%); (3) keys < 8% dropped. The
+    CDC twin drives the same three states through txlog commits
+    (append, one MERGE with tombstones, delete) consumed at
+    max_versions=1 so commit versions align 1:1 with snapshot
+    versions. Certified: history row count / current-slice count and
+    sum / closed-row count, with ``equal_cdc`` pinning multiset
+    equality of the two histories."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="txlog_s2snap_")
+    src = base + "/src"
+    cdc_hist, snap_hist = base + "/cdc", base + "/snap"
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(mx * 0.10), int(mx * 0.12)
+    cut, cut2 = int(mx * 0.05), int(mx * 0.08)
+    doubled = F.when(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi),
+        F.col("o_totalprice") * 2,
+    ).otherwise(F.col("o_totalprice"))
+    s1 = orders
+    s2 = orders.filter(F.col("o_orderkey") >= cut).withColumn(
+        "o_totalprice", doubled
+    )
+    s3 = orders.filter(F.col("o_orderkey") >= cut2).withColumn(
+        "o_totalprice", doubled
+    )
+    # snapshot lane
+    for ver, s in ((1, s1), (2, s2), (3, s3)):
+        txlog.apply_changes_scd2_from_snapshot(
+            spark, s, snap_hist, ["o_orderkey"], ver
+        )
+    # CDC lane: the same three states as txlog commits 1..3 — commit 2
+    # is ONE merge (updated slice upserts + tombstones for keys < cut)
+    txlog.append(spark, s1, src)  # v1
+    upd = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    tombs = orders.filter(F.col("o_orderkey") < cut)
+    txlog.merge(
+        spark,
+        upd.withColumn("__tomb", F.lit(False)).unionByName(
+            tombs.withColumn("__tomb", F.lit(True))
+        ),
+        src,
+        ["o_orderkey"],
+        order_col=None,
+        when_matched_delete="__tomb",
+    )  # v2
+    txlog.delete(spark, src, [("o_orderkey", "<", cut2)])  # v3
+    txlog.apply_changes_scd2(spark, src, cdc_hist, ["o_orderkey"],
+                             max_versions=1)
+    a = txlog.read_table(spark, cdc_hist)
+    b = txlog.read_table(spark, snap_hist)
+    equal_cdc = (
+        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    )
+    idempotent = txlog.apply_changes_scd2_from_snapshot(
+        spark, s3, snap_hist, ["o_orderkey"], 3
+    )["skipped"]
+    cur = b.filter(F.col(txlog.SCD2_END).isNull())
+    agg = b.agg(
+        F.count(F.lit(1)).alias("n_history"),
+        F.sum(
+            F.when(F.col(txlog.SCD2_END).isNotNull(), 1).otherwise(0)
+        ).alias("n_closed"),
+    ).first()
+    cagg = cur.agg(
+        F.count(F.lit(1)).alias("n_current"),
+        F.sum("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+            "sum_current"
+        ),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_history"]),
+                int(cagg["n_current"]),
+                float(cagg["sum_current"]),
+                int(agg["n_closed"]),
+                bool(equal_cdc),
+                bool(idempotent),
+            )
+        ],
+        "n_history long, n_current long, sum_current double, "
+        "n_closed long, equal_cdc boolean, idempotent boolean",
+    )
+
+
+def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance from CDC
+    (operators/similarity.py:maintain_ivf_index — NEW r11, VERDICT r10
+    #8 stretch): a persisted IVF index follows a txlog embeddings table
+    through append/append/delete history by consuming its row-level
+    change feed — O(changed vectors) per chunk instead of an O(corpus)
+    rebuild. Certified: per-cell vector counts of the maintained index
+    (deterministic pseudo-random centroids, same as ann_topk_ivf's
+    oracle) over the final state; ``equal_rebuild`` pins multiset
+    equality with a from-scratch ivf_build_index and ``probe_equal``
+    pins identical ivf_topk results through the maintained index."""
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="ivf_idx_")
+    src, idx = base + "/src", base + "/idx"
+    cents = sim.ivf_centroids(EMB_DIM, 8)
+    txlog.append(spark, emb.filter(F.col("vec_id") % 2 == 0), src)  # v1
+    sim.maintain_ivf_index(spark, src, idx, EMB_DIM, cents, max_versions=1)
+    txlog.append(spark, emb.filter(F.col("vec_id") % 2 == 1), src)  # v2
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    cut = int(mx * 0.10)
+    txlog.delete(spark, src, [("vec_id", "<", cut)])  # v3
+    sim.maintain_ivf_index(spark, src, idx, EMB_DIM, cents, max_versions=1)
+    maintained = sim.read_ivf_index(spark, idx)
+    rebuilt = sim.ivf_build_index(
+        txlog.read_table(spark, src), EMB_DIM, centroids=cents
+    )
+    m_sel = maintained.select("vec_id", "__cell")
+    r_sel = rebuilt.select("vec_id", "__cell")
+    equal_rebuild = (
+        m_sel.exceptAll(r_sel).count() == 0
+        and r_sel.exceptAll(m_sel).count() == 0
+    )
+    queries_df = txlog.read_table(spark, src).filter(
+        (F.col("vec_id") >= cut) & (F.col("vec_id") < cut + 25)
+    )
+    got = sim.ivf_topk(
+        maintained, queries_df, EMB_DIM, k=3, centroids=cents
+    )
+    want = sim.ivf_topk(
+        txlog.read_table(spark, src), queries_df, EMB_DIM, k=3,
+        centroids=cents,
+    )
+    # bounded collect (<= 25 queries x k) — an exceptAll between the two
+    # probe plans trips a Catalyst attribute-binding internal error on
+    # the shared window/generate subtree, and the row count is tiny
+    probe_equal = sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    return (
+        maintained.groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("__cell").alias("cell"),
+            "n_vectors",
+            F.lit(bool(equal_rebuild)).alias("equal_rebuild"),
+            F.lit(bool(probe_equal)).alias("probe_equal"),
+        )
+        .orderBy("cell")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries only; every entry (all 171) is additionally
-    checked locally each round by tools/check_oracle.py with the identical
-    protocol (rotation policy: PLANS.md "Driver-window rotation").
+    the FIRST 50 entries only; every entry (count = len of the returned
+    dict — never a hardcoded literal, VERDICT r10 hygiene) is
+    additionally checked locally each round by tools/check_oracle.py
+    with the identical protocol (rotation policy: PLANS.md
+    "Driver-window rotation").
 
-    Round-10 window (applied by the ``window`` reorder at the bottom of
-    this function): position 1 is ``txlog_replicate`` — the one
-    registry entry that had never been in a driver window (r9 close
-    addition; VERDICT r9 #1 demanded it lead). Positions 2-7 are NEW
-    this round: conditional MERGE clauses (txlog_merge_conditional),
-    continuous replication under the streaming engine
-    (txlog_replicate_stream), schema evolution through replication
-    (txlog_replicate_evolve), Type-2 SCD history replication
-    (txlog_scd2), CHECK constraints (txlog_check_constraint), and
-    incremental materialized-view maintenance (txlog_incremental_mv).
-    Positions 8-44 are the 37 entries last driver-certified in r6 (the
-    full rotation list the r9 VERDICT enumerated, verbatim); positions
-    45-50 top up with the alphabetically-first 6 of the 41 r7-stale
-    entries. Everything
-    after keeps its literal order and is still locally re-certified
-    every round by tools/check_oracle.py."""
+    Round-11 window (applied by the ``window`` reorder at the bottom of
+    this function): positions 1-5 are NEW this round — MIN/MAX
+    materialized views via group-scoped rescan (txlog_mv_minmax),
+    FILTER-clause MV aggregates (txlog_mv_filtered), APPLY CHANGES FROM
+    SNAPSHOT in both lanes (txlog_replicate_snapshot,
+    txlog_snapshot_scd2), and incremental IVF index maintenance from
+    CDC (ivf_index_maintain). Positions 6-9 are the r10-green entries
+    whose SEMANTICS changed this round (rotation rule: changed
+    semantics re-enter the window): txlog_incremental_mv (min/max +
+    bootstrap path), txlog_scd2 (closure rows carry ALL target
+    columns), txlog_replicate_stream (source-version watermarks), and
+    txlog_replicate (zero-net bootstrap). Positions 10-44 are the 35
+    r7-stale entries the r10 VERDICT enumerated, verbatim — the six
+    changed-read-path txlog entries leading. Positions 45-50 top up
+    with the alphabetically-first 6 of the 50 r8-stale entries.
+    Everything after keeps its literal order and is still locally
+    re-certified every round by tools/check_oracle.py."""
     q = {
+        # ==== NEW in round 11 (MIN/MAX + FILTER-clause materialized
+        # ==== views, APPLY CHANGES FROM SNAPSHOT, incremental IVF
+        # ==== index maintenance)
+        "txlog_mv_minmax": q_txlog_mv_minmax,
+        "txlog_mv_filtered": q_txlog_mv_filtered,
+        "txlog_replicate_snapshot": q_txlog_replicate_snapshot,
+        "txlog_snapshot_scd2": q_txlog_snapshot_scd2,
+        "ivf_index_maintain": q_ivf_index_maintain,
         # ==== NEW in round 10 (conditional MERGE clauses, streaming
         # ==== replication, schema evolution through replicate)
         "txlog_merge_conditional": q_txlog_merge_conditional,
@@ -5362,56 +5746,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, then the 43 entries last driver-certified in r5 (VERDICT
     # r8 'next round' #1, verbatim).
     window = [
-        "txlog_replicate",
-        "txlog_merge_conditional",
-        "txlog_replicate_stream",
-        "txlog_replicate_evolve",
-        "txlog_scd2",
-        "txlog_check_constraint",
+        # 1-5: new r11 features
+        "txlog_mv_minmax",
+        "txlog_mv_filtered",
+        "txlog_replicate_snapshot",
+        "txlog_snapshot_scd2",
+        "ivf_index_maintain",
+        # 6-9: r11-changed semantics (re-certify under the new code)
         "txlog_incremental_mv",
-        "big_orders_having",
-        "click_purchase_common_users",
-        "conditional_agg",
-        "corpus_clean",
-        "corr_stats",
-        "daily_activity",
-        "doc_chunks",
-        "dominant_part_suppliers",
-        "first_event_funnel",
-        "hash_sample",
-        "hourly_gap_fill",
-        "important_part_volumes",
-        "kmeans_assign",
-        "market_share",
-        "multimodal_frames",
-        "nation_trade_flows",
-        "order_count_distribution",
-        "order_deciles",
-        "order_line_numbers",
-        "order_percent_rank",
-        "pack_sequences",
-        "pii_redact",
-        "price_range_frame",
-        "profit_by_nation_year",
-        "promo_revenue_share",
-        "returned_item_customers",
-        "rich_idle_customers",
-        "rolling_fingerprint",
-        "salted_dedup_latest",
-        "similar_part_names",
-        "sliding_window_counts",
-        "small_qty_order_revenue",
-        "stratified_sample",
-        "tfidf_topterms",
-        "top_supplier_revenue",
-        "train_test_split",
-        "unpivot_metrics",
-        "add_fields",
-        "approx_stats",
-        "bigram_entropy",
-        "bloom_incremental_dedup",
-        "bloom_index_words",
-        "bpe_encode",
+        "txlog_scd2",
+        "txlog_replicate_stream",
+        "txlog_replicate",
+        # 10-15: the six r7-stale txlog entries whose shared read path
+        # changed r8-r10 while their driver signal froze (VERDICT r10 #1)
+        "txlog_column_mapping",
+        "txlog_convert",
+        "txlog_schema_evolution",
+        "txlog_stream_backpressure",
+        "txlog_time_travel",
+        "txlog_timestamp_travel",
+        # 16-44: the remaining 29 r7-stale entries, verbatim
+        "brand_filter_revenue",
+        "cms_frequencies",
+        "cohort_retention",
+        "containment_pairs",
+        "corpus_diff",
+        "cube_lineitem",
+        "customer_order_counts",
+        "dedup_keep_latest",
+        "domain_mix",
+        "dsir_incremental_weights",
+        "dup_histogram",
+        "embedding_neardup",
+        "epoch_shuffle",
+        "gap_fill_15min",
+        "minhash_dedup",
+        "multimodal_features",
+        "neardup_groups",
+        "neardup_keep_best",
+        "ngram_jaccard_pairs",
+        "price_band_histogram",
+        "priority_late_ship_counts",
+        "semdedup_auto",
+        "split_contamination",
+        "streaming_stateful_totals",
+        "suppliers_kept_waiting",
+        "top_parts_per_brand",
+        "user_first_last_events",
+        "validate_ko_errors",
+        "validate_ok_ids",
+        # 45-50: top-up, alphabetically-first of the 50 r8-stale entries
+        "events_gap_stats",
+        "events_sessionize",
+        "forecast_revenue_change",
+        "gopher_filter",
+        "hard_negatives",
+        "hybrid_search",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -8371,6 +8761,121 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS all_conditional,
                TRUE AS deleted
         FROM orders, bounds WHERE o_orderkey >= bounds.cut
+    """
+
+    sql["txlog_mv_minmax"] = """
+        WITH b AS (SELECT MAX(o_totalprice) * 0.5 AS thr FROM orders),
+        final AS (
+            SELECT o_orderpriority AS priority, o_totalprice AS p
+            FROM orders, b WHERE o_totalprice < b.thr)
+        SELECT priority,
+               COUNT(*) AS n,
+               MIN(p) AS min_price,
+               MAX(p) AS max_price,
+               TRUE AS converged,
+               TRUE AS rescanned,
+               TRUE AS idempotent
+        FROM final
+        GROUP BY priority
+        ORDER BY priority
+    """
+
+    sql["txlog_mv_filtered"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders),
+        final AS (
+            SELECT o_orderpriority AS priority,
+                   CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut)
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CASE WHEN p > 150000 THEN p END)
+                         AS DECIMAL(18,2)) AS DOUBLE) AS hi_sum,
+               COUNT(CASE WHEN p > 150000 THEN p END) AS hi_cnt,
+               TRUE AS converged
+        FROM final
+        GROUP BY priority
+        ORDER BY priority
+    """
+
+    sql["txlog_replicate_snapshot"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut
+            FROM orders),
+        final AS (
+            SELECT o_orderpriority AS priority,
+                   CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice
+            FROM orders, b WHERE o_orderkey < b.cut)
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+               TRUE AS converged,
+               TRUE AS idempotent
+        FROM final
+        GROUP BY priority
+        ORDER BY priority
+    """
+
+    sql["txlog_snapshot_scd2"] = """
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) * 0.10) AS BIGINT) AS lo,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.12) AS BIGINT) AS hi,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.05) AS BIGINT) AS cut,
+                   CAST(FLOOR(MAX(o_orderkey) * 0.08) AS BIGINT) AS cut2
+            FROM orders),
+        m AS (
+            SELECT COUNT(*) AS n_all,
+                   SUM(CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                            THEN 1 ELSE 0 END) AS upd,
+                   SUM(CASE WHEN o_orderkey < b.cut2 THEN 1 ELSE 0 END)
+                       AS dels
+            FROM orders, b),
+        cur AS (
+            SELECT CASE WHEN o_orderkey >= b.lo AND o_orderkey < b.hi
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders, b WHERE o_orderkey >= b.cut2)
+        SELECT CAST(m.n_all + m.upd AS BIGINT) AS n_history,
+               (SELECT COUNT(*) FROM cur) AS n_current,
+               (SELECT CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE)
+                FROM cur) AS sum_current,
+               CAST(m.upd + m.dels AS BIGINT) AS n_closed,
+               TRUE AS equal_cdc,
+               TRUE AS idempotent
+        FROM m
+    """
+
+    sql["ivf_index_maintain"] = f"""
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(vec_id) * 0.10) AS BIGINT) AS cut
+            FROM embeddings),
+        final AS (
+            SELECT vec_id, embedding FROM embeddings, b
+            WHERE vec_id >= b.cut),
+        c AS (SELECT vec_id, {ivf_dots} AS dl FROM final),
+        cc AS (SELECT vec_id,
+                      CAST(list_position(dl, list_max(dl)) - 1 AS INT)
+                          AS cell
+               FROM c)
+        SELECT cell,
+               COUNT(*) AS n_vectors,
+               TRUE AS equal_rebuild,
+               TRUE AS probe_equal
+        FROM cc
+        GROUP BY cell
+        ORDER BY cell
     """
 
     sql["txlog_incremental_mv"] = """

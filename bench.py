@@ -69,6 +69,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -199,6 +200,51 @@ ROUND10 = [
     "txlog_incremental_mv",
 ]
 
+# Round-11 additions: MIN/MAX + FILTER-clause materialized views, APPLY
+# CHANGES FROM SNAPSHOT (both lanes), incremental IVF index maintenance.
+ROUND11 = [
+    "txlog_mv_minmax",
+    "txlog_mv_filtered",
+    "txlog_replicate_snapshot",
+    "txlog_snapshot_scd2",
+    "ivf_index_maintain",
+]
+
+
+# Control series (r11, VERDICT r10 #5): pinned, never-changing
+# infrastructure probes — one pure parquet scan-aggregate and one
+# shuffle aggregation, both defined HERE (not registry entries) so no
+# round can touch them. They exercise no engine code that changes
+# between rounds, so their inflation against the pinned quiet-host
+# baseline measures HOST conditions; the emitted
+# ``value_normalized = value / control_inflation`` makes cross-round
+# headline comparison mechanical instead of narrative (three verdicts
+# in a row spent their performance section on host-noise attribution).
+def _control_scan(spark: SparkSession, sf_dir: str):
+    # full-scan aggregate: parquet read + codegen sum, zero shuffle
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.sum("l_extendedprice").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _control_shuffle(spark: SparkSession, sf_dir: str):
+    # one hash-aggregate shuffle over a synthetic 1024-bucket key
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy((F.col("l_orderkey") % 1024).alias("b"))
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+CONTROL = {"control_scan": _control_scan, "control_shuffle": _control_shuffle}
+
+# Pinned quiet-host control baseline (sum of per-query medians at sf0.1,
+# local[32], measured on an idle host 2026-08-16, 3 quiet reps). The
+# anchor for control_inflation; re-pin ONLY together with a BASELINE.md
+# re-anchor, never silently.
+CONTROL_BASELINE_TOTAL = 0.95
+
 # Non-headline series, benched + reported per round under their own keys.
 SERIES = {
     "curation": CURATION,
@@ -209,6 +255,7 @@ SERIES = {
     "round8": ROUND8,
     "round9": ROUND9,
     "round10": ROUND10,
+    "round11": ROUND11,
 }
 
 
@@ -251,9 +298,13 @@ def _metrics_delta(before: dict | None, after: dict | None) -> dict | None:
 
 
 def run_series(
-    spark: SparkSession, names: list[str], sf_dir: str, reps: int
+    spark: SparkSession,
+    names: list[str],
+    sf_dir: str,
+    reps: int,
+    qs: dict | None = None,
 ) -> dict:
-    qs = entrymod.queries()
+    qs = qs if qs is not None else entrymod.queries()
 
     def one_rep(measure: bool) -> float:
         # machine-load marker (r5 verdict item 8): the 1-minute loadavg
@@ -396,6 +447,10 @@ def main() -> None:
         return
 
     registered = set(entrymod.queries())
+    # control first: a clean host-condition reading before the heavy
+    # series heat the machine up is the most conservative anchor
+    ctrl = run_series(spark, list(CONTROL), sf_dir, reps, qs=CONTROL)
+    control_inflation = round(ctrl["total"] / CONTROL_BASELINE_TOTAL, 4)
     head = run_series(spark, HEADLINE, sf_dir, reps)
     extra = {}
     for name, queries in SERIES.items():
@@ -414,6 +469,14 @@ def main() -> None:
         "value": head["total"],
         "unit": "sec",
         "queries": head["queries"],
+        # mechanical host-noise normalization (r11, VERDICT r10 #5):
+        # value / (control_total / pinned quiet baseline)
+        "control": ctrl["queries"],
+        "control_total": ctrl["total"],
+        "control_min_sum": ctrl["min_sum"],
+        "control_baseline_total": CONTROL_BASELINE_TOTAL,
+        "control_inflation": control_inflation,
+        "value_normalized": round(head["total"] / control_inflation, 3),
         "sf": sf,
         "reps": reps,
         "spread": head["spread"],
@@ -470,6 +533,9 @@ def _emit(full: dict, series: list[str] = ()) -> None:
             "rep_totals",
             "warmup_total",
             "value_min_sum",
+            "control_total",
+            "control_inflation",
+            "value_normalized",
             "loadavg",
             "quiet",
         )

@@ -284,7 +284,11 @@ def run_table_maintenance(
       (r10) to run it through the STREAMING engine instead —
       :func:`txlog.replicate_stream` drains the backlog in checkpointed
       micro-batches (the continuous-replication shape; schema
-      auto-evolves either way);
+      auto-evolves either way). ``"fromSnapshot": {"path": ...,
+      "format": ..., "version": N}`` (r11) replaces the CDC feed with
+      a FULL-SNAPSHOT diff (:func:`txlog.replicate_from_snapshot`) —
+      the source needn't be a txlog table at all, only successive
+      dumps with a monotonically increasing ``version``;
     - ``"addConstraint": {"name": ..., "expr": <SQL predicate>}`` /
       ``"dropConstraint": {"name": ...}`` (r10) — CHECK-constraint
       lifecycle (:func:`txlog.add_constraint`): existing rows are
@@ -292,19 +296,30 @@ def run_table_maintenance(
       enforces the predicate in-plan. Runs first (before replicate)
       so the same run's ingestion is already covered;
     - ``"maintainAggregate": {"source": <txlog root>, "groupCols":
-      [...], "aggs": {out: ["sum"|"count", expr]}, "maxVersions": N}``
-      (r10) — incremental materialized-view maintenance INTO this
-      table (:func:`txlog.maintain_aggregate`): the source's CDC
-      deltas fold into the grouped aggregate, exactly-once per chunk,
-      never a source rescan; ``"checkpoint": <dir>`` runs it through
-      the streaming engine. Runs before scd2;
+      [...], "aggs": {out: ["sum"|"count"|"avg"|"min"|"max", expr]},
+      "maxVersions": N}`` (r10; min/max r11) — incremental
+      materialized-view maintenance INTO this table
+      (:func:`txlog.maintain_aggregate`): the source's CDC deltas fold
+      into the grouped aggregate, exactly-once per chunk, never a FULL
+      source rescan (min/max rescan only the groups whose extremum a
+      delete touched, key-range-pruned). FILTER-clause aggregates ride
+      a CASE expression: ``{"hi_sum": ["sum", "CASE WHEN v > 10 THEN v
+      END"]}``. ``"checkpoint": <dir>`` runs it through the streaming
+      engine; ``"fromSnapshot": {"path": ..., "version": N, "prev":
+      <source ref>}`` (r11) folds a full-snapshot multiset diff
+      instead (:func:`txlog.maintain_aggregate_from_snapshot` — pass
+      the previous dump as ``prev``, omit for the first). Runs before
+      scd2;
     - ``"scd2": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
       replication INTO this table (:func:`txlog.apply_changes_scd2`):
       key changes close the current history row and insert a new one,
       exactly-once per chunk via the same txn-watermark cursor as
       replicate; ``"checkpoint": <dir>`` runs it through the streaming
-      engine like replicate's. Runs after replicate, before merge;
+      engine like replicate's, and ``"fromSnapshot": {"path": ...,
+      "version": N}`` (r11) builds the same history from successive
+      FULL snapshots (:func:`txlog.apply_changes_scd2_from_snapshot`).
+      Runs after replicate, before merge;
     - ``"merge": {"source": {"path": ..., "format": "parquet"},
       "keyCols": [...], "orderCol": ..., "whenMatchedUpdate": {"set":
       {col: expr}, "condition": expr}, "whenNotMatchedInsert": true |
@@ -316,7 +331,12 @@ def run_table_maintenance(
       verbatim as :func:`txlog.merge` kwargs (SQL-string conditions use
       the same ``s.``/``t.`` qualifiers); ``"whenMatched": [{"action":
       "update"|"delete", ...}, ...]`` is the ordered multi-clause form.
-      Runs after replicate, before delete;
+      NOTE: ``"mergeSchema": true`` is NOT supported together with the
+      conditional clauses (``whenMatched*`` / ``whenNotMatchedInsert``)
+      — per-column SET/VALUES maps already pin the written columns;
+      evolve the table first with a plain append/merge (ADVICE r10 #1;
+      :func:`txlog.merge` raises on the combination). Runs after
+      replicate, before delete;
     - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
       reclamation of files outside the retention horizon (runs LAST so
       it never reclaims snapshots the same run still needs);
@@ -354,6 +374,26 @@ class MaintenanceFailure(Exception):
         self.completed = completed
 
 
+def _load_maintenance_source(_txlog, spark, src) -> Any:
+    """Resolve a maintenance-spec source reference into a DataFrame:
+    either a path string (parquet) or ``{"path": ..., "format":
+    "parquet"|"txlog"|..., "options": {...}, "version": N}`` —
+    ``format: "txlog"`` reads the table (optionally time-travelled via
+    ``asOfVersion``); anything else goes through the DataFrameReader."""
+    if isinstance(src, str):
+        src = {"path": src, "format": "parquet"}
+    fmt = src.get("format", "parquet")
+    if fmt == "txlog":
+        return _txlog.read_table(
+            spark, src["path"], version=src.get("asOfVersion")
+        )
+    return (
+        spark.read.format(fmt)
+        .options(**src.get("options", {}))
+        .load(src["path"])
+    )
+
+
 def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
     if "restore" in spec:
         rep["restore"] = _txlog.restore(
@@ -370,7 +410,17 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
         )
     if "replicate" in spec:
         r = spec["replicate"]
-        if r.get("checkpoint"):
+        if r.get("fromSnapshot"):
+            fs = r["fromSnapshot"]
+            rep["replicate"] = _txlog.replicate_from_snapshot(
+                spark,
+                _load_maintenance_source(_txlog, spark, fs),
+                root,
+                list(r["keyCols"]),
+                int(fs["version"]),
+                **({"app_id": r["appId"]} if r.get("appId") else {}),
+            )
+        elif r.get("checkpoint"):
             _txlog.replicate_stream(
                 spark,
                 r["source"],
@@ -398,7 +448,26 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
     if "maintainAggregate" in spec:
         ma = spec["maintainAggregate"]
         ma_aggs = {k: (v[0], v[1]) for k, v in ma["aggs"].items()}
-        if ma.get("checkpoint"):
+        if ma.get("fromSnapshot"):
+            fs = ma["fromSnapshot"]
+            prev = (
+                _load_maintenance_source(_txlog, spark, fs["prev"])
+                if fs.get("prev")
+                else None
+            )
+            rep["maintainAggregate"] = (
+                _txlog.maintain_aggregate_from_snapshot(
+                    spark,
+                    prev,
+                    _load_maintenance_source(_txlog, spark, fs),
+                    root,
+                    list(ma["groupCols"]),
+                    ma_aggs,
+                    int(fs["version"]),
+                    **({"app_id": ma["appId"]} if ma.get("appId") else {}),
+                )
+            )
+        elif ma.get("checkpoint"):
             _txlog.maintain_aggregate_stream(
                 spark,
                 ma["source"],
@@ -426,7 +495,17 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             )
     if "scd2" in spec:
         s2 = spec["scd2"]
-        if s2.get("checkpoint"):
+        if s2.get("fromSnapshot"):
+            fs = s2["fromSnapshot"]
+            rep["scd2"] = _txlog.apply_changes_scd2_from_snapshot(
+                spark,
+                _load_maintenance_source(_txlog, spark, fs),
+                root,
+                list(s2["keyCols"]),
+                int(fs["version"]),
+                **({"app_id": s2["appId"]} if s2.get("appId") else {}),
+            )
+        elif s2.get("checkpoint"):
             _txlog.apply_changes_scd2_stream(
                 spark,
                 s2["source"],
@@ -452,18 +531,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             )
     if "merge" in spec:
         m = spec["merge"]
-        src = m["source"]
-        if isinstance(src, str):
-            src = {"path": src, "format": "parquet"}
-        fmt = src.get("format", "parquet")
-        if fmt == "txlog":
-            batch = _txlog.read_table(spark, src["path"])
-        else:
-            batch = (
-                spark.read.format(fmt)
-                .options(**src.get("options", {}))
-                .load(src["path"])
-            )
+        batch = _load_maintenance_source(_txlog, spark, m["source"])
         wni = m.get("whenNotMatchedInsert")
         rep["merge"] = _txlog.merge(
             spark,

@@ -86,6 +86,7 @@ import datetime
 import functools
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 
@@ -1105,6 +1106,21 @@ def _check_constraints(df: DataFrame, constraints: dict) -> DataFrame:
     return df.select(wrapped, *df.columns[1:])
 
 
+def _constraints_referencing(constraints: dict, column: str) -> list[str]:
+    """Names of CHECK constraints whose expression references ``column``
+    as an identifier (word-boundary match, case-insensitive — Spark
+    resolves these expressions case-insensitively; the backquoted form
+    matches too because a backquote is not a word character). A string
+    literal that happens to contain the name also matches — the check is
+    deliberately conservative: blocking a rename/drop spuriously is an
+    inconvenience, letting one through breaks every later write (ADVICE
+    r10 #2)."""
+    pat = re.compile(
+        rf"(?i)(?<![A-Za-z0-9_]){re.escape(column)}(?![A-Za-z0-9_])"
+    )
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
 def add_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> dict:
@@ -1126,23 +1142,32 @@ def add_constraint(
             f"constraint {name!r} already exists at {root} with "
             f"expression {snap.constraints[name]!r} — drop it first"
         )
-    violating = (
-        read_table(spark, root)
-        .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
-        .limit(1)
-        .count()
-    )
-    if violating:
-        raise ValueError(
-            f"cannot add CHECK constraint {name!r} ({expr}): existing "
-            f"rows at {root} violate it"
+    def _validate(at_version: int | None) -> None:
+        violating = (
+            read_table(spark, root, version=at_version)
+            .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+            .limit(1)
+            .count()
         )
+        if violating:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({expr}): existing "
+                f"rows at {root} violate it"
+            )
+
+    _validate(snap.version)
 
     def build(cur: Snapshot, version: int):
         if name in cur.constraints:
             raise ValueError(
                 f"constraint {name!r} concurrently added at {root}"
             )
+        if cur.version != snap.version:
+            # data landed between validation and this claim attempt: the
+            # constraint may only commit if the CURRENT rows also satisfy
+            # it (ADVICE r10 #3 — otherwise a writer that staged before
+            # our commit could land violating rows under the constraint)
+            _validate(cur.version)
         return {
             "version": version,
             "op": "add_constraint",
@@ -1251,6 +1276,14 @@ def append(
             if _staging_map(snap, df.columns) != smap:
                 conflicted = True  # mapping drifted since staging
                 return None
+            if snap.constraints != snap0.constraints:
+                # a concurrent add/drop_constraint landed after we staged:
+                # the staged files were validated under the OLD constraint
+                # set — replan so the batch is re-checked under the new one
+                # (ADVICE r10 #3: a constraints-set change is a conflict,
+                # same as a schema/file conflict)
+                conflicted = True
+                return None
             return {
                 "version": version,
                 "op": "append",
@@ -1293,10 +1326,26 @@ def overwrite(
     if partition_by:
         _check_partition_by(partition_by, df.columns, "overwrite")
     # constraints are table PROPERTIES: they survive the data replace,
-    # so the replacement generation must satisfy them too
+    # so the replacement generation must satisfy them too — and its
+    # schema must still carry every column a constraint references (an
+    # overwrite that drops such a column would brick every later write
+    # with an unresolved-column error, ADVICE r10 #2)
+    snap0 = load_snapshot(root)
+    cons0 = snap0.constraints
+    if cons0 and snap0.schema_json is not None:
+        for col in snap0.schema.fieldNames():
+            if col in df.columns:
+                continue
+            refs = _constraints_referencing(cons0, col)
+            if refs:
+                raise ValueError(
+                    f"overwrite: the replacement schema drops column "
+                    f"{col!r}, which CHECK constraint(s) {refs} "
+                    "reference — drop them first (drop_constraint)"
+                )
     staged = _stage_files(
         spark,
-        _check_constraints(df, load_snapshot(root).constraints),
+        _check_constraints(df, cons0),
         root,
         partition_by,
     )
@@ -1443,6 +1492,9 @@ def replace_where(
             if _staging_map(cur, df.columns) != smap:
                 conflicted = True  # mapping drift: restage (see append)
                 return None
+            if cur.constraints != snap.constraints:
+                conflicted = True  # re-validate under the new set (r10 #3)
+                return None
             if cur.version != snap.version:
                 for p in removed:
                     # ENTRY identity, not presence: a concurrent DV
@@ -1579,6 +1631,17 @@ def rename_column(root: str, old: str, new: str) -> dict:
             raise ValueError(f"rename_column: no column {old!r} (has {names})")
         if new in names:
             raise ValueError(f"rename_column: column {new!r} already exists")
+        refs = _constraints_referencing(snap.constraints, old)
+        if refs:
+            # a constraint expression resolves by LOGICAL name at write
+            # time: renaming underneath it would make every later
+            # row-materializing write fail with an unresolved column.
+            # Delta blocks these ALTERs for the same reason (ADVICE r10)
+            raise ValueError(
+                f"rename_column: column {old!r} is referenced by CHECK "
+                f"constraint(s) {refs} — drop them first (drop_constraint)"
+                " and re-add under the new name"
+            )
         from pyspark.sql.types import StructField
 
         fields = []
@@ -1620,6 +1683,12 @@ def drop_column(root: str, name: str) -> dict:
             raise ValueError(f"drop_column: no column {name!r} (has {names})")
         if len(names) == 1:
             raise ValueError("drop_column: cannot drop the only column")
+        refs = _constraints_referencing(snap.constraints, name)
+        if refs:
+            raise ValueError(
+                f"drop_column: column {name!r} is referenced by CHECK "
+                f"constraint(s) {refs} — drop them first (drop_constraint)"
+            )
         kept = [f for f in schema.fields if f.name != name]
         return {
             "version": version,
@@ -2524,6 +2593,12 @@ def merge(
             nonlocal conflicted
             if txn is not None and cur.txns.get(txn[0], -1) >= txn[1]:
                 return None  # concurrent replay of the same batch won
+            if cur.constraints != snap.constraints:
+                # merged rows were validated under the plan-time
+                # constraint set — a concurrent add/drop_constraint
+                # forces a replan under the new one (ADVICE r10 #3)
+                conflicted = True
+                return None
             if cur.version != snap.version:
                 # someone committed since we planned: safe only if the
                 # new state still contains exactly our candidate files
@@ -3047,6 +3122,9 @@ def update(
 
         def build(cur: Snapshot, version: int):
             nonlocal conflicted
+            if cur.constraints != snap.constraints:
+                conflicted = True  # re-validate under the new set (r10 #3)
+                return None
             if cur.version != snap.version:
                 for p in removed:
                     if cur.files.get(p) != snap.files.get(p):
@@ -4098,6 +4176,43 @@ def _validate_net_batch(
     return False
 
 
+def create_table(root: str, schema: StructType) -> dict:
+    """Schema-only bootstrap commit (r11, VERDICT r10 #4): create an
+    EMPTY txlog table — version 1 records the schema, no data files.
+    The ``CREATE TABLE`` shape: gives later appends/merges a schema to
+    validate against, and (the reason it exists) gives the CDC
+    consumers' txn watermark somewhere to live BEFORE the first
+    row-carrying chunk — a zero-net chunk (e.g. an OPTIMIZE-only source
+    range) arriving at a not-yet-existing target can now bootstrap it
+    and advance the watermark instead of being re-diffed on every call
+    until data shows up. Idempotent: an already-existing table is a
+    skip, never an error (races resolve to whoever commits first); a
+    later first write may still evolve the schema with
+    ``merge_schema=True``."""
+
+    def build(cur: Snapshot, version: int):
+        if cur.schema_json is not None:
+            return None  # table exists — bootstrap is a no-op
+        return {
+            "version": version,
+            "op": "create",
+            "schema": schema.json(),
+            "add": [],
+            "remove": [],
+            "txn": None,
+        }
+
+    return _commit_loop(root, build)
+
+
+def _bootstrap_for_watermark(root: str, schema: StructType) -> None:
+    """Ensure the consumer target EXISTS (schema-only commit if missing)
+    so a zero-net chunk can record its txn watermark — closes the
+    pre-bootstrap re-diff gap (VERDICT r10 #4)."""
+    if load_snapshot(root).schema_json is None:
+        create_table(root, schema)
+
+
 def _advance_txn(root: str, app_id: str, batch_id: int) -> dict:
     """Metadata-only commit that advances ``(app_id, batch_id)`` — no
     files added or removed. What lets :func:`replicate` checkpoint past
@@ -4187,9 +4302,22 @@ def replicate(
                 batch, key_cols, f"source commit range ({cursor}, {end}]"
             ):
                 empty += 1
-                if load_snapshot(target_root).schema_json is not None:
-                    _advance_txn(target_root, app_id, end)
-                    cursor = end
+                # zero-net chunk: bootstrap the target with a schema-only
+                # commit if needed so the watermark ALWAYS advances — an
+                # OPTIMIZE-only source history is diffed at most once
+                # even into a fresh target (VERDICT r10 #4)
+                _bootstrap_for_watermark(
+                    target_root,
+                    StructType(
+                        [
+                            f
+                            for f in batch.schema.fields
+                            if f.name != "__tomb"
+                        ]
+                    ),
+                )
+                _advance_txn(target_root, app_id, end)
+                cursor = end
                 continue  # nothing to apply; watermark advanced above
             merge(
                 spark,
@@ -4232,13 +4360,22 @@ def replicate_stream(
 
     Exactly-once composes two independent cursors: Spark's streaming
     checkpoint (``checkpoint_dir``) makes micro-batch CONTENT
-    deterministic under replay (same epoch id → same commit range), and
-    the target's per-app txn watermark ``txn=(app_id, epoch)`` makes the
-    APPLY idempotent — a foreachBatch retry of an already-merged epoch
-    is a metadata no-op. Restarting the stream after a crash therefore
-    neither skips nor double-applies a batch; zero-net epochs advance
-    the watermark with a metadata-only commit exactly like the batch
-    lane. Schema evolution rides ``merge_schema=True`` per epoch.
+    deterministic under replay, and the target's per-app txn watermark
+    ``txn=(app_id, max _commit_version in the batch)`` makes the APPLY
+    idempotent — a foreachBatch retry of an already-merged range is a
+    metadata no-op. The watermark is keyed on the batch's SOURCE commit
+    range, not the epoch id (r11, ADVICE r10 #5): epoch ids restart at
+    0 when a checkpoint directory is recreated or moved, which would
+    silently skip the replayed ranges as stale and diverge the replica
+    — source versions are checkpoint-independent, so a rebuilt
+    checkpoint re-delivers ranges that skip CORRECTLY (already applied)
+    and the batch lane's app_id may even be shared (both lanes record
+    source-version watermarks). Restarting the stream after a crash
+    therefore neither skips nor double-applies a batch; zero-net epochs
+    advance the watermark with a metadata-only commit exactly like the
+    batch lane (bootstrapping a missing target with a schema-only
+    commit, r11). Schema evolution rides ``merge_schema=True`` per
+    epoch.
 
     ``available_now=True`` drains the current backlog in capped
     micro-batches and stops (the maintenance-job shape; what the
@@ -4259,13 +4396,33 @@ def replicate_stream(
         app_id = f"txlog-replicate-stream:{os.path.abspath(source_root)}"
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # watermark = the batch's source commit range end, NOT the
+        # streaming epoch id (ADVICE r10 #5): epoch ids restart at 0
+        # when a checkpoint is recreated/moved, which would silently
+        # skip replayed ranges as stale; the max _commit_version is
+        # checkpoint-independent AND shares semantics with the batch
+        # lane's watermark, so the two lanes' app_ids compose
+        wm = batch_df.agg(
+            F.max(F.col("_commit_version").cast("long")).alias("v")
+        ).collect()[0]["v"]
+        if wm is None:
+            return  # empty epoch: nothing to apply or record
         batch = _net_changes(batch_df, key_cols).cache()
         try:
             if _validate_net_batch(
                 batch, key_cols, f"stream epoch {epoch_id}"
             ):
-                if load_snapshot(target_root).schema_json is not None:
-                    _advance_txn(target_root, app_id, int(epoch_id))
+                _bootstrap_for_watermark(
+                    target_root,
+                    StructType(
+                        [
+                            f
+                            for f in batch.schema.fields
+                            if f.name != "__tomb"
+                        ]
+                    ),
+                )
+                _advance_txn(target_root, app_id, int(wm))
                 return
             merge(
                 spark,
@@ -4274,7 +4431,7 @@ def replicate_stream(
                 key_cols,
                 order_col=None,
                 when_matched_delete="__tomb",
-                txn=(app_id, int(epoch_id)),
+                txn=(app_id, int(wm)),
                 merge_schema=True,
             )
         finally:
@@ -4370,8 +4527,6 @@ def apply_changes_scd2(
             applied += 1
         else:
             empty += 1
-            if load_snapshot(target_root).schema_json is None:
-                continue  # nothing to watermark against yet
         cursor = end
     return {
         "app_id": app_id,
@@ -4422,8 +4577,18 @@ def _apply_scd2_feed(
     )
     try:
         if _validate_net_batch(changes, key_cols + ["__v"], ctx):
-            if load_snapshot(target_root).schema_json is not None:
-                _advance_txn(target_root, app_id, batch_id)
+            vt = changes.schema["__v"].dataType
+            _bootstrap_for_watermark(
+                target_root,
+                StructType(
+                    [f for f in changes.schema.fields if f.name in data_cols]
+                    + [
+                        StructField(SCD2_START, vt, True),
+                        StructField(SCD2_END, vt, True),
+                    ]
+                ),
+            )
+            _advance_txn(target_root, app_id, batch_id)
             return False
         nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
         inserts = (
@@ -4451,12 +4616,19 @@ def _apply_scd2_feed(
                 .join(first_v, key_cols)
                 .withColumn(SCD2_END, F.col("__v0"))
                 .drop("__v0")
-                # a column the source added AFTER this current row was
-                # written isn't in the target yet: closure rows carry
-                # the target row's own columns, NULL-filled for the
-                # rest by the union/merge evolution path
+                # closure rows carry ALL of the target row's own columns
+                # (not data_cols ∩ target: a column the source DROPPED
+                # mid-history must keep its preserved historical value —
+                # history outlives the source, ADVICE r10 #4); a column
+                # the source added after this row was written isn't in
+                # the target yet and is NULL-filled by the union/merge
+                # evolution path
                 .select(
-                    *[c for c in data_cols if c in cur.columns],
+                    *[
+                        c
+                        for c in cur.columns
+                        if c not in (SCD2_START, SCD2_END)
+                    ],
                     SCD2_START,
                     SCD2_END,
                 )
@@ -4504,13 +4676,20 @@ def apply_changes_scd2_stream(
         app_id = f"txlog-scd2-stream:{os.path.abspath(source_root)}"
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # watermark = the batch's source commit range end, not the
+        # checkpoint-dependent epoch id — see replicate_stream (r11)
+        wm = batch_df.agg(
+            F.max(F.col("_commit_version").cast("long")).alias("v")
+        ).collect()[0]["v"]
+        if wm is None:
+            return  # empty epoch
         _apply_scd2_feed(
             spark,
             batch_df,
             target_root,
             key_cols,
             app_id,
-            int(epoch_id),
+            int(wm),
             f"scd2 stream epoch {epoch_id}",
         )
 
@@ -4555,14 +4734,31 @@ def maintain_aggregate(
     the 1 GB (plus one key-pruned MERGE on the much smaller view).
 
     ``aggs`` maps output column -> ``("sum", expr)``, ``("count",
-    expr)``, or ``("avg", expr)`` — the ALGEBRAIC aggregates whose
-    deltas invert (insert adds, delete subtracts); ``("count", "*")``
-    counts rows; ``("avg", expr)`` maintains a hidden raw sum +
-    non-null count pair (``_avg_sum_<col>``/``_avg_cnt_<col>``) and
-    exposes their quotient, NULL when the count is zero — exactly the
-    direct AVG. MIN/MAX are deliberately rejected: a delete can't
-    invert them without a rescan — that is a different maintenance
-    class, not a missing flag.
+    expr)``, ``("avg", expr)``, ``("min", expr)``, or ``("max",
+    expr)``. Sum/count/avg are the ALGEBRAIC aggregates whose deltas
+    invert (insert adds, delete subtracts); ``("count", "*")`` counts
+    rows; ``("avg", expr)`` maintains a hidden raw sum + non-null count
+    pair (``_avg_sum_<col>``/``_avg_cnt_<col>``) and exposes their
+    quotient, NULL when the count is zero — exactly the direct AVG.
+
+    FILTER-clause semantics ride on the delta algebra directly (r11,
+    VERDICT r10 #7): ``("sum", "CASE WHEN <pred> THEN <expr> END")`` is
+    ``SUM(expr) FILTER (WHERE pred)`` — rows failing the predicate
+    contribute NULL, which both the signed fold and the non-null
+    companion counter already ignore; same for count/avg/min/max.
+
+    ``("min"|"max", expr)`` (r11, VERDICT r10 #2) is maintained via
+    GROUP-SCOPED rescan: inserts fold for free (``LEAST``/``GREATEST``
+    against the stored extremum — a monotone fold no delete can
+    corrupt); a delete that could TOUCH a group's stored extremum
+    (deleted extremum <= stored min, resp. >= stored max — or the
+    group has no view row yet, so intra-chunk insert+delete can't
+    overstate the extremum) marks ONLY that group invalid, and the
+    invalidated groups are recomputed with one key-range-pruned scan
+    of the source AS OF the chunk's end version, joined down to
+    exactly those groups. Never a full source rescan: per chunk the
+    extra cost is O(source bytes in the invalidated groups' key
+    range), zero when no delete ties an extremum (the common case).
 
     Mechanics per chunk: every CDC row carries sign +1
     (insert/update_postimage) or -1 (delete/update_preimage) — an
@@ -4585,11 +4781,11 @@ def maintain_aggregate(
     0). ``("count", expr)`` counts non-null values, ``("count", "*")``
     rows, both NULL-free by construction."""
     for out, (kind, expr) in aggs.items():
-        if kind not in ("sum", "count", "avg"):
+        if kind not in ("sum", "count", "avg", "min", "max"):
             raise ValueError(
-                f"maintain_aggregate: {out!r} uses {kind!r} — only the "
-                "invertible aggregates sum/count/avg can be maintained "
-                "from deltas (MIN/MAX need a rescan by nature)"
+                f"maintain_aggregate: {out!r} uses {kind!r} — supported "
+                "aggregates are sum/count/avg (delta fold) and min/max "
+                "(delta fold + group-scoped rescan on extremum deletes)"
             )
     if MV_COUNT in aggs or MV_COUNT in group_cols:
         raise ValueError(f"{MV_COUNT!r} is reserved for group liveness")
@@ -4608,9 +4804,22 @@ def maintain_aggregate(
     cursor = max(0, load_snapshot(target_root).txns.get(app_id, 0))
     start = cursor
     applied = empty = 0
+    stats: dict = {}
+    g0 = group_cols[0]
     for feed, end in iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
+
+        def rescan_src(lo, hi, _end=end):
+            # live source rows for the invalidated groups' key range,
+            # AS OF the chunk end (later commits belong to later chunks)
+            return scan(
+                spark,
+                source_root,
+                where=[(g0, ">=", lo), (g0, "<=", hi)],
+                version=_end,
+            )
+
         if _apply_mv_feed(
             spark,
             feed,
@@ -4620,12 +4829,12 @@ def maintain_aggregate(
             app_id,
             end,
             f"source commit range ({cursor}, {end}]",
+            rescan_src=rescan_src,
+            stats=stats,
         ):
             applied += 1
         else:
             empty += 1
-            if load_snapshot(target_root).schema_json is None:
-                continue  # nothing to watermark against yet
         cursor = end
     return {
         "app_id": app_id,
@@ -4633,7 +4842,7 @@ def maintain_aggregate(
         "to_version": cursor,
         "chunks_applied": applied,
         "chunks_empty": empty,
-    }
+    } | stats
 
 
 def _apply_mv_feed(
@@ -4645,12 +4854,19 @@ def _apply_mv_feed(
     app_id: str,
     batch_id: int,
     ctx: str,
+    rescan_src=None,
+    stats: dict | None = None,
 ) -> bool:
     """Fold ONE row-level CDC feed (batch chunk or stream epoch) into
     the aggregate view — the shared body of :func:`maintain_aggregate`
     and :func:`maintain_aggregate_stream`. Returns True if deltas were
     applied, False for a zero-net feed (whose txn watermark is still
-    advanced when the view exists)."""
+    advanced — bootstrapping a missing view with a schema-only commit,
+    r11). ``rescan_src(lo, hi)`` must return ``(DataFrame, report)`` of
+    live source rows in the group-key range AS OF the feed's end —
+    required when ``aggs`` contains min/max (their delete path rescans
+    invalidated groups, see :func:`maintain_aggregate`); ``stats``
+    accumulates ``groups_rescanned`` / ``rescan_files_scanned``."""
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"),
         F.lit(1),
@@ -4661,6 +4877,7 @@ def _apply_mv_feed(
         for out, (k, _) in aggs.items()
         if k == "avg"
     }
+    mm = {out: k for out, (k, _) in aggs.items() if k in ("min", "max")}
     agg_exprs = []
     for out, (kind, expr) in aggs.items():
         if kind == "sum":
@@ -4687,6 +4904,20 @@ def _apply_mv_feed(
                     * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
                 ).alias(c_)
             )
+        elif kind in ("min", "max"):
+            # inserted-side extremum doubles as the INSERT value for
+            # brand-new groups and the fold candidate for matched ones;
+            # deleted-side extremum (MERGE-LOCAL __ marker) drives the
+            # invalidation test in _mv_minmax_rescan
+            fn = F.min if kind == "min" else F.max
+            agg_exprs.append(
+                fn(F.when(F.col("__sign") == 1, F.expr(expr))).alias(out)
+            )
+            agg_exprs.append(
+                fn(F.when(F.col("__sign") == -1, F.expr(expr))).alias(
+                    f"__del_{out}"
+                )
+            )
         elif expr == "*":
             agg_exprs.append(F.sum(F.col("__sign")).alias(out))
         else:
@@ -4696,8 +4927,8 @@ def _apply_mv_feed(
                     * F.when(F.expr(expr).isNotNull(), 1).otherwise(0)
                 ).alias(out)
             )
-    delta_cols = [
-        *[o for o, (k, _) in aggs.items() if k != "avg"],
+    num_delta_cols = [
+        *[o for o, (k, _) in aggs.items() if k in ("sum", "count")],
         *nn.values(),
         *[c for pair in avg_cols.values() for c in pair],
         MV_COUNT,
@@ -4717,19 +4948,17 @@ def _apply_mv_feed(
                 F.coalesce(F.col(s_), F.lit(0)) / F.col(c_)
             ),
         )
-    deltas = (
-        deltas0
-        # a group the chunk touches but nets to zero in EVERY
-        # maintained quantity is a no-op — drop it so pure rewrites
-        # net to an empty batch
-        .filter(
-            functools.reduce(
-                lambda a, b: a | b,
-                [F.coalesce(F.col(c), F.lit(0)) != 0 for c in delta_cols],
-            )
-        )
-        .cache()
-    )
+    # a group the chunk touches but nets to zero in EVERY maintained
+    # quantity is a no-op — drop it so pure rewrites net to an empty
+    # batch (min/max groups count as touched when either side saw a
+    # non-null value: those aren't numeric deltas)
+    keep = [F.coalesce(F.col(c), F.lit(0)) != 0 for c in num_delta_cols]
+    for out in mm:
+        keep.append(F.col(out).isNotNull())
+        keep.append(F.col(f"__del_{out}").isNotNull())
+    deltas = deltas0.filter(
+        functools.reduce(lambda a, b: a | b, keep)
+    ).cache()
     try:
         null_grouped = (
             deltas.filter(
@@ -4747,9 +4976,24 @@ def _apply_mv_feed(
                 f"at {ctx} — group columns must be non-NULL"
             )
         if deltas.limit(1).count() == 0:
-            if load_snapshot(target_root).schema_json is not None:
-                _advance_txn(target_root, app_id, batch_id)
+            _bootstrap_for_watermark(
+                target_root,
+                StructType(
+                    [
+                        f
+                        for f in deltas.schema.fields
+                        if not f.name.startswith("__")
+                    ]
+                ),
+            )
+            _advance_txn(target_root, app_id, batch_id)
             return False
+        batch = deltas
+        if mm:
+            batch = _mv_minmax_rescan(
+                spark, deltas, target_root, group_cols, aggs, mm,
+                rescan_src, stats,
+            )
         # fold: counts add; sums add zero-based raw values and the
         # exposed value reverts to NULL exactly when the folded
         # non-null-contribution count is zero (SQL SUM semantics) —
@@ -4767,6 +5011,16 @@ def _apply_mv_feed(
                     f"ELSE (COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)) "
                     f"/ (t.{c_} + s.{c_}) END"
                 )
+            elif kind in ("min", "max"):
+                # rescanned groups SET the recomputed extremum (it is
+                # final — the rescan ran AS OF chunk end); everyone else
+                # folds monotonically (LEAST/GREATEST skip NULLs, so a
+                # delete-only group leaves the stored extremum alone)
+                lg = "LEAST" if kind == "min" else "GREATEST"
+                fold[out] = (
+                    f"CASE WHEN s.__mv_rescan THEN s.{out} "
+                    f"ELSE {lg}(t.{out}, s.{out}) END"
+                )
             else:
                 c = nn[out]
                 fold[out] = (
@@ -4778,7 +5032,7 @@ def _apply_mv_feed(
         fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
         merge(
             spark,
-            deltas,
+            batch,
             target_root,
             group_cols,
             order_col=None,
@@ -4795,6 +5049,127 @@ def _apply_mv_feed(
         return True
     finally:
         deltas.unpersist()
+
+
+def _mv_minmax_rescan(
+    spark: SparkSession,
+    deltas: DataFrame,
+    target_root: str,
+    group_cols: list[str],
+    aggs: dict,
+    mm: dict,
+    rescan_src,
+    stats: dict | None,
+) -> DataFrame:
+    """MIN/MAX delete handling for :func:`_apply_mv_feed` (r11, VERDICT
+    r10 #2): tag each delta group with ``__mv_rescan`` and, for the
+    INVALIDATED groups only, overwrite the min/max columns with values
+    recomputed from the source. A group is invalidated when a deleted
+    value could touch its stored extremum (``deleted min <= stored
+    min`` / ``deleted max >= stored max``) or when the view has no row
+    for it yet (a brand-new group whose chunk both inserts AND deletes
+    — the insert-side extremum alone could overstate). The view lookup
+    and the source rescan are both key-range-pruned on the leading
+    group column and joined down to exactly the invalid groups; the
+    invalid-group frame is broadcast (bounded by the chunk's delete
+    volume, itself capped by max_versions admission)."""
+    if rescan_src is None:
+        raise ValueError(
+            "min/max maintenance requires a rescan source (internal: "
+            "_apply_mv_feed called without rescan_src)"
+        )
+    g0 = group_cols[0]
+    dels_any = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"__del_{o}").isNotNull() for o in mm],
+    )
+    cand = deltas.filter(dels_any).select(
+        *group_cols, *[f"__del_{o}" for o in mm]
+    )
+    if load_snapshot(target_root).schema_json is not None:
+        b = cand.agg(F.min(g0).alias("lo"), F.max(g0).alias("hi")).collect()[0]
+        if b["lo"] is None:
+            invalid = None  # no deletes at all this chunk
+        else:
+            view, _ = scan(
+                spark,
+                target_root,
+                where=[(g0, ">=", b["lo"]), (g0, "<=", b["hi"])],
+            )
+            vm = view.select(
+                *group_cols,
+                *[F.col(o).alias(f"__cur_{o}") for o in mm],
+                F.lit(True).alias("__has"),
+            )
+            conds = [F.col("__has").isNull()]
+            for o, kind in mm.items():
+                touch = (
+                    F.col(f"__del_{o}") <= F.col(f"__cur_{o}")
+                    if kind == "min"
+                    else F.col(f"__del_{o}") >= F.col(f"__cur_{o}")
+                )
+                conds.append(F.coalesce(touch, F.lit(False)))
+            invalid = (
+                cand.join(vm, group_cols, "left")
+                .filter(functools.reduce(lambda a, b: a | b, conds))
+                .select(*group_cols)
+            )
+    else:
+        # no view yet: every delete-carrying group must rescan (its
+        # insert-side extremum may include values deleted in-chunk)
+        invalid = cand.select(*group_cols)
+    if invalid is None:
+        return deltas.withColumn("__mv_rescan", F.lit(False))
+    ib = invalid.agg(
+        F.min(g0).alias("lo"),
+        F.max(g0).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats is not None:
+        stats["groups_rescanned"] = stats.get("groups_rescanned", 0) + int(
+            ib["n"]
+        )
+    if ib["n"] == 0:
+        return deltas.withColumn("__mv_rescan", F.lit(False))
+    src, report = rescan_src(ib["lo"], ib["hi"])
+    if stats is not None and report:
+        stats["rescan_files_scanned"] = (
+            stats.get("rescan_files_scanned", 0) + report["files_scanned"]
+        )
+        stats["rescan_files_total"] = (
+            stats.get("rescan_files_total", 0) + report["files_total"]
+        )
+    rs = (
+        src.join(F.broadcast(invalid), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                (F.min if k == "min" else F.max)(
+                    F.expr(aggs[o][1])
+                ).alias(f"__rs_{o}")
+                for o, k in mm.items()
+            ]
+        )
+    )
+    out = (
+        deltas.join(
+            F.broadcast(invalid.withColumn("__mv_rescan", F.lit(True))),
+            group_cols,
+            "left",
+        )
+        .join(F.broadcast(rs), group_cols, "left")
+        .withColumn(
+            "__mv_rescan", F.coalesce(F.col("__mv_rescan"), F.lit(False))
+        )
+    )
+    for o in mm:
+        out = out.withColumn(
+            o,
+            F.when(F.col("__mv_rescan"), F.col(f"__rs_{o}")).otherwise(
+                F.col(o)
+            ),
+        ).drop(f"__rs_{o}")
+    return out
 
 
 def maintain_aggregate_stream(
@@ -4820,18 +5195,35 @@ def maintain_aggregate_stream(
     reason as the other stream twins. Returns the ``StreamingQuery``
     (stopped in drain mode)."""
     for out, (kind, _) in aggs.items():
-        if kind not in ("sum", "count", "avg"):
+        if kind not in ("sum", "count", "avg", "min", "max"):
             raise ValueError(
                 f"maintain_aggregate_stream: {out!r} uses {kind!r} — "
-                "only sum/count/avg can be maintained from deltas"
+                "supported aggregates are sum/count/avg/min/max"
             )
     from metadata_driven_data_pipeline_spark.sources import txlog_datasource
 
     txlog_datasource.register(spark)
     if app_id is None:
         app_id = f"txlog-mv-stream:{os.path.abspath(source_root)}"
+    g0 = group_cols[0]
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # watermark = the batch's source commit range end, not the
+        # checkpoint-dependent epoch id — see replicate_stream (r11)
+        wm = batch_df.agg(
+            F.max(F.col("_commit_version").cast("long")).alias("v")
+        ).collect()[0]["v"]
+        if wm is None:
+            return  # empty epoch
+
+        def rescan_src(lo, hi, _end=int(wm)):
+            return scan(
+                spark,
+                source_root,
+                where=[(g0, ">=", lo), (g0, "<=", hi)],
+                version=_end,
+            )
+
         _apply_mv_feed(
             spark,
             batch_df,
@@ -4839,8 +5231,9 @@ def maintain_aggregate_stream(
             group_cols,
             aggs,
             app_id,
-            int(epoch_id),
+            int(wm),
             f"stream epoch {epoch_id}",
+            rescan_src=rescan_src,
         )
 
     feed = (
@@ -4861,6 +5254,288 @@ def maintain_aggregate_stream(
         q.stop()
         q.awaitTermination(120)
     return q
+
+
+def snapshot_changes(
+    prev: DataFrame | None,
+    curr: DataFrame,
+    key_cols: list[str] | None,
+    version: int,
+) -> DataFrame:
+    """Diff two successive FULL SNAPSHOTS of a table into the row-level
+    CDC feed shape (r11, VERDICT r10 #3 — the DLT ``APPLY CHANGES FROM
+    SNAPSHOT`` building block): the returned frame carries the same
+    ``_change_type`` / ``_commit_version`` / ``_commit_op`` columns as
+    :func:`read_row_changes`, so every CDC consumer (:func:`replicate`,
+    :func:`apply_changes_scd2`, :func:`maintain_aggregate`) can run on
+    sources that only deliver periodic dumps (vendor extracts, daily
+    plain-parquet drops) instead of a txlog row feed.
+
+    ``key_cols`` given → KEYED pairing: one full-outer join on the keys
+    compares the non-key payload as a null-safe struct — key only in
+    ``curr`` is an ``insert``, only in ``prev`` a ``delete``, present
+    in both with a different payload an ``update_preimage`` +
+    ``update_postimage`` pair. ``key_cols=None`` → MULTISET diff
+    (``EXCEPT ALL`` both ways): inserts and deletes only, the shape
+    :func:`maintain_aggregate` needs (aggregation is positional-
+    identity-free, so no keys required). Schemas may differ between
+    snapshots — columns are aligned by name, the missing side reads
+    NULL (same contract as the feed's schema evolution); a same-name
+    type conflict raises.
+
+    ``version`` stamps ``_commit_version`` — the caller's monotonic
+    snapshot ordinal (a date-derived int works). Cost is inherent to
+    snapshot sources: O(|prev| + |curr|) — there is no log to read
+    deltas from; what the feed shape buys is that everything DOWNSTREAM
+    of the diff stays O(changed rows)."""
+    fields = list(curr.schema.fields)
+    have = {f.name for f in fields}
+    if prev is not None:
+        for f in prev.schema.fields:
+            if f.name not in have:
+                fields.append(f)
+            elif curr.schema[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"snapshot_changes: column {f.name!r} changed type "
+                    f"between snapshots ({f.dataType.simpleString()} -> "
+                    f"{curr.schema[f.name].dataType.simpleString()})"
+                )
+    names = [f.name for f in fields]
+    by_name = {f.name: f for f in fields}
+
+    def aligned(df: DataFrame) -> DataFrame:
+        for n in names:
+            if n not in df.columns:
+                df = df.withColumn(n, F.lit(None).cast(by_name[n].dataType))
+        return df.select(*names)
+
+    c = aligned(curr)
+    tag = lambda df, t: df.select(  # noqa: E731
+        *names,
+        F.lit(t).alias("_change_type"),
+        F.lit(version).cast("long").alias("_commit_version"),
+        F.lit("snapshot").alias("_commit_op"),
+    )
+    if prev is None:
+        return tag(c, "insert")
+    p = aligned(prev)
+    if key_cols is None:
+        # multiset diff — positional identity not preserved, so only
+        # insert/delete rows (exactly what aggregate maintenance needs)
+        return tag(c.exceptAll(p), "insert").unionByName(
+            tag(p.exceptAll(c), "delete")
+        )
+    missing = [k for k in key_cols if k not in names]
+    if missing:
+        raise ValueError(f"snapshot_changes: key columns {missing} absent")
+    data_cols = [n for n in names if n not in key_cols]
+    payload = (
+        F.struct(*[F.col(n) for n in data_cols])
+        if data_cols
+        else F.struct(F.lit(0).alias("__z"))  # key-only table
+    )
+    pj = p.select(*key_cols, payload.alias("__p"))
+    cj = c.select(*key_cols, payload.alias("__c"))
+    j = pj.join(cj, key_cols, "full_outer").filter(
+        ~(F.col("__p").eqNullSafe(F.col("__c")))
+    )
+    legs = (
+        F.when(
+            F.col("__p").isNull(),
+            F.array(
+                F.struct(F.col("__c").alias("r"), F.lit("insert").alias("t"))
+            ),
+        )
+        .when(
+            F.col("__c").isNull(),
+            F.array(
+                F.struct(F.col("__p").alias("r"), F.lit("delete").alias("t"))
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.col("__p").alias("r"),
+                    F.lit("update_preimage").alias("t"),
+                ),
+                F.struct(
+                    F.col("__c").alias("r"),
+                    F.lit("update_postimage").alias("t"),
+                ),
+            )
+        )
+    )
+    exploded = j.select(*key_cols, F.explode(legs).alias("__e"))
+    return exploded.select(
+        *[
+            F.col(f"__e.r.{n}").alias(n) if n in data_cols else F.col(n)
+            for n in names
+        ],
+        F.col("__e.t").alias("_change_type"),
+        F.lit(version).cast("long").alias("_commit_version"),
+        F.lit("snapshot").alias("_commit_op"),
+    )
+
+
+def replicate_from_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    target_root: str,
+    key_cols: list[str],
+    version: int,
+    app_id: str = "txlog-replicate-snapshot",
+) -> dict:
+    """Converge the target txlog table to a full source SNAPSHOT (r11):
+    the snapshot-source twin of :func:`replicate` — the previous state
+    IS the target, so the diff needs no side-band history. One
+    exactly-once MERGE per snapshot; a replayed or stale ``version``
+    (<= the app's watermark) is a metadata no-op, so at-least-once
+    snapshot delivery converges. ``version`` must increase across
+    snapshots (date-derived ints work). Cost: O(|target| + |snapshot|)
+    for the diff (inherent to snapshot sources) + one key-range-pruned
+    MERGE over O(changed keys)."""
+    snap = load_snapshot(target_root)
+    if snap.txns.get(app_id, -1) >= version:
+        return {"app_id": app_id, "version": version, "skipped": True}
+    prev = snap.read(spark) if snap.schema_json is not None else None
+    feed = snapshot_changes(prev, snapshot, key_cols, version)
+    batch = _net_changes(feed, key_cols).cache()
+    try:
+        if _validate_net_batch(batch, key_cols, f"snapshot v{version}"):
+            _bootstrap_for_watermark(
+                target_root,
+                StructType(
+                    [f for f in batch.schema.fields if f.name != "__tomb"]
+                ),
+            )
+            _advance_txn(target_root, app_id, version)
+            return {
+                "app_id": app_id,
+                "version": version,
+                "skipped": False,
+                "applied": False,
+            }
+        merge(
+            spark,
+            batch,
+            target_root,
+            key_cols,
+            order_col=None,
+            when_matched_delete="__tomb",
+            txn=(app_id, version),
+            merge_schema=True,
+        )
+        return {
+            "app_id": app_id,
+            "version": version,
+            "skipped": False,
+            "applied": True,
+        }
+    finally:
+        batch.unpersist()
+
+
+def apply_changes_scd2_from_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    target_root: str,
+    key_cols: list[str],
+    version: int,
+    app_id: str = "txlog-scd2-snapshot",
+) -> dict:
+    """Type-2 SCD history maintenance from FULL SNAPSHOTS (r11, the DLT
+    ``APPLY CHANGES FROM SNAPSHOT ... STORED AS SCD TYPE 2`` shape):
+    diff the new snapshot against the history's CURRENT slice
+    (``_scd2_end IS NULL`` — always equal to the previously applied
+    snapshot) and apply the changes through the SAME
+    :func:`_apply_scd2_feed` body as the CDC lane, so a history built
+    from N successive snapshots is IDENTICAL to one built from the
+    equivalent row feed with the same versions (pinned in tests).
+    Exactly-once via the app watermark: stale/replayed versions are
+    metadata no-ops. ``version`` must increase across snapshots."""
+    snap = load_snapshot(target_root)
+    if snap.txns.get(app_id, -1) >= version:
+        return {"app_id": app_id, "version": version, "skipped": True}
+    prev = None
+    if snap.schema_json is not None:
+        prev = (
+            snap.read(spark)
+            .filter(F.col(SCD2_END).isNull())
+            .drop(SCD2_START, SCD2_END)
+        )
+    feed = snapshot_changes(prev, snapshot, key_cols, version)
+    applied = _apply_scd2_feed(
+        spark,
+        feed,
+        target_root,
+        key_cols,
+        app_id,
+        version,
+        f"scd2 snapshot v{version}",
+    )
+    return {
+        "app_id": app_id,
+        "version": version,
+        "skipped": False,
+        "applied": applied,
+    }
+
+
+def maintain_aggregate_from_snapshot(
+    spark: SparkSession,
+    prev: DataFrame | None,
+    curr: DataFrame,
+    target_root: str,
+    group_cols: list[str],
+    aggs: dict,
+    version: int,
+    app_id: str = "txlog-mv-snapshot",
+) -> dict:
+    """Incremental aggregate maintenance from FULL SNAPSHOTS (r11): the
+    snapshot twin of :func:`maintain_aggregate`. Unlike the replica
+    consumers, the view cannot reconstruct the previous snapshot, so
+    the caller passes BOTH dumps (``prev=None`` for the first). The
+    diff is the UNKEYED multiset ``EXCEPT ALL`` (aggregation needs no
+    positional identity), folded through the same delta MERGE as the
+    CDC lane; min/max rescans run against ``curr``. Exactly-once via
+    the app watermark on ``version``."""
+    for out, (kind, _) in aggs.items():
+        if kind not in ("sum", "count", "avg", "min", "max"):
+            raise ValueError(
+                f"maintain_aggregate_from_snapshot: {out!r} uses "
+                f"{kind!r} — supported: sum/count/avg/min/max"
+            )
+    snap = load_snapshot(target_root)
+    if snap.txns.get(app_id, -1) >= version:
+        return {"app_id": app_id, "version": version, "skipped": True}
+    feed = snapshot_changes(prev, curr, None, version)
+    g0 = group_cols[0]
+
+    def rescan_src(lo, hi):
+        return (
+            curr.filter((F.col(g0) >= F.lit(lo)) & (F.col(g0) <= F.lit(hi))),
+            None,
+        )
+
+    stats: dict = {}
+    applied = _apply_mv_feed(
+        spark,
+        feed,
+        target_root,
+        group_cols,
+        aggs,
+        app_id,
+        version,
+        f"mv snapshot v{version}",
+        rescan_src=rescan_src,
+        stats=stats,
+    )
+    return {
+        "app_id": app_id,
+        "version": version,
+        "skipped": False,
+        "applied": applied,
+    } | stats
 
 
 def scd2_snapshot_as_of(history: DataFrame, version: int) -> DataFrame:

@@ -118,7 +118,7 @@ def test_mv_sum_reverts_to_null(spark, tmp_path):
     _assert_equal(spark, src, tgt)
 
 
-def test_mv_rejects_min_max_and_null_groups(spark, tmp_path):
+def test_mv_rejects_unsupported_kinds_and_null_groups(spark, tmp_path):
     src = _mk(tmp_path, "mv_src4")
     tgt = _mk(tmp_path, "mv_tgt4")
     txlog.append(
@@ -126,9 +126,11 @@ def test_mv_rejects_min_max_and_null_groups(spark, tmp_path):
         spark.createDataFrame([(None, 1, 1.0)], "g int, k int, v double"),
         src,
     )
-    with pytest.raises(ValueError, match="invertible"):
+    # min/max ARE supported since r11 (group-scoped rescan); only
+    # non-decomposable kinds (median, distinct counts, ...) reject
+    with pytest.raises(ValueError, match="supported aggregates"):
         txlog.maintain_aggregate(
-            spark, src, tgt, ["g"], {"m": ("min", "v")}
+            spark, src, tgt, ["g"], {"m": ("median", "v")}
         )
     with pytest.raises(ValueError, match="NULL group"):
         txlog.maintain_aggregate(spark, src, tgt, ["g"], AGGS)

@@ -150,6 +150,13 @@ AUDITED = [
     "txlog_dv_odd_root",
     "txlog_s3_claim_commits",
     "txlog_replicate",
+    # r11: MIN/MAX + FILTER-clause MV maintenance, snapshot-diff CDC
+    # lanes, incremental IVF index maintenance
+    "txlog_mv_minmax",
+    "txlog_mv_filtered",
+    "txlog_replicate_snapshot",
+    "txlog_snapshot_scd2",
+    "ivf_index_maintain",
 ]
 
 
