@@ -240,10 +240,11 @@ def _control_shuffle(spark: SparkSession, sf_dir: str):
 CONTROL = {"control_scan": _control_scan, "control_shuffle": _control_shuffle}
 
 # Pinned quiet-host control baseline (sum of per-query medians at sf0.1,
-# local[32], measured on an idle host 2026-08-16, 3 quiet reps). The
+# local[32], measured on an idle host 2026-08-16, 5 quiet reps,
+# loadavg <= 0.65: control_scan 0.300 + control_shuffle 0.419). The
 # anchor for control_inflation; re-pin ONLY together with a BASELINE.md
 # re-anchor, never silently.
-CONTROL_BASELINE_TOTAL = 0.95
+CONTROL_BASELINE_TOTAL = 0.719
 
 # Non-headline series, benched + reported per round under their own keys.
 SERIES = {
