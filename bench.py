@@ -201,12 +201,17 @@ ROUND10 = [
 ]
 
 # Round-11 additions: MIN/MAX + FILTER-clause materialized views, APPLY
-# CHANGES FROM SNAPSHOT (both lanes), incremental IVF index maintenance.
+# CHANGES FROM SNAPSHOT, incremental IVF index maintenance.
+# (txlog_snapshot_scd2 is certified for correctness but kept out of the
+# bench series, same rule as txlog_stream_row_changes in r9: its cost is
+# the CERTIFICATE — it builds the history TWICE, once from snapshots and
+# once from the equivalent CDC feed, and compares them multiset-exactly;
+# the per-snapshot operator work is already what txlog_replicate_snapshot
+# measures plus one LEAD window.)
 ROUND11 = [
     "txlog_mv_minmax",
     "txlog_mv_filtered",
     "txlog_replicate_snapshot",
-    "txlog_snapshot_scd2",
     "ivf_index_maintain",
 ]
 

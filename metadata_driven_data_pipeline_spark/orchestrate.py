@@ -310,6 +310,14 @@ def run_table_maintenance(
       instead (:func:`txlog.maintain_aggregate_from_snapshot` — pass
       the previous dump as ``prev``, omit for the first). Runs before
       scd2;
+    - ``"maintainIvfIndex": {"source": <txlog embeddings root>, "dim":
+      N, "nCells": 8 | "centroids": [[...]], "idCol": ..., "embCol":
+      ..., "maxVersions": N}`` (r11) — incremental IVF ANN index
+      maintenance INTO this table from the source's CDC feed
+      (:func:`similarity.maintain_ivf_index`): changed vectors
+      re-assign to the pinned coarse centroids, deletes tombstone out,
+      O(changed vectors) per run instead of an O(corpus) rebuild. Runs
+      before scd2;
     - ``"scd2": {"source": <txlog root>, "keyCols": [...],
       "maxVersions": N, "appId": ...}`` (r10) — Type-2 SCD history
       replication INTO this table (:func:`txlog.apply_changes_scd2`):
@@ -493,6 +501,28 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
                 max_versions=int(ma.get("maxVersions", 64)),
                 app_id=ma.get("appId"),
             )
+    if "maintainIvfIndex" in spec:
+        mi = spec["maintainIvfIndex"]
+        from metadata_driven_data_pipeline_spark.operators import (
+            similarity as _sim,
+        )
+
+        cents = mi.get("centroids")
+        if cents is None:
+            cents = _sim.ivf_centroids(
+                int(mi["dim"]), int(mi.get("nCells", 8))
+            )
+        rep["maintainIvfIndex"] = _sim.maintain_ivf_index(
+            spark,
+            mi["source"],
+            root,
+            int(mi["dim"]),
+            cents,
+            id_col=mi.get("idCol", "vec_id"),
+            emb_col=mi.get("embCol", "embedding"),
+            max_versions=int(mi.get("maxVersions", 64)),
+            app_id=mi.get("appId"),
+        )
     if "scd2" in spec:
         s2 = spec["scd2"]
         if s2.get("fromSnapshot"):

@@ -558,6 +558,41 @@ def test_maintain_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
     assert r["chunks_applied"] == 0 and r["chunks_empty"] == 0
 
 
+def test_declarative_maintain_ivf_index_verb(spark, sf_dir, tmp_path):
+    from metadata_driven_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from metadata_driven_data_pipeline_spark.orchestrate import (
+        run_table_maintenance,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    src = _mk(tmp_path, "ivfd_src")
+    idx = _mk(tmp_path, "ivfd_idx")
+    txlog.append(spark, emb.filter(F.col("vec_id") < 100), src)
+    reports = run_table_maintenance(
+        spark,
+        [
+            {
+                "table": idx,
+                "maintainIvfIndex": {
+                    "source": src,
+                    "dim": 64,
+                    "nCells": 8,
+                },
+            }
+        ],
+    )
+    assert reports[0]["maintainIvfIndex"]["chunks_applied"] == 1
+    maintained = sim.read_ivf_index(spark, idx).select("vec_id", "__cell")
+    rebuilt = sim.ivf_build_index(
+        txlog.read_table(spark, src), 64,
+        centroids=sim.ivf_centroids(64, 8),
+    ).select("vec_id", "__cell")
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+
+
 def test_replicate_stream_survives_checkpoint_recreation(spark, tmp_path):
     """ADVICE r10 #5: the stream watermark rides the SOURCE commit
     range, so deleting/recreating the checkpoint neither skips nor
