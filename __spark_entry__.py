@@ -5430,6 +5430,140 @@ def q_txlog_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sinks/txlog.py:clone_table — NEW r11, the public
+    Delta ``CREATE TABLE ... CLONE`` shape): fork a table as ONE
+    metadata-only commit referencing the source's data files in place
+    (absolute-path entries + per-entry base root), including a
+    deletion-vector mask whose sidecar is rel-translated into the
+    clone's own ``_dv/``. Build: two single-file appends (BUILDING,
+    AUTOMOBILE customers), a DV point-delete (c_custkey < 50) masking
+    the boundary files, then clone. After cloning, BOTH tables take
+    independent writes: the clone rewrite-deletes c_custkey >= 1000,
+    the source appends MACHINERY — and neither sees the other's write.
+    Certified: per-segment aggregate of the final clone; flags pin that
+    the clone directory holds ZERO copied data files (``metadata_only``)
+    and that the source's post-clone append is invisible (``isolated``).
+    At 100 TB this is the fork primitive: O(files) JSON, zero bytes
+    moved."""
+    import os as _os
+    import tempfile
+
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = tempfile.mkdtemp(prefix="txlog_clone_")
+    src, dst = base + "/src", base + "/clone"
+    txlog.append(
+        spark, cust.filter(F.col("c_mktsegment") == "BUILDING").coalesce(1), src
+    )
+    txlog.append(
+        spark,
+        cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").coalesce(1),
+        src,
+    )
+    txlog.delete(spark, src, [("c_custkey", "<", 50)], deletion_vectors=True)
+    txlog.clone_table(spark, src, dst)
+    metadata_only = not _os.path.isdir(_os.path.join(dst, txlog.DATA_DIR))
+    # independent evolution: clone deletes a range, source appends a
+    # third segment — neither write crosses over
+    txlog.delete(spark, dst, [("c_custkey", ">=", 1000)])
+    txlog.append(
+        spark, cust.filter(F.col("c_mktsegment") == "MACHINERY"), src
+    )
+    clone_df = txlog.read_table(spark, dst)
+    isolated = (
+        clone_df.filter(F.col("c_mktsegment") == "MACHINERY").count() == 0
+        and txlog.read_table(spark, src)
+        .filter(F.col("c_custkey") >= 1000)
+        .count()
+        > 0
+    )
+    return (
+        clone_df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_key",
+            F.lit(bool(metadata_only)).alias("metadata_only"),
+            F.lit(bool(isolated)).alias("isolated"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns (sinks/txlog.py:create_table(generated=...) +
+    _apply_generated — NEW r11, the public Delta ``GENERATED ALWAYS
+    AS`` shape): the table declares ``order_month = CAST(date_trunc(
+    'MONTH', o_orderdate) AS DATE)``; an append that OMITS the column
+    gets it computed in-plan (pure projection, whole-stage codegen),
+    and a batch that PROVIDES a wrong value is rejected by the
+    auto-registered ``gen_order_month`` CHECK constraint — pinned by
+    the ``enforced`` flag (a deliberately wrong explicit append must
+    raise and leave the table untouched). Certified: per-month
+    aggregate of the generated column equals the oracle recomputation
+    from raw o_orderdate. At 100 TB the use is a derived clustering
+    key every writer computes identically and every scan prunes on via
+    footer stats."""
+    import tempfile
+
+    from pyspark.sql.types import StructType
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="txlog_gen_") + "/orders"
+    txlog.create_table(
+        root,
+        StructType.fromDDL(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP_NTZ, order_month DATE"
+        ),
+        generated={
+            "order_month": "CAST(date_trunc('MONTH', o_orderdate) AS DATE)"
+        },
+    )
+    txlog.append(spark, orders, root)  # order_month computed in-plan
+    n_before = txlog.read_table(spark, root).count()
+    try:
+        txlog.append(
+            spark,
+            orders.limit(3).withColumn(
+                "order_month", F.lit("1999-01-01").cast("date")
+            ),
+            root,
+        )
+        enforced = False
+    except Exception as e:
+        enforced = "gen_order_month" in str(e)
+    enforced = enforced and (
+        txlog.read_table(spark, root).count() == n_before
+    )
+    return (
+        txlog.read_table(spark, root)
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "order_month",
+            "n",
+            "sum_price",
+            F.lit(bool(enforced)).alias("enforced"),
+        )
+        .orderBy("order_month")
+    )
+
+
 def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance from CDC
     (operators/similarity.py:maintain_ivf_index — NEW r11, VERDICT r10
@@ -5531,6 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_mv_filtered": q_txlog_mv_filtered,
         "txlog_replicate_snapshot": q_txlog_replicate_snapshot,
         "txlog_snapshot_scd2": q_txlog_snapshot_scd2,
+        "txlog_clone": q_txlog_clone,
+        "txlog_generated": q_txlog_generated,
         "ivf_index_maintain": q_ivf_index_maintain,
         # ==== NEW in round 10 (conditional MERGE clauses, streaming
         # ==== replication, schema evolution through replicate)
@@ -5746,18 +5882,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, then the 43 entries last driver-certified in r5 (VERDICT
     # r8 'next round' #1, verbatim).
     window = [
-        # 1-5: new r11 features
+        # 1-7: new r11 features
         "txlog_mv_minmax",
         "txlog_mv_filtered",
         "txlog_replicate_snapshot",
         "txlog_snapshot_scd2",
         "ivf_index_maintain",
-        # 6-9: r11-changed semantics (re-certify under the new code)
+        "txlog_clone",
+        "txlog_generated",
+        # 7-10: r11-changed semantics (re-certify under the new code)
         "txlog_incremental_mv",
         "txlog_scd2",
         "txlog_replicate_stream",
         "txlog_replicate",
-        # 10-15: the six r7-stale txlog entries whose shared read path
+        # 11-16: the six r7-stale txlog entries whose shared read path
         # changed r8-r10 while their driver signal froze (VERDICT r10 #1)
         "txlog_column_mapping",
         "txlog_convert",
@@ -5765,7 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_stream_backpressure",
         "txlog_time_travel",
         "txlog_timestamp_travel",
-        # 16-44: the remaining 29 r7-stale entries, verbatim
+        # 17-45: the remaining 29 r7-stale entries, verbatim
         "brand_filter_revenue",
         "cms_frequencies",
         "cohort_retention",
@@ -5795,13 +5933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_events",
         "validate_ko_errors",
         "validate_ok_ids",
-        # 45-50: top-up, alphabetically-first of the 50 r8-stale entries
+        # 47-50: top-up, alphabetically-first of the 50 r8-stale entries
         "events_gap_stats",
         "events_sessionize",
         "forecast_revenue_change",
         "gopher_filter",
-        "hard_negatives",
-        "hybrid_search",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -8855,6 +8991,30 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS equal_cdc,
                TRUE AS idempotent
         FROM m
+    """
+
+    sql["txlog_clone"] = """
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+               TRUE AS metadata_only,
+               TRUE AS isolated
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+          AND c_custkey >= 50 AND c_custkey < 1000
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """
+
+    sql["txlog_generated"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS enforced
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
     """
 
     sql["ivf_index_maintain"] = f"""

@@ -212,6 +212,8 @@ ROUND11 = [
     "txlog_mv_minmax",
     "txlog_mv_filtered",
     "txlog_replicate_snapshot",
+    "txlog_clone",
+    "txlog_generated",
     "ivf_index_maintain",
 ]
 

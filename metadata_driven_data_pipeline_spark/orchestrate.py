@@ -256,6 +256,18 @@ def run_table_maintenance(
     txlog ``table`` root and any of (applied in this order, each one
     atomic commit):
 
+    - ``"createTable": {"schema": <DDL string>, "generated": {col:
+      <SQL expr>}}`` (r11) — schema-only bootstrap
+      (:func:`txlog.create_table`), optionally with GENERATED columns
+      (computed when a write batch omits them, enforced via an
+      auto-registered ``gen_<col>`` CHECK constraint when provided).
+      Idempotent; runs before everything;
+    - ``"clone": {"source": <txlog root>, "version": N, "timestamp":
+      ..., "deep": true}`` (r11) — create THIS table as a clone of a
+      source snapshot (:func:`txlog.clone_table`): shallow by default
+      (metadata-only, O(files) — the 100 TB fork), ``deep`` copies the
+      data. Runs first — it is what brings the table into existence,
+      so the same spec can clone-then-maintain;
     - ``"restore": {"version": N}`` — roll back to a retained snapshot
       first (the recover-then-clean shape);
     - ``"delete": {"where": [[col, op, value], ...],
@@ -403,6 +415,25 @@ def _load_maintenance_source(_txlog, spark, src) -> Any:
 
 
 def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
+    if "createTable" in spec:
+        ct = spec["createTable"]
+        from pyspark.sql.types import StructType as _ST
+
+        rep["createTable"] = _txlog.create_table(
+            root,
+            _ST.fromDDL(ct["schema"]),
+            generated=ct.get("generated"),
+        )
+    if "clone" in spec:
+        c = spec["clone"]
+        rep["clone"] = _txlog.clone_table(
+            spark,
+            c["source"],
+            root,
+            version=c.get("version"),
+            timestamp=c.get("timestamp"),
+            deep=bool(c.get("deep", False)),
+        )
     if "restore" in spec:
         rep["restore"] = _txlog.restore(
             spark, root, int(spec["restore"]["version"])

@@ -305,12 +305,15 @@ class Snapshot:
     txns: dict  # app_id -> last committed batch_id
     retired: set = None  # physical names of dropped columns (type: ignore)
     constraints: dict = None  # CHECK constraints: name -> SQL expr
+    generated: dict = None  # generated columns: name -> SQL expr
 
     def __post_init__(self):
         if self.retired is None:
             self.retired = set()
         if self.constraints is None:
             self.constraints = {}
+        if self.generated is None:
+            self.generated = {}
 
     @property
     def schema(self) -> StructType | None:
@@ -354,80 +357,103 @@ def _file_legs(
     Spark's hidden ``_metadata`` struct, computed JVM-side during the
     scan, no extra I/O) — the join key deletion-vector masking needs.
     They must be materialized INSIDE each leg: ``_metadata`` does not
-    survive a union."""
-    flat = [p for p in rel_paths if not files[p].get("partition")]
-    parted = [p for p in rel_paths if files[p].get("partition")]
-    abs_root = os.path.abspath(root)
-    prefix = abs_root + "/"
-    # ``_metadata.file_path`` is a Hadoop *URI* string, not a raw
-    # filesystem path: space and '%' (and other reserved bytes) arrive
-    # percent-encoded while '+' and non-ASCII pass through literally
-    # (probed empirically on this Spark). Escaping '+' to %2B first
-    # turns url_decode into a pure percent-decoder, so the decoded
-    # column holds the literal path — directly comparable with the
-    # Python-side abs_root without reproducing Java's URI encoder.
-    # Passing the prefix via F.lit (never an f-string inside F.expr)
-    # keeps quotes and regex metacharacters in the root inert, and a
-    # prefix miss RAISES instead of yielding a garbage rel that would
-    # silently unmask deleted rows at scan time / no-op a DV delete
-    # (ADVICE r8 high: a root containing a space made
-    # delete(deletion_vectors=True) report rows_deleted=0).
-    decoded = F.url_decode(
-        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
-    )
-    at = F.instr(decoded, F.lit(prefix))
-    pos_cols = [
-        F.when(at > 0, F.substr(decoded, at + F.lit(len(prefix))))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "txlog: scanned file resolves outside the table "
-                        f"root {prefix!r}: "
-                    ),
-                    decoded,
-                )
-            )
-        )
-        .alias(_DV_REL),
-        F.col("_metadata.row_index").alias(_DV_POS),
-    ]
+    survive a union.
 
-    def _with_pos(df: DataFrame) -> DataFrame:
-        if not with_pos:
-            return df
-        return df.select(*[F.col(f.name) for f in phys.fields], *pos_cols)
-
+    Entries carrying a ``base`` are EXTERNAL files referenced by a
+    shallow :func:`clone_table` — they live under another table's root
+    and are keyed (and DV-keyed) by their ABSOLUTE path, so legs group
+    by base: partition discovery anchors at the owning root's ``data/``
+    and the positional rel keeps the full decoded path instead of
+    stripping the prefix. Leg count stays bounded: one base per clone
+    ancestor, never per file."""
+    by_base: dict[str | None, list[str]] = {}
+    for p in rel_paths:
+        by_base.setdefault(files[p].get("base"), []).append(p)
     legs = []
-    if flat:
-        legs.append(
-            _with_pos(
-                spark.read.schema(phys).parquet(
-                    *(os.path.join(root, p) for p in flat)
-                )
-            )
+    for base in sorted(by_base, key=lambda b: b or ""):
+        sub = by_base[base]
+        eff_root = base if base is not None else root
+        flat = [p for p in sub if not files[p].get("partition")]
+        parted = [p for p in sub if files[p].get("partition")]
+        abs_root = os.path.abspath(eff_root)
+        prefix = abs_root + "/"
+        # ``_metadata.file_path`` is a Hadoop *URI* string, not a raw
+        # filesystem path: space and '%' (and other reserved bytes) arrive
+        # percent-encoded while '+' and non-ASCII pass through literally
+        # (probed empirically on this Spark). Escaping '+' to %2B first
+        # turns url_decode into a pure percent-decoder, so the decoded
+        # column holds the literal path — directly comparable with the
+        # Python-side abs_root without reproducing Java's URI encoder.
+        # Passing the prefix via F.lit (never an f-string inside F.expr)
+        # keeps quotes and regex metacharacters in the root inert, and a
+        # prefix miss RAISES instead of yielding a garbage rel that would
+        # silently unmask deleted rows at scan time / no-op a DV delete
+        # (ADVICE r8 high: a root containing a space made
+        # delete(deletion_vectors=True) report rows_deleted=0).
+        decoded = F.url_decode(
+            F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         )
-    if parted:
-        # one discovery leg PER PARTITION-KEY LAYOUT: feeding files of
-        # different key=value layouts (appends partitioned by different
-        # columns) into one partition discovery raises
-        # CONFLICTING_PARTITION_COLUMN_NAMES (review r7 #3). Leg count
-        # is bounded by the number of distinct layouts ever written,
-        # never by partition count.
-        by_layout: dict[tuple, list[str]] = {}
-        for p in parted:
-            sig = tuple(files[p]["partition"].keys())
-            by_layout.setdefault(sig, []).append(p)
-        for sig in sorted(by_layout):
-            legs.append(
-                _with_pos(
-                    spark.read.schema(phys)
-                    .option("basePath", os.path.join(root, DATA_DIR))
-                    .parquet(
-                        *(os.path.join(root, p) for p in by_layout[sig])
+        at = F.instr(decoded, F.lit(prefix))
+        # external entries keep the FULL path (their files-dict / DV key
+        # IS the absolute path); internal entries strip the root prefix
+        rel_expr = (
+            F.substr(decoded, at)
+            if base is not None
+            else F.substr(decoded, at + F.lit(len(prefix)))
+        )
+        pos_cols = [
+            F.when(at > 0, rel_expr)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "txlog: scanned file resolves outside the table "
+                            f"root {prefix!r}: "
+                        ),
+                        decoded,
                     )
                 )
             )
+            .alias(_DV_REL),
+            F.col("_metadata.row_index").alias(_DV_POS),
+        ]
+
+        def _with_pos(df: DataFrame, pos_cols=pos_cols) -> DataFrame:
+            if not with_pos:
+                return df
+            return df.select(
+                *[F.col(f.name) for f in phys.fields], *pos_cols
+            )
+
+        if flat:
+            legs.append(
+                _with_pos(
+                    spark.read.schema(phys).parquet(
+                        *(os.path.join(root, p) for p in flat)
+                    )
+                )
+            )
+        if parted:
+            # one discovery leg PER PARTITION-KEY LAYOUT: feeding files of
+            # different key=value layouts (appends partitioned by different
+            # columns) into one partition discovery raises
+            # CONFLICTING_PARTITION_COLUMN_NAMES (review r7 #3). Leg count
+            # is bounded by the number of distinct layouts ever written,
+            # never by partition count.
+            by_layout: dict[tuple, list[str]] = {}
+            for p in parted:
+                sig = tuple(files[p]["partition"].keys())
+                by_layout.setdefault(sig, []).append(p)
+            for sig in sorted(by_layout):
+                legs.append(
+                    _with_pos(
+                        spark.read.schema(phys)
+                        .option("basePath", os.path.join(eff_root, DATA_DIR))
+                        .parquet(
+                            *(os.path.join(root, p) for p in by_layout[sig])
+                        )
+                    )
+                )
     return legs
 
 
@@ -659,6 +685,7 @@ def load_snapshot(
     txns: dict = {}
     retired: set = set()
     constraints: dict = {}
+    generated: dict = {}
     schema_json = None
     start = 1
     log_dir = _log_path(root)
@@ -679,6 +706,7 @@ def load_snapshot(
         schema_json = cp.get("schema")
         retired = set(cp.get("retired", []))
         constraints = dict(cp.get("constraints", {}))
+        generated = dict(cp.get("generated", {}))
         start = base[-1] + 1
     for v in range(start, target + 1):
         p = os.path.join(log_dir, _commit_name(v))
@@ -725,12 +753,18 @@ def load_snapshot(
             constraints[con["name"]] = con["expr"]
         if c.get("op") == "drop_constraint":
             constraints.pop(c["drop_constraint"], None)
+        if c.get("generated") is not None:
+            # generation expressions are set at table creation (or
+            # carried by a clone commit) and never altered — the fold
+            # is a plain replace
+            generated = dict(c["generated"])
         t = c.get("txn")
         if t:
             prev = txns.get(t["app_id"], -1)
             txns[t["app_id"]] = max(prev, t["batch_id"])
     return Snapshot(
-        root, target, schema_json, files, txns, retired, constraints
+        root, target, schema_json, files, txns, retired, constraints,
+        generated,
     )
 
 
@@ -856,6 +890,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "schema": snap.schema_json,
         "retired": sorted(snap.retired),
         "constraints": snap.constraints,
+        "generated": snap.generated,
     }
     log_dir = _log_path(root)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1106,6 +1141,29 @@ def _check_constraints(df: DataFrame, constraints: dict) -> DataFrame:
     return df.select(wrapped, *df.columns[1:])
 
 
+def _apply_generated(df: DataFrame, snap: Snapshot) -> DataFrame:
+    """Compute the table's GENERATED columns for a user batch (r11, the
+    public Delta generated-column shape): any generated column the
+    batch OMITS is computed from its generation expression (cast to
+    the declared type); a column the batch PROVIDES is left alone —
+    the auto-registered ``gen_<name>`` CHECK constraint then enforces
+    ``provided <=> expression`` in-plan, so a wrong explicit value
+    fails the write loudly instead of silently diverging from the
+    recipe. Pure projection: zero extra passes, stays inside
+    whole-stage codegen."""
+    if not snap.generated or snap.schema_json is None:
+        return df
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    for name in sorted(snap.generated):
+        if name in df.columns:
+            continue
+        expr = F.expr(snap.generated[name])
+        if name in types:
+            expr = expr.cast(types[name])
+        df = df.withColumn(name, expr)
+    return df
+
+
 def _constraints_referencing(constraints: dict, column: str) -> list[str]:
     """Names of CHECK constraints whose expression references ``column``
     as an identifier (word-boundary match, case-insensitive — Spark
@@ -1231,6 +1289,7 @@ def append(
         snap0 = load_snapshot(root)
         if txn is not None and snap0.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap0.version, "skipped": True}
+        df = _apply_generated(df, snap0)
         # pre-validate against the current snapshot BEFORE staging any
         # data: schema mismatches (incl. the column-mapping shadow guard)
         # fail fast instead of after a wasted write; build() re-checks
@@ -1331,6 +1390,7 @@ def overwrite(
     # overwrite that drops such a column would brick every later write
     # with an unresolved-column error, ADVICE r10 #2)
     snap0 = load_snapshot(root)
+    df = _apply_generated(df, snap0)
     cons0 = snap0.constraints
     if cons0 and snap0.schema_json is not None:
         for col in snap0.schema.fieldNames():
@@ -1405,6 +1465,9 @@ def replace_where(
             raise ValueError(f"unsupported replace_where op: {op}")
     if not where:
         raise ValueError("replace_where requires a predicate; use overwrite")
+    # generated columns materialize BEFORE the scope check: a backfill
+    # scoped on a generated (derived-partition) column may omit it
+    df = _apply_generated(df, load_snapshot(root))
     cond = _where_column(where)
     # scope check: one aggregate over the batch, no driver-side rows.
     # NULL predicate rows do NOT satisfy the scope (tri-valued logic) —
@@ -1558,8 +1621,21 @@ def commit_staged(
     writer's ``partitionBy`` lane, r8) get the directory-derived values
     recorded as a reader-injection ``partition`` dict plus exact
     min==max stats — identical metadata to :func:`append` with
-    ``partition_by=``."""
-    adds = _collect_adds(spark, root, staged)
+    ``partition_by=``.
+
+    CHECK constraints (r11): the executor tasks stage raw Arrow batches
+    where the in-plan assert machinery can't run, so a table WITH
+    constraints is validated HERE — one scan over the staged files
+    (basePath-discovered, so partitioned stagings resolve their
+    directory columns) before anything is committed; a violation raises
+    and the caller's abort/vacuum path reclaims the staged files.
+    Called WITHOUT a session (``spark=None`` — the Python DataSource
+    commit hook runs in a session-less worker), a constrained table
+    REFUSES the commit instead of silently landing unvalidated rows:
+    route constrained ingest through :func:`append`. A table with
+    GENERATED columns requires the batch to have written them (they
+    cannot be computed after the files exist) — omitting one raises
+    with a pointer to :func:`append`."""
     pm = staged_phys or {}
     phys_schema = StructType(
         [
@@ -1567,6 +1643,55 @@ def commit_staged(
             for f in schema.fields
         ]
     )
+    snap0 = load_snapshot(root)
+    if snap0.schema_json is not None and snap0.generated:
+        missing_gen = [
+            c for c in sorted(snap0.generated) if c not in schema.fieldNames()
+        ]
+        if missing_gen:
+            raise ValueError(
+                f"txlog commit_staged at {root}: the write omits "
+                f"generated column(s) {missing_gen}, which the "
+                "staged-file lane cannot compute after the files are "
+                "written — include them in the written DataFrame (their "
+                "gen_* constraints will verify the values) or ingest "
+                "via append()"
+            )
+    if snap0.constraints and staged:
+        if spark is None:
+            raise ValueError(
+                f"txlog commit_staged at {root}: the table has CHECK "
+                "constraints but no active session is available to "
+                "validate the staged files — refusing to commit "
+                "unvalidated rows"
+            )
+        legs = spark.read.schema(phys_schema).option(
+            "basePath", os.path.join(root, DATA_DIR)
+        ).parquet(*staged)
+        logical = legs.select(
+            *[
+                F.col(pf.name).alias(f.name)
+                for pf, f in zip(phys_schema.fields, schema.fields)
+            ]
+        )
+        viol = [
+            ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+            for e in snap0.constraints.values()
+        ]
+        any_bad = logical.filter(
+            viol[0] if len(viol) == 1 else F.greatest(*viol)
+        )
+        if any_bad.limit(1).count():
+            for name in sorted(snap0.constraints):
+                e = snap0.constraints[name]
+                if logical.filter(
+                    ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+                ).limit(1).count():
+                    raise ValueError(
+                        f"txlog CHECK constraint {name!r} violated by "
+                        f"staged write at {root}: {e}"
+                    )
+    adds = _collect_adds(spark, root, staged)
     for add in adds:
         _apply_partition_entry(
             add,
@@ -1578,6 +1703,16 @@ def commit_staged(
     def build(snap: Snapshot, version: int):
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return None
+        if snap.constraints != snap0.constraints:
+            # validated above under snap0's constraint set; a concurrent
+            # add/drop_constraint means the staged rows were never
+            # checked under the NEW set — and unlike append(), the
+            # job's tasks are done, so there is nothing to re-stage
+            raise ValueError(
+                f"txlog commit_staged at {root}: the table's CHECK "
+                "constraints changed between staging and commit — "
+                "re-run the write"
+            )
         if not overwrite and staged_phys is not None:
             cur = _staging_map(snap, schema.fieldNames())
             if cur != {c: staged_phys.get(c, c) for c in schema.fieldNames()}:
@@ -2385,6 +2520,10 @@ def merge(
                 "written columns — evolve the table with append("
                 "merge_schema=True) first"
             )
+
+    # generated columns materialize on the batch side first: a feed
+    # that omits a derived column still merges under the full schema
+    updates = _apply_generated(updates, load_snapshot(root))
 
     if order_col is None:
         dup = (
@@ -3554,6 +3693,184 @@ def restore(spark: SparkSession, root: str, version: int) -> dict:
     return res | {"restored_to": version}
 
 
+# ---------------------------------------------------------------- clone
+
+
+def _translate_dv(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    dv_rel_src: str,
+    rel_map: dict,
+) -> str:
+    """Copy one deletion-vector sidecar into ``dst_root``'s ``_dv/``
+    with its ``rel`` keys rewritten into the clone's key space. The
+    broadcast pair join keeps this O(masked rows) — never O(table)."""
+    src_df = spark.read.parquet(os.path.join(src_root, dv_rel_src))
+    pairs = spark.createDataFrame(
+        [(k, v) for k, v in sorted(rel_map.items())],
+        "rel string, __new_rel string",
+    )
+    out = src_df.join(F.broadcast(pairs), "rel", "inner").select(
+        F.col("__new_rel").alias("rel"), "pos"
+    )
+    new_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex[:12]}")
+    out.write.parquet(os.path.join(dst_root, new_rel))
+    return new_rel
+
+
+def clone_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+    deep: bool = False,
+) -> dict:
+    """``CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF v]``
+    (the public Delta clone shape). Forks a source snapshot — latest,
+    ``version``-pinned, or ``timestamp``-resolved — into a brand-new
+    txlog table at ``dst_root`` as ONE commit, after which the two
+    tables evolve fully independently: writes to either never touch the
+    other's log or data files.
+
+    Shallow (default): pure metadata — the clone's commit references
+    the source snapshot's data files IN PLACE by absolute path (entries
+    carry a ``base``; see :func:`_file_legs`), so forking a 100 TB
+    table costs O(files) JSON plus O(masked rows) for deletion-vector
+    sidecar translation, zero data movement. This is how a 100 TB table
+    gets a dev/experiment fork, an as-of audit copy, or a safe target
+    for a destructive backfill rehearsal. Subsequent writes land under
+    the clone's own root; OPTIMIZE on the clone rewrites external files
+    into local ones (the un-shallow escape hatch); :func:`vacuum` on
+    the clone only ever walks the clone's root, so it can never delete
+    source bytes. Retention hazard (same as Delta documents): vacuum on
+    the SOURCE does not know about clone references — a source vacuum
+    past the cloned snapshot's horizon strands the clone; run the clone
+    through OPTIMIZE first (or clone deep) when the source's retention
+    is shorter than the clone's life.
+
+    Deep: additionally copies every referenced data file (at its same
+    relative layout, so ``key=value`` partition discovery and sidecar
+    keys carry over) — O(live bytes), fully self-contained.
+
+    Carried: schema (with frozen physical column-mapping names),
+    retired physical names, CHECK constraints (re-recorded as ordinary
+    ``add_constraint`` commits with no re-validation scan — the rows
+    are byte-identical to a snapshot that already passed them), per-file
+    stats (file pruning works immediately), deletion-vector masks.
+    NOT carried: the source's txn watermarks (``txns``) — the clone is
+    a new table with fresh idempotency lineage, so CDC consumers
+    pointed at it start from their own watermarks — and the source's
+    history (time travel on the clone starts at its clone commit;
+    the commit records ``clone_source`` root/version/mode for audit).
+
+    Reference parity: the reference pipeline has no table format; this
+    extends the txlog surface toward its public Delta/Iceberg
+    equivalents (shallow clone / snapshot export)."""
+    src = load_snapshot(src_root, version, timestamp)
+    if src.schema_json is None:
+        raise ValueError(f"not a txlog table (no commits): {src_root}")
+    abs_src = os.path.abspath(src_root)
+    abs_dst = os.path.abspath(dst_root)
+    if abs_src == abs_dst:
+        raise ValueError("clone source and destination are the same table")
+
+    entries: list[dict] = []
+    rel_map: dict[str, str] = {}  # source files-dict key -> clone key
+    if deep:
+        import shutil
+
+        for rel in sorted(src.files):
+            e = json.loads(json.dumps(src.files[rel]))  # JSON-safe copy
+            base = e.pop("base", None)
+            # external entries (source was itself a shallow clone) are
+            # keyed by absolute path — re-relativize against their base
+            new_rel = os.path.relpath(rel, base) if base is not None else rel
+            src_abs = os.path.join(src_root, rel)  # abs keys pass through
+            dst_abs = os.path.join(dst_root, new_rel)
+            os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+            shutil.copyfile(src_abs, dst_abs)
+            e["path"] = new_rel
+            rel_map[rel] = new_rel
+            entries.append(e)
+    else:
+        for rel in sorted(src.files):
+            e = json.loads(json.dumps(src.files[rel]))
+            if e.get("base") is None:
+                # key by absolute path: os.path.join(root, key) resolves
+                # unchanged everywhere, and the files-dict key stays
+                # equal to the scan-produced DV rel (the invariant
+                # delete/update's mask bookkeeping relies on)
+                e["base"] = abs_src
+                rel_map[rel] = os.path.join(abs_src, rel)
+            else:
+                # chained shallow clone: already absolute, base kept
+                rel_map[rel] = rel
+            e["path"] = rel_map[rel]
+            entries.append(e)
+
+    # Deletion-vector sidecars always move into the clone's own _dv/
+    # (rel-translated): the source may vacuum or consolidate ITS
+    # sidecars on its own schedule, and dv paths are root-relative.
+    by_dv: dict[str, list[int]] = {}
+    for i, e in enumerate(entries):
+        if e.get("dv"):
+            by_dv.setdefault(e["dv"]["path"], []).append(i)
+    for dv_rel, idxs in sorted(by_dv.items()):
+        new_dv = _translate_dv(spark, src_root, dst_root, dv_rel, rel_map)
+        for i in idxs:
+            entries[i]["dv"] = dict(entries[i]["dv"], path=new_dv)
+
+    mode = "deep" if deep else "shallow"
+
+    def build(cur: Snapshot, v: int):
+        if cur.schema_json is not None or cur.files or cur.version != 0:
+            raise ValueError(
+                f"clone destination {dst_root} is already a txlog table "
+                f"(v{cur.version}) — clone only creates new tables"
+            )
+        return {
+            "version": v,
+            "op": "clone",
+            "schema": src.schema_json,
+            "add": entries,
+            "remove": [],
+            "retired": sorted(src.retired),
+            "generated": src.generated,
+            "clone_source": {
+                "root": abs_src,
+                "version": src.version,
+                "mode": mode,
+            },
+            "txn": None,
+        }
+
+    res = _commit_loop(dst_root, build)
+    for name in sorted(src.constraints):
+        expr = src.constraints[name]
+
+        def cbuild(cur: Snapshot, v: int, name=name, expr=expr):
+            return {
+                "version": v,
+                "op": "add_constraint",
+                "schema": cur.schema_json,
+                "add": [],
+                "remove": [],
+                "constraint": {"name": name, "expr": expr},
+            }
+
+        _commit_loop(dst_root, cbuild)
+    return res | {
+        "mode": mode,
+        "source_version": src.version,
+        "files": len(entries),
+        "rows": sum(_live_rows(e) for e in entries),
+        "bytes": sum(e.get("bytes", 0) for e in entries),
+        "constraints": len(src.constraints),
+    }
+
+
 # ---------------------------------------------------------------- vacuum
 
 
@@ -3761,6 +4078,9 @@ def list_changes(
                     "version": v,
                     "op": c.get("op"),
                     "partition": a.get("partition"),
+                    # external (shallow-clone) entries resolve against
+                    # their owning root — readers must carry this
+                    "base": a.get("base"),
                     # deletion-vector ref AS OF this commit: a DV delete
                     # re-adds the file entry with its mask, and the feed
                     # must emit the file's live rows under THAT mask
@@ -3842,7 +4162,11 @@ def read_changes(
     parts = []
     for (v, op), units in sorted(by_commit.items()):
         entries = {
-            u["rel"]: {"partition": u["partition"], "dv": u.get("dv")}
+            u["rel"]: {
+                "partition": u["partition"],
+                "dv": u.get("dv"),
+                "base": u.get("base"),
+            }
             for u in units
         }
         parts.append(
@@ -4176,7 +4500,11 @@ def _validate_net_batch(
     return False
 
 
-def create_table(root: str, schema: StructType) -> dict:
+def create_table(
+    root: str,
+    schema: StructType,
+    generated: dict | None = None,
+) -> dict:
     """Schema-only bootstrap commit (r11, VERDICT r10 #4): create an
     EMPTY txlog table — version 1 records the schema, no data files.
     The ``CREATE TABLE`` shape: gives later appends/merges a schema to
@@ -4188,7 +4516,31 @@ def create_table(root: str, schema: StructType) -> dict:
     until data shows up. Idempotent: an already-existing table is a
     skip, never an error (races resolve to whoever commits first); a
     later first write may still evolve the schema with
-    ``merge_schema=True``."""
+    ``merge_schema=True``.
+
+    ``generated`` (r11, the public Delta ``GENERATED ALWAYS AS``
+    shape): ``{column: SQL expression}`` — each named column (which
+    must be in ``schema``) is COMPUTED from its expression whenever a
+    write batch omits it (:func:`_apply_generated` in append /
+    overwrite / replace_where / merge), and ENFORCED when a batch
+    provides it: creation auto-registers a ``gen_<name>`` CHECK
+    constraint ``name <=> (expr)``, so an explicit value that
+    disagrees with the recipe — including an UPDATE that changes a
+    base column without recomputing — fails loudly in-plan rather
+    than silently diverging. Like Delta, generation expressions are
+    fixed at creation (no ALTER); the constraint machinery already
+    rejects renaming/dropping any referenced column, and clones carry
+    both the expressions and their constraints. The standard 100 TB
+    use is a derived clustering key (e.g. an event date from a
+    timestamp) that every writer computes identically and every scan
+    prunes on via the ordinary footer-stats path."""
+    gen = dict(generated or {})
+    missing = [c for c in gen if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"create_table generated columns {missing} not in schema "
+            f"{schema.fieldNames()}"
+        )
 
     def build(cur: Snapshot, version: int):
         if cur.schema_json is not None:
@@ -4199,10 +4551,32 @@ def create_table(root: str, schema: StructType) -> dict:
             "schema": schema.json(),
             "add": [],
             "remove": [],
+            "generated": gen,
             "txn": None,
         }
 
-    return _commit_loop(root, build)
+    res = _commit_loop(root, build)
+    if gen and not res.get("skipped"):
+        # enforcement rides the existing CHECK-constraint machinery —
+        # committed directly (the table is empty; nothing to validate)
+        for name in sorted(gen):
+            expr = gen[name]
+
+            def cbuild(cur: Snapshot, v: int, name=name, expr=expr):
+                return {
+                    "version": v,
+                    "op": "add_constraint",
+                    "schema": cur.schema_json,
+                    "add": [],
+                    "remove": [],
+                    "constraint": {
+                        "name": f"gen_{name}",
+                        "expr": f"{name} <=> ({expr})",
+                    },
+                }
+
+            _commit_loop(root, cbuild)
+    return res
 
 
 def _bootstrap_for_watermark(root: str, schema: StructType) -> None:
