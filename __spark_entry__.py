@@ -5564,6 +5564,92 @@ def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns (sinks/txlog.py:create_table(identity=...) +
+    _apply_identity/sync_identity — NEW r11, the public Delta
+    ``GENERATED BY DEFAULT AS IDENTITY`` shape): surrogate keys
+    assigned coordination-free (monotonically_increasing_id above the
+    log's high watermark; unique + monotonic across commits, gaps
+    allowed), explicit values accepted BY DEFAULT and folded into the
+    watermark from footer stats. Build: assigned batch (BUILDING
+    customers), explicit-id batch (10M + custkey over AUTOMOBILE),
+    assigned batch again (MACHINERY — must land strictly above the
+    explicit ids), and a MERGE omitting the id column must be refused
+    (it cannot restage on watermark races). Certified invariants (ids
+    themselves are partitioning-dependent, so the certificate pins the
+    CONTRACT): total/distinct counts equal (uniqueness), per-batch
+    ordering flags, the deterministic explicit-id sum, and the merge
+    refusal."""
+    import tempfile
+
+    from pyspark.sql.types import StructType
+    from metadata_driven_data_pipeline_spark.sinks import txlog
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="txlog_id_") + "/dim"
+    txlog.create_table(
+        root,
+        StructType.fromDDL("id BIGINT, c_custkey BIGINT"),
+        identity={"id": 1000},
+    )
+    seg = lambda s: cust.filter(F.col("c_mktsegment") == s).select("c_custkey")  # noqa: E731
+    txlog.append(spark, seg("BUILDING"), root)
+    ids1 = txlog.read_table(spark, root).agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).first()
+    txlog.append(
+        spark,
+        seg("AUTOMOBILE").select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("id"), "c_custkey"
+        ),
+        root,
+    )
+    txlog.append(spark, seg("MACHINERY"), root)
+    try:
+        txlog.merge(
+            spark, seg("FURNITURE"), root, ["c_custkey"], order_col=None
+        )
+        merge_refused = False
+    except ValueError as e:
+        merge_refused = "identity" in str(e)
+    mx = int(seg("AUTOMOBILE").agg(F.max("c_custkey")).first()[0])
+    n_mach = seg("MACHINERY").count()
+    t = txlog.read_table(spark, root)
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("id").alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("id").between(10_000_000, 10_000_000 + mx),
+                F.col("id"),
+            )
+        ).alias("explicit_sum"),
+        F.sum(
+            F.when(F.col("id") > 10_000_000 + mx, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_above_explicit"),
+    ).first()
+    # EVERY post-explicit assigned row landed strictly above the
+    # explicit range, and the first batch started at-or-above start
+    monotonic = ids1["lo"] >= 1000 and agg["n_above_explicit"] == n_mach
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_total"]),
+                int(agg["n_distinct"]),
+                int(agg["explicit_sum"]),
+                bool(agg["n_total"] == agg["n_distinct"]),
+                bool(monotonic),
+                bool(merge_refused),
+            )
+        ],
+        "n_total bigint, n_distinct bigint, explicit_sum bigint, "
+        "unique_ids boolean, monotonic boolean, merge_requires_explicit "
+        "boolean",
+    )
+
+
 def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance from CDC
     (operators/similarity.py:maintain_ivf_index — NEW r11, VERDICT r10
@@ -5667,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_snapshot_scd2": q_txlog_snapshot_scd2,
         "txlog_clone": q_txlog_clone,
         "txlog_generated": q_txlog_generated,
+        "txlog_identity": q_txlog_identity,
         "ivf_index_maintain": q_ivf_index_maintain,
         # ==== NEW in round 10 (conditional MERGE clauses, streaming
         # ==== replication, schema evolution through replicate)
@@ -5882,7 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, then the 43 entries last driver-certified in r5 (VERDICT
     # r8 'next round' #1, verbatim).
     window = [
-        # 1-7: new r11 features
+        # 1-8: new r11 features
         "txlog_mv_minmax",
         "txlog_mv_filtered",
         "txlog_replicate_snapshot",
@@ -5890,6 +5977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_maintain",
         "txlog_clone",
         "txlog_generated",
+        "txlog_identity",
         # 7-10: r11-changed semantics (re-certify under the new code)
         "txlog_incremental_mv",
         "txlog_scd2",
@@ -5933,11 +6021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last_events",
         "validate_ko_errors",
         "validate_ok_ids",
-        # 47-50: top-up, alphabetically-first of the 50 r8-stale entries
+        # 48-50: top-up, alphabetically-first of the 50 r8-stale entries
         "events_gap_stats",
         "events_sessionize",
         "forecast_revenue_change",
-        "gopher_filter",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     missing = [k for k in window if k not in q]
@@ -9015,6 +9102,19 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY 1
         ORDER BY 1
+    """
+
+    sql["txlog_identity"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                             THEN 10000000 + c_custkey END) AS BIGINT)
+                   AS explicit_sum,
+               TRUE AS unique_ids,
+               TRUE AS monotonic,
+               TRUE AS merge_requires_explicit
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
     """
 
     sql["ivf_index_maintain"] = f"""

@@ -214,6 +214,7 @@ ROUND11 = [
     "txlog_replicate_snapshot",
     "txlog_clone",
     "txlog_generated",
+    "txlog_identity",
     "ivf_index_maintain",
 ]
 

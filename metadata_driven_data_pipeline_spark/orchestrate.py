@@ -257,11 +257,14 @@ def run_table_maintenance(
     atomic commit):
 
     - ``"createTable": {"schema": <DDL string>, "generated": {col:
-      <SQL expr>}}`` (r11) — schema-only bootstrap
-      (:func:`txlog.create_table`), optionally with GENERATED columns
-      (computed when a write batch omits them, enforced via an
-      auto-registered ``gen_<col>`` CHECK constraint when provided).
-      Idempotent; runs before everything;
+      <SQL expr>}, "identity": {col: <start>}}`` (r11) — schema-only
+      bootstrap (:func:`txlog.create_table`), optionally with
+      GENERATED columns (computed when a write batch omits them,
+      enforced via an auto-registered ``gen_<col>`` CHECK constraint
+      when provided) and IDENTITY columns (surrogate keys assigned
+      above the table's high watermark when omitted — the ``GENERATED
+      BY DEFAULT AS IDENTITY`` shape). Idempotent; runs before
+      everything;
     - ``"clone": {"source": <txlog root>, "version": N, "timestamp":
       ..., "deep": true}`` (r11) — create THIS table as a clone of a
       source snapshot (:func:`txlog.clone_table`): shallow by default
@@ -423,6 +426,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             root,
             _ST.fromDDL(ct["schema"]),
             generated=ct.get("generated"),
+            identity=ct.get("identity"),
         )
     if "clone" in spec:
         c = spec["clone"]

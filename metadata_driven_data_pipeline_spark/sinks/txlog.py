@@ -306,6 +306,7 @@ class Snapshot:
     retired: set = None  # physical names of dropped columns (type: ignore)
     constraints: dict = None  # CHECK constraints: name -> SQL expr
     generated: dict = None  # generated columns: name -> SQL expr
+    identity: dict = None  # identity columns: name -> {"start", "high"}
 
     def __post_init__(self):
         if self.retired is None:
@@ -314,6 +315,8 @@ class Snapshot:
             self.constraints = {}
         if self.generated is None:
             self.generated = {}
+        if self.identity is None:
+            self.identity = {}
 
     @property
     def schema(self) -> StructType | None:
@@ -686,6 +689,7 @@ def load_snapshot(
     retired: set = set()
     constraints: dict = {}
     generated: dict = {}
+    identity: dict = {}
     schema_json = None
     start = 1
     log_dir = _log_path(root)
@@ -707,6 +711,7 @@ def load_snapshot(
         retired = set(cp.get("retired", []))
         constraints = dict(cp.get("constraints", {}))
         generated = dict(cp.get("generated", {}))
+        identity = {k: dict(v) for k, v in cp.get("identity", {}).items()}
         start = base[-1] + 1
     for v in range(start, target + 1):
         p = os.path.join(log_dir, _commit_name(v))
@@ -758,13 +763,22 @@ def load_snapshot(
             # carried by a clone commit) and never altered — the fold
             # is a plain replace
             generated = dict(c["generated"])
+        if c.get("identity") is not None:
+            # identity declarations: creation/clone replace (like
+            # generated); the per-commit high watermark folds by MAX
+            # below, so replays and out-of-order reads stay monotonic
+            identity = {k: dict(v) for k, v in c["identity"].items()}
+        for col, hi in (c.get("identity_high") or {}).items():
+            ent = identity.setdefault(col, {"start": 1, "high": None})
+            cur_hi = ent.get("high")
+            ent["high"] = hi if cur_hi is None else max(cur_hi, hi)
         t = c.get("txn")
         if t:
             prev = txns.get(t["app_id"], -1)
             txns[t["app_id"]] = max(prev, t["batch_id"])
     return Snapshot(
         root, target, schema_json, files, txns, retired, constraints,
-        generated,
+        generated, identity,
     )
 
 
@@ -891,6 +905,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "retired": sorted(snap.retired),
         "constraints": snap.constraints,
         "generated": snap.generated,
+        "identity": snap.identity,
     }
     log_dir = _log_path(root)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1164,6 +1179,98 @@ def _apply_generated(df: DataFrame, snap: Snapshot) -> DataFrame:
     return df
 
 
+def _identity_base(ent: dict) -> int:
+    hi = ent.get("high")
+    return (int(ent.get("start", 1)) - 1) if hi is None else int(hi)
+
+
+def _apply_identity(df: DataFrame, snap: Snapshot) -> tuple:
+    """Assign the table's IDENTITY columns for a user batch (r11, the
+    public Delta ``GENERATED BY DEFAULT AS IDENTITY`` shape): a batch
+    that OMITS an identity column gets values above the table's high
+    watermark via ``monotonically_increasing_id() + base`` — unique,
+    monotonic across commits, computed task-side with zero coordination
+    (like Delta, ranges may have GAPS; only uniqueness and monotonicity
+    are promised). A batch that PROVIDES the column flows as-is (BY
+    DEFAULT semantics — what keeps replication/clone-maintenance into
+    identity tables working); the commit folds the high watermark from
+    the staged files' footer stats either way, so later generated
+    values never collide with explicit ones ingested through the same
+    lane. Returns ``(df, assigned_col_names)``."""
+    assigned = []
+    if not snap.identity or snap.schema_json is None:
+        return df, assigned
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    for name in sorted(snap.identity):
+        if name in df.columns:
+            continue
+        base = _identity_base(snap.identity[name]) + 1
+        expr = F.monotonically_increasing_id() + F.lit(base)
+        if name in types:
+            expr = expr.cast(types[name])
+        df = df.withColumn(name, expr)
+        assigned.append(name)
+    return df, assigned
+
+
+def _identity_high_from_adds(adds: list[dict], snap: Snapshot) -> dict:
+    """Per-identity-column max over the staged files' footer stats —
+    the commit's ``identity_high`` payload. Free: the stats were
+    already collected for pruning; no extra pass over the data."""
+    if not snap.identity or snap.schema_json is None:
+        return {}
+    pm = _logical_to_physical(snap.schema)
+    out = {}
+    for col in snap.identity:
+        p = pm.get(col, col)
+        mx = None
+        for a in adds:
+            st = (a.get("stats") or {}).get(p)
+            if st is not None and "max" in st:
+                mx = st["max"] if mx is None else max(mx, st["max"])
+        if mx is not None:
+            out[col] = int(mx)
+    return out
+
+
+def _identity_drifted(cur: Snapshot, planned: Snapshot, cols) -> bool:
+    """True when the identity watermark one of ``cols`` was ASSIGNED
+    from has moved — a concurrent commit consumed overlapping ids, so
+    the staged batch must be re-assigned (the same restage contract as
+    a column-mapping or constraint-set drift)."""
+    return any(
+        cur.identity.get(c) != planned.identity.get(c) for c in cols
+    )
+
+
+def sync_identity(root: str) -> dict:
+    """``ALTER TABLE ... SYNC IDENTITY`` (Delta parity): recompute each
+    identity column's high watermark from the LIVE files' footer stats
+    and record it in a metadata-only commit. The repair for explicit
+    ids that entered through lanes that don't fold the watermark —
+    after it, generated values resume above everything present.
+    O(files) driver-side metadata, zero data I/O at any table size."""
+    snap = load_snapshot(root)
+    if snap.schema_json is None:
+        raise ValueError(f"not a txlog table (no commits): {root}")
+    if not snap.identity:
+        raise ValueError(f"no identity columns at {root}")
+    highs = _identity_high_from_adds(list(snap.files.values()), snap)
+
+    def build(cur: Snapshot, version: int):
+        return {
+            "version": version,
+            "op": "sync_identity",
+            "schema": cur.schema_json,
+            "add": [],
+            "remove": [],
+            "identity_high": highs,
+            "txn": None,
+        }
+
+    return _commit_loop(root, build) | {"identity_high": highs}
+
+
 def _constraints_referencing(constraints: dict, column: str) -> list[str]:
     """Names of CHECK constraints whose expression references ``column``
     as an identifier (word-boundary match, case-insensitive — Spark
@@ -1285,11 +1392,13 @@ def append(
     physical: the schema is unchanged, later batches may partition
     differently or not at all, and ``optimize``/``merge`` rewrites fold
     the columns back into the data files."""
+    df_in = df  # pristine batch: a restage retry must RE-derive
     for _ in range(_MAX_COMMIT_RETRIES):
         snap0 = load_snapshot(root)
         if txn is not None and snap0.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap0.version, "skipped": True}
-        df = _apply_generated(df, snap0)
+        df = _apply_generated(df_in, snap0)
+        df, id_assigned = _apply_identity(df, snap0)
         # pre-validate against the current snapshot BEFORE staging any
         # data: schema mismatches (incl. the column-mapping shadow guard)
         # fail fast instead of after a wasted write; build() re-checks
@@ -1325,6 +1434,7 @@ def append(
                 _apply_partition_entry(
                     add, _partition_values_of(root, path, pdf.schema)
                 )
+        id_high = _identity_high_from_adds(adds, snap0)
 
         conflicted = False
 
@@ -1334,6 +1444,11 @@ def append(
                 return None
             if _staging_map(snap, df.columns) != smap:
                 conflicted = True  # mapping drifted since staging
+                return None
+            if id_assigned and _identity_drifted(snap, snap0, id_assigned):
+                # a concurrent commit advanced the identity watermark we
+                # assigned from — the staged ids may collide; restage
+                conflicted = True
                 return None
             if snap.constraints != snap0.constraints:
                 # a concurrent add/drop_constraint landed after we staged:
@@ -1351,6 +1466,7 @@ def append(
                 ),
                 "add": adds,
                 "remove": [],
+                "identity_high": id_high,
                 "txn": (
                     {"app_id": txn[0], "batch_id": txn[1]} if txn else None
                 ),
@@ -1391,6 +1507,7 @@ def overwrite(
     # with an unresolved-column error, ADVICE r10 #2)
     snap0 = load_snapshot(root)
     df = _apply_generated(df, snap0)
+    df, _ = _apply_identity(df, snap0)
     cons0 = snap0.constraints
     if cons0 and snap0.schema_json is not None:
         for col in snap0.schema.fieldNames():
@@ -1416,6 +1533,8 @@ def overwrite(
                 add, _partition_values_of(root, path, df.schema)
             )
 
+    id_high = _identity_high_from_adds(adds, snap0)
+
     def build(snap: Snapshot, version: int):
         return {
             "version": version,
@@ -1423,6 +1542,11 @@ def overwrite(
             "schema": df.schema.json(),
             "add": adds,
             "remove": sorted(snap.files),
+            # the high watermark only ever ADVANCES (max fold): even a
+            # whole-table replace never re-issues ids the table once
+            # used — identity races with a replaced generation cannot
+            # coexist because this commit removes every prior file
+            "identity_high": id_high,
             "txn": None,
         }
 
@@ -1480,6 +1604,7 @@ def replace_where(
             "insert rows inside its scope"
         )
 
+    df_in = df  # pristine batch: a restage retry re-derives identity
     for _ in range(_MAX_COMMIT_RETRIES):
         snap = load_snapshot(root)
         if snap.schema_json is None:
@@ -1489,6 +1614,7 @@ def replace_where(
                 "files_dropped": 0,
                 "files_rewritten": 0,
             }
+        df, id_assigned = _apply_identity(df_in, snap)
         _schema_compatible(snap.schema_json, df.schema, False, snap.retired)
         smap = _staging_map(snap, df.columns)
         pm = _logical_to_physical(snap.schema)
@@ -1547,6 +1673,7 @@ def replace_where(
             rows_rewritten_away = before - sum(a["rows"] for a in adds2)
             adds = adds + adds2
         removed = drops + rewrites
+        id_high = _identity_high_from_adds(adds, snap)
 
         conflicted = False
 
@@ -1554,6 +1681,9 @@ def replace_where(
             nonlocal conflicted
             if _staging_map(cur, df.columns) != smap:
                 conflicted = True  # mapping drift: restage (see append)
+                return None
+            if id_assigned and _identity_drifted(cur, snap, id_assigned):
+                conflicted = True  # ids assigned from a stale watermark
                 return None
             if cur.constraints != snap.constraints:
                 conflicted = True  # re-validate under the new set (r10 #3)
@@ -1578,6 +1708,7 @@ def replace_where(
                 "schema": cur.schema_json,
                 "add": adds,
                 "remove": removed,
+                "identity_high": id_high,
                 "txn": None,
             }
 
@@ -1657,6 +1788,17 @@ def commit_staged(
                 "gen_* constraints will verify the values) or ingest "
                 "via append()"
             )
+    if snap0.schema_json is not None and snap0.identity:
+        missing_id = [
+            c for c in sorted(snap0.identity) if c not in schema.fieldNames()
+        ]
+        if missing_id:
+            raise ValueError(
+                f"txlog commit_staged at {root}: the write omits "
+                f"identity column(s) {missing_id}, which cannot be "
+                "assigned after the files are written — provide values "
+                "or ingest via append()"
+            )
     if snap0.constraints and staged:
         if spark is None:
             raise ValueError(
@@ -1735,6 +1877,7 @@ def commit_staged(
             ),
             "add": adds,
             "remove": sorted(snap.files) if overwrite else [],
+            "identity_high": _identity_high_from_adds(adds, snap0),
             "txn": {"app_id": txn[0], "batch_id": txn[1]} if txn else None,
         }
 
@@ -1776,6 +1919,15 @@ def rename_column(root: str, old: str, new: str) -> dict:
                 f"rename_column: column {old!r} is referenced by CHECK "
                 f"constraint(s) {refs} — drop them first (drop_constraint)"
                 " and re-add under the new name"
+            )
+        if old in snap.identity:
+            # identity declarations (and their high watermarks) are
+            # keyed by logical name and fixed at creation — renaming
+            # underneath would orphan the watermark and let a later
+            # append re-issue used ids
+            raise ValueError(
+                f"rename_column: column {old!r} is an IDENTITY column — "
+                "identity declarations are fixed at table creation"
             )
         from pyspark.sql.types import StructField
 
@@ -1823,6 +1975,11 @@ def drop_column(root: str, name: str) -> dict:
             raise ValueError(
                 f"drop_column: column {name!r} is referenced by CHECK "
                 f"constraint(s) {refs} — drop them first (drop_constraint)"
+            )
+        if name in snap.identity:
+            raise ValueError(
+                f"drop_column: column {name!r} is an IDENTITY column — "
+                "identity declarations are fixed at table creation"
             )
         kept = [f for f in schema.fields if f.name != name]
         return {
@@ -2523,7 +2680,21 @@ def merge(
 
     # generated columns materialize on the batch side first: a feed
     # that omits a derived column still merges under the full schema
-    updates = _apply_generated(updates, load_snapshot(root))
+    _gsnap = load_snapshot(root)
+    updates = _apply_generated(updates, _gsnap)
+    _missing_id = [
+        c for c in sorted(_gsnap.identity) if c not in updates.columns
+    ]
+    if _missing_id:
+        # merge stages once and resolves version races by conflict
+        # checks over its candidate files — it cannot detect an
+        # identity-watermark race and restage like append does, so
+        # auto-assignment here could mint duplicate ids
+        raise ValueError(
+            f"merge: the batch omits identity column(s) {_missing_id} — "
+            "provide explicit values (run sync_identity afterwards) or "
+            "ingest new rows via append()"
+        )
 
     if order_col is None:
         dup = (
@@ -2774,6 +2945,9 @@ def merge(
                 ),
                 "add": adds,
                 "remove": candidates,
+                # explicit ids that entered through the batch advance
+                # the identity watermark like any other lane (stats max)
+                "identity_high": _identity_high_from_adds(adds, snap),
                 "txn": (
                     {"app_id": txn[0], "batch_id": txn[1]} if txn else None
                 ),
@@ -3838,6 +4012,7 @@ def clone_table(
             "remove": [],
             "retired": sorted(src.retired),
             "generated": src.generated,
+            "identity": src.identity,
             "clone_source": {
                 "root": abs_src,
                 "version": src.version,
@@ -4504,6 +4679,7 @@ def create_table(
     root: str,
     schema: StructType,
     generated: dict | None = None,
+    identity: dict | None = None,
 ) -> dict:
     """Schema-only bootstrap commit (r11, VERDICT r10 #4): create an
     EMPTY txlog table — version 1 records the schema, no data files.
@@ -4533,13 +4709,40 @@ def create_table(
     both the expressions and their constraints. The standard 100 TB
     use is a derived clustering key (e.g. an event date from a
     timestamp) that every writer computes identically and every scan
-    prunes on via the ordinary footer-stats path."""
+    prunes on via the ordinary footer-stats path.
+
+    ``identity`` (r11, the public Delta ``GENERATED BY DEFAULT AS
+    IDENTITY`` shape): ``{column: start}`` or ``{column: {"start":
+    N}}`` — a surrogate-key column assigned automatically when a write
+    batch omits it (:func:`_apply_identity`: unique, monotonically
+    increasing across commits, gaps allowed — the distributed
+    assignment is coordination-free) and accepted as-is when provided
+    (the BY DEFAULT variant, so replication into the table keeps
+    working). append / overwrite / replace_where / the staged-file
+    lane fold the high watermark from footer stats; :func:`merge`
+    requires the column on its batch (it cannot re-stage on watermark
+    races) — :func:`sync_identity` re-anchors the watermark after
+    explicit-id ingest. Identity and generated sets must be
+    disjoint."""
     gen = dict(generated or {})
-    missing = [c for c in gen if c not in schema.fieldNames()]
+    idy = {
+        c: (dict(v) if isinstance(v, dict) else {"start": int(v)})
+        for c, v in (identity or {}).items()
+    }
+    for c in idy:
+        idy[c].setdefault("start", 1)
+        idy[c].setdefault("high", None)
+    missing = [c for c in list(gen) + list(idy) if c not in schema.fieldNames()]
     if missing:
         raise ValueError(
-            f"create_table generated columns {missing} not in schema "
-            f"{schema.fieldNames()}"
+            f"create_table generated/identity columns {missing} not in "
+            f"schema {schema.fieldNames()}"
+        )
+    both = sorted(set(gen) & set(idy))
+    if both:
+        raise ValueError(
+            f"create_table: columns {both} cannot be both generated "
+            "and identity"
         )
 
     def build(cur: Snapshot, version: int):
@@ -4552,6 +4755,7 @@ def create_table(
             "add": [],
             "remove": [],
             "generated": gen,
+            "identity": idy,
             "txn": None,
         }
 
