@@ -271,8 +271,9 @@ def run_table_maintenance(
       (metadata-only, O(files) — the 100 TB fork), ``deep`` copies the
       data. Runs first — it is what brings the table into existence,
       so the same spec can clone-then-maintain;
-    - ``"restore": {"version": N}`` — roll back to a retained snapshot
-      first (the recover-then-clean shape);
+    - ``"restore": {"version": N}`` or ``{"timestamp": <ISO-8601>}``
+      (r11) — roll back to a retained snapshot first (the
+      recover-then-clean shape);
     - ``"delete": {"where": [[col, op, value], ...],
       "deletionVectors": true}`` — row-level retention purge
       (stats-proven files drop by pure metadata); ``deletionVectors``
@@ -360,9 +361,12 @@ def run_table_maintenance(
       evolve the table first with a plain append/merge (ADVICE r10 #1;
       :func:`txlog.merge` raises on the combination). Runs after
       replicate, before delete;
-    - ``"vacuum": {"keepVersions": N, "cleanLog": true}`` — physical
-      reclamation of files outside the retention horizon (runs LAST so
-      it never reclaims snapshots the same run still needs);
+    - ``"vacuum": {"keepVersions": N, "cleanLog": true, "dryRun":
+      true}`` — physical reclamation of files outside the retention
+      horizon (runs LAST so it never reclaims snapshots the same run
+      still needs); ``dryRun`` only REPORTS the candidate paths
+      (``would_delete``) without removing anything — the review step
+      before an irreversible sweep;
       ``cleanLog`` additionally expires commit records below the
       checkpoint horizon so the log listing stays O(K) forever.
 
@@ -439,8 +443,14 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             deep=bool(c.get("deep", False)),
         )
     if "restore" in spec:
+        r = spec["restore"]
         rep["restore"] = _txlog.restore(
-            spark, root, int(spec["restore"]["version"])
+            spark,
+            root,
+            version=(
+                int(r["version"]) if r.get("version") is not None else None
+            ),
+            timestamp=r.get("timestamp"),
         )
     if "addConstraint" in spec:
         c = spec["addConstraint"]
@@ -646,6 +656,7 @@ def _apply_maintenance_spec(_txlog, spark, spec, root, rep) -> None:
             keep_versions=int(v.get("keepVersions", 2)),
             min_age_seconds=float(v.get("minAgeSeconds", 3600.0)),
             clean_log=bool(v.get("cleanLog", False)),
+            dry_run=bool(v.get("dryRun", False)),
         )
 
 

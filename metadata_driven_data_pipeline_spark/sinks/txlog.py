@@ -3809,11 +3809,19 @@ def optimize(
     raise RuntimeError(f"txlog optimize contention at {root}")
 
 
-def restore(spark: SparkSession, root: str, version: int) -> dict:
-    """Roll the table back to snapshot ``version`` as a NEW commit (the
-    history is never rewritten — a restore is itself time-travelable and
-    auditable). Pure metadata: the commit removes live files the target
-    lacks and re-adds target files not currently live; no data moves.
+def restore(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> dict:
+    """Roll the table back to snapshot ``version`` — or ``RESTORE ...
+    TO TIMESTAMP AS OF`` an instant (r11; mutually exclusive, resolved
+    through the per-commit ``ts`` like ``read_table(timestamp=)``) —
+    as a NEW commit (the history is never rewritten — a restore is
+    itself time-travelable and auditable). Pure metadata: the commit
+    removes live files the target lacks and re-adds target files not
+    currently live; no data moves.
     Requires the target snapshot's files to still exist — restore past
     vacuum's retention horizon raises instead of committing dangling
     references. The existence check re-runs inside the commit callback
@@ -3822,8 +3830,11 @@ def restore(spark: SparkSession, root: str, version: int) -> dict:
     the residual instant between the final check and ``link(2)`` is why
     restore and vacuum should not be scheduled concurrently — the
     declarative maintenance stage orders restore before vacuum."""
-    target = load_snapshot(root, version)
-    if target.schema_json is None or target.version != version:
+    if version is None and timestamp is None:
+        raise ValueError("restore needs a version or a timestamp")
+    target = load_snapshot(root, version, timestamp)
+    version = target.version
+    if target.schema_json is None:
         raise ValueError(f"no retained snapshot v{version} at {root}")
 
     def _verify_files() -> None:
@@ -4103,6 +4114,7 @@ def vacuum(
     keep_versions: int = 2,
     min_age_seconds: float = 3600.0,
     clean_log: bool = False,
+    dry_run: bool = False,
 ) -> dict:
     """Physically delete data files unreferenced by every retained
     snapshot (the latest ``keep_versions``), plus staging leftovers.
@@ -4117,7 +4129,12 @@ def vacuum(
     Pass ``0`` only when no writer can be active.
 
     ``clean_log=True`` also runs :func:`cleanup_log` with the same
-    ``keep_versions`` — data-side and log-side retention in one sweep."""
+    ``keep_versions`` — data-side and log-side retention in one sweep.
+
+    ``dry_run=True`` (r11, the public ``VACUUM ... DRY RUN`` shape)
+    deletes NOTHING: the report carries the same counts plus the
+    candidate paths under ``would_delete`` — what an operator reviews
+    before an irreversible sweep (``clean_log`` is skipped too)."""
     import time as _time
 
     commits, _ = _list_log(root)
@@ -4135,6 +4152,7 @@ def vacuum(
     cutoff = _time.time() - min_age_seconds
     data_dir = os.path.join(root, DATA_DIR)
     deleted = skipped_young = 0
+    would_delete: list[str] = []
     if os.path.isdir(data_dir):
         # walk, not listdir: adopted Hive-partitioned files live under
         # key=value subdirectories of data/ (convert_to_txlog, r7)
@@ -4147,6 +4165,9 @@ def vacuum(
                 try:
                     if os.path.getmtime(path) > cutoff:
                         skipped_young += 1
+                        continue
+                    if dry_run:
+                        would_delete.append(rel)
                         continue
                     os.unlink(path)
                 except FileNotFoundError:
@@ -4171,6 +4192,9 @@ def vacuum(
                     continue
             except FileNotFoundError:
                 continue  # another vacuum raced us
+            if dry_run:
+                would_delete.append(rel)
+                continue
             shutil.rmtree(path, ignore_errors=True)
             deleted += 1
 
@@ -4183,13 +4207,19 @@ def vacuum(
                     continue
             except FileNotFoundError:
                 continue
+            if dry_run:
+                would_delete.append(name)
+                continue
             shutil.rmtree(path, ignore_errors=True)
     out = {
         "deleted": deleted,
         "retained_versions": retained,
         "skipped_young": skipped_young,
     }
-    if clean_log:
+    if dry_run:
+        out["dry_run"] = True
+        out["would_delete"] = sorted(would_delete)
+    if clean_log and not dry_run:
         out["log"] = cleanup_log(root, keep_versions)
     return out
 

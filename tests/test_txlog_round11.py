@@ -621,3 +621,43 @@ def test_replicate_stream_survives_checkpoint_recreation(spark, tmp_path):
     # no-op (no extra data commit for it)
     ops = [h["op"] for h in txlog.history(tgt)]
     assert ops.count("merge") + ops.count("append") <= 3
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TO TIMESTAMP AS OF (r11): the instant resolves through
+    the per-commit ts exactly like read_table(timestamp=)."""
+    root = os.path.join(str(tmp_path), "rts")
+    for i in range(3):
+        txlog.append(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "k int, s string"),
+            root,
+        )
+    ts2 = [h for h in txlog.history(root) if h["version"] == 2][0]["ts"]
+    rep = txlog.restore(spark, root, timestamp=ts2)
+    assert rep["restored_to"] == 2
+    got = sorted(t["k"] for t in txlog.read_table(spark, root).collect())
+    assert got == [0, 1]
+    with pytest.raises(ValueError, match="version or a timestamp"):
+        txlog.restore(spark, root)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN (r11): candidates reported, nothing removed, the
+    real sweep afterwards removes exactly the reported data files."""
+    root = os.path.join(str(tmp_path), "vdr")
+    for i in range(3):
+        txlog.overwrite(
+            spark,
+            spark.createDataFrame([(i,)], "k int").coalesce(1),
+            root,
+        )
+    rep = txlog.vacuum(root, keep_versions=1, min_age_seconds=0.0,
+                       dry_run=True)
+    assert rep["dry_run"] is True and rep["deleted"] == 0
+    assert len(rep["would_delete"]) >= 2  # two superseded generations
+    for rel in rep["would_delete"]:
+        assert os.path.exists(os.path.join(root, rel))
+    real = txlog.vacuum(root, keep_versions=1, min_age_seconds=0.0)
+    assert real["deleted"] == len(rep["would_delete"])
+    assert txlog.read_table(spark, root).count() == 1

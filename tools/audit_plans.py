@@ -157,6 +157,10 @@ AUDITED = [
     "txlog_replicate_snapshot",
     "txlog_snapshot_scd2",
     "ivf_index_maintain",
+    # r11 late additions: table clone, generated + identity columns
+    "txlog_clone",
+    "txlog_generated",
+    "txlog_identity",
 ]
 
 
