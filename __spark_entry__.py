@@ -5978,12 +5978,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_clone",
         "txlog_generated",
         "txlog_identity",
-        # 7-10: r11-changed semantics (re-certify under the new code)
+        # 9-12: r11-changed semantics (re-certify under the new code)
         "txlog_incremental_mv",
         "txlog_scd2",
         "txlog_replicate_stream",
         "txlog_replicate",
-        # 11-16: the six r7-stale txlog entries whose shared read path
+        # 13-18: the six r7-stale txlog entries whose shared read path
         # changed r8-r10 while their driver signal froze (VERDICT r10 #1)
         "txlog_column_mapping",
         "txlog_convert",
@@ -5991,7 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_stream_backpressure",
         "txlog_time_travel",
         "txlog_timestamp_travel",
-        # 17-45: the remaining 29 r7-stale entries, verbatim
+        # 19-47: the remaining 29 r7-stale entries, verbatim
         "brand_filter_revenue",
         "cms_frequencies",
         "cohort_retention",

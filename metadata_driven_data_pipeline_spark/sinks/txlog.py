@@ -1271,6 +1271,29 @@ def sync_identity(root: str) -> dict:
     return _commit_loop(root, build) | {"identity_high": highs}
 
 
+def _record_constraint(root: str, name: str, expr: str) -> dict:
+    """Commit a CHECK constraint WITHOUT the existing-rows validation
+    scan — for callers that already know the rows satisfy it (an empty
+    just-created table, a clone of a snapshot that passed it). The one
+    shared no-validation payload builder: :func:`clone_table` and
+    :func:`create_table`'s generated-column enforcement mint the same
+    commit shape through here (:func:`add_constraint` keeps its own
+    build for the validate-on-drift path), so a change to the shape
+    can't silently skip one of them."""
+
+    def build(cur: Snapshot, v: int):
+        return {
+            "version": v,
+            "op": "add_constraint",
+            "schema": cur.schema_json,
+            "add": [],
+            "remove": [],
+            "constraint": {"name": name, "expr": expr},
+        }
+
+    return _commit_loop(root, build)
+
+
 def _constraints_referencing(constraints: dict, column: str) -> list[str]:
     """Names of CHECK constraints whose expression references ``column``
     as an identifier (word-boundary match, case-insensitive — Spark
@@ -1775,6 +1798,14 @@ def commit_staged(
         ]
     )
     snap0 = load_snapshot(root)
+    if txn is not None and snap0.txns.get(txn[0], -1) >= txn[1]:
+        # at-least-once replay of an already-committed batch: skip
+        # BEFORE any validation work — a session-less replay into a
+        # constrained table must no-op, not refuse (and a with-session
+        # replay must not pay a validation scan for a skipped commit);
+        # build() re-checks per claim, so a commit racing in between
+        # still can't double-apply
+        return {"version": snap0.version, "skipped": True}
     if snap0.schema_json is not None and snap0.generated:
         missing_gen = [
             c for c in sorted(snap0.generated) if c not in schema.fieldNames()
@@ -2692,8 +2723,8 @@ def merge(
         # auto-assignment here could mint duplicate ids
         raise ValueError(
             f"merge: the batch omits identity column(s) {_missing_id} — "
-            "provide explicit values (run sync_identity afterwards) or "
-            "ingest new rows via append()"
+            "provide explicit values (the merge commit folds them into "
+            "the identity watermark) or ingest new rows via append()"
         )
 
     if order_col is None:
@@ -3960,6 +3991,31 @@ def clone_table(
     abs_dst = os.path.abspath(dst_root)
     if abs_src == abs_dst:
         raise ValueError("clone source and destination are the same table")
+    # fail fast on an occupied destination BEFORE any deep copy or
+    # DV-translation job runs (the commit callback re-checks for races)
+    cur0 = load_snapshot(dst_root)
+    if cur0.schema_json is not None or cur0.files or cur0.version != 0:
+        raise ValueError(
+            f"clone destination {dst_root} is already a txlog table "
+            f"(v{cur0.version}) — clone only creates new tables"
+        )
+    # a version/timestamp-pinned snapshot may lie past the source's
+    # vacuum horizon: committing references to deleted files would
+    # create a permanently broken clone (restore() guards the same
+    # case) — verify every referenced file and sidecar first
+    for rel, e in sorted(src.files.items()):
+        if not os.path.exists(os.path.join(src_root, rel)):
+            raise ValueError(
+                f"cannot clone v{src.version} of {src_root}: {rel} was "
+                "vacuumed"
+            )
+        dv = (e.get("dv") or {}).get("path")
+        if dv and not os.path.isdir(os.path.join(src_root, dv)):
+            raise ValueError(
+                f"cannot clone v{src.version} of {src_root}: "
+                f"deletion-vector sidecar {dv} (masking {rel}) was "
+                "vacuumed"
+            )
 
     entries: list[dict] = []
     rel_map: dict[str, str] = {}  # source files-dict key -> clone key
@@ -4034,19 +4090,7 @@ def clone_table(
 
     res = _commit_loop(dst_root, build)
     for name in sorted(src.constraints):
-        expr = src.constraints[name]
-
-        def cbuild(cur: Snapshot, v: int, name=name, expr=expr):
-            return {
-                "version": v,
-                "op": "add_constraint",
-                "schema": cur.schema_json,
-                "add": [],
-                "remove": [],
-                "constraint": {"name": name, "expr": expr},
-            }
-
-        _commit_loop(dst_root, cbuild)
+        _record_constraint(dst_root, name, src.constraints[name])
     return res | {
         "mode": mode,
         "source_version": src.version,
@@ -4792,24 +4836,19 @@ def create_table(
     res = _commit_loop(root, build)
     if gen and not res.get("skipped"):
         # enforcement rides the existing CHECK-constraint machinery —
-        # committed directly (the table is empty; nothing to validate)
+        # committed directly (the table is empty; nothing to validate).
+        # The comparison casts the expression to the DECLARED type, the
+        # same cast _apply_generated writes with — without it, any
+        # recipe whose natural type differs lossily from the column
+        # type (e.g. an INT bucket from a division) would fail its own
+        # constraint on every auto-computed write.
         for name in sorted(gen):
-            expr = gen[name]
-
-            def cbuild(cur: Snapshot, v: int, name=name, expr=expr):
-                return {
-                    "version": v,
-                    "op": "add_constraint",
-                    "schema": cur.schema_json,
-                    "add": [],
-                    "remove": [],
-                    "constraint": {
-                        "name": f"gen_{name}",
-                        "expr": f"{name} <=> ({expr})",
-                    },
-                }
-
-            _commit_loop(root, cbuild)
+            ddl = schema[name].dataType.simpleString()
+            _record_constraint(
+                root,
+                f"gen_{name}",
+                f"{name} <=> (CAST(({gen[name]}) AS {ddl}))",
+            )
     return res
 
 

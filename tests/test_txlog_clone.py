@@ -296,3 +296,38 @@ def test_restore_on_clone_across_clone_commit(spark, tmp_path):
     assert _rows(spark, dst) != at_clone
     txlog.restore(spark, dst, 1)
     assert _rows(spark, dst) == at_clone
+
+
+def test_clone_refuses_vacuumed_snapshot(spark, tmp_path):
+    """A version-pinned clone past the source's vacuum horizon must
+    raise instead of committing references to deleted files (the same
+    guard restore() has)."""
+    src, dst = _mk(tmp_path, "src"), _mk(tmp_path, "c")
+    txlog.append(
+        spark, spark.createDataFrame([(1, "a", 1)], "id int, s string, v int"),
+        src,
+    )
+    txlog.overwrite(
+        spark, spark.createDataFrame([(2, "b", 2)], "id int, s string, v int"),
+        src,
+    )
+    txlog.vacuum(src, keep_versions=1, min_age_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.clone_table(spark, src, dst, version=1)
+    assert not os.path.isdir(os.path.join(dst, txlog.LOG_DIR))
+
+
+def test_deep_clone_refuses_occupied_destination_before_copying(
+    spark, tmp_path
+):
+    src, dst = _mk(tmp_path, "src"), _mk(tmp_path, "c")
+    _build_src(spark, src)
+    txlog.append(
+        spark, spark.createDataFrame([(9, "z", 9)], "id int, s string, v int"),
+        dst,
+    )
+    n_before = sum(len(fs) for _, _, fs in os.walk(dst))
+    with pytest.raises(ValueError, match="already a txlog table"):
+        txlog.clone_table(spark, src, dst, deep=True)
+    # nothing was copied into the existing table's tree
+    assert sum(len(fs) for _, _, fs in os.walk(dst)) == n_before

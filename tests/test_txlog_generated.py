@@ -220,3 +220,64 @@ def test_declarative_create_table_with_generated(spark, tmp_path):
     txlog.append(spark, _batch(spark, 0, 3), root)
     got = txlog.read_table(spark, root)
     assert got.filter(F.col("event_date").isNull()).count() == 0
+
+
+def test_generated_lossy_cast_recipe(spark, tmp_path):
+    """The auto-registered gen_<col> constraint compares under the
+    DECLARED type's cast (the same cast _apply_generated writes with) —
+    a recipe whose natural type differs lossily from the column type
+    (an INT bucket from a division) must not fail its own constraint."""
+    from pyspark.sql.types import StructType
+
+    root = _mk(tmp_path, "lossy")
+    txlog.create_table(
+        root,
+        StructType.fromDDL("k BIGINT, bucket INT"),
+        generated={"bucket": "k / 7"},
+    )
+    txlog.append(
+        spark, spark.createDataFrame([(i,) for i in range(20)], "k bigint"),
+        root,
+    )
+    got = txlog.read_table(spark, root)
+    assert got.count() == 20
+    assert got.filter(
+        F.col("bucket") != (F.col("k") / 7).cast("int")
+    ).count() == 0
+
+
+def test_commit_staged_txn_replay_skips_before_validation(spark, tmp_path):
+    """An at-least-once replay of an already-committed txn batch must
+    no-op BEFORE constraint validation — in particular, a session-less
+    replay into a constrained table skips instead of refusing."""
+    import uuid
+
+    root = _mk(tmp_path, "replay")
+    txlog.append(spark, spark.createDataFrame([(1, 5)], "id int, v int"), root)
+    txlog.add_constraint(spark, root, "v_pos", "v > 0")
+    schema = txlog.load_snapshot(root).schema
+
+    def _stage(rows):
+        data_dir = os.path.join(root, txlog.DATA_DIR)
+        staging = os.path.join(str(tmp_path), f"stg-{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(rows, "id int, v int").coalesce(1).write.parquet(
+            staging
+        )
+        out = []
+        for n in os.listdir(staging):
+            if n.endswith(".parquet"):
+                dst = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:12]}-w.parquet"
+                )
+                os.replace(os.path.join(staging, n), dst)
+                out.append(dst)
+        return out
+
+    txlog.commit_staged(spark, root, _stage([(2, 7)]), schema, txn=("app", 1))
+    assert txlog.read_table(spark, root).count() == 2
+    # replay with NO session: must skip, not refuse on the constraints
+    rep = txlog.commit_staged(
+        None, root, _stage([(2, 7)]), schema, txn=("app", 1)
+    )
+    assert rep["skipped"] is True
+    assert txlog.read_table(spark, root).count() == 2
