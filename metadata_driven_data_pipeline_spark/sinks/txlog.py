@@ -794,6 +794,50 @@ def read_table(
     return load_snapshot(root, version, timestamp).read(spark)
 
 
+def describe_table(root: str) -> dict:
+    """``DESCRIBE DETAIL`` (r11, Delta parity): one driver-side pass
+    over the current snapshot's METADATA — never opens a data file —
+    summarizing what an operator needs before acting on a table:
+    version, column count, live file/row/byte totals, deletion-vector
+    debt (files masked + rows masked, the scan-time anti-join cost
+    OPTIMIZE ``mask_fraction`` folds away), partition layouts in use,
+    external (shallow-clone) file count + their base roots, and the
+    declared properties (CHECK constraints, generated recipes,
+    identity columns with watermarks, txn app count). O(files) JSON at
+    any table size."""
+    snap = load_snapshot(root)
+    if snap.schema_json is None:
+        raise ValueError(f"not a txlog table (no commits): {root}")
+    files = snap.files
+    layouts = sorted(
+        {tuple(e["partition"].keys()) for e in files.values() if e.get("partition")}
+    )
+    bases = sorted(
+        {e["base"] for e in files.values() if e.get("base") is not None}
+    )
+    masked = [e for e in files.values() if e.get("dv")]
+    return {
+        "root": os.path.abspath(root),
+        "version": snap.version,
+        "num_columns": len(snap.schema.fields),
+        "num_files": len(files),
+        "num_rows": sum(_live_rows(e) for e in files.values()),
+        "size_bytes": sum(e.get("bytes", 0) for e in files.values()),
+        "partition_layouts": [list(sig) for sig in layouts],
+        "num_external_files": sum(
+            1 for e in files.values() if e.get("base") is not None
+        ),
+        "external_bases": bases,
+        "num_masked_files": len(masked),
+        "rows_masked": sum(e["dv"].get("rows", 0) for e in masked),
+        "constraints": dict(snap.constraints),
+        "generated": dict(snap.generated),
+        "identity": {k: dict(v) for k, v in snap.identity.items()},
+        "num_txn_apps": len(snap.txns),
+        "retired_columns": sorted(snap.retired),
+    }
+
+
 def history(root: str) -> list[dict]:
     """Commit history (RETAINED commits — :func:`cleanup_log` expires
     records below the checkpoint horizon), oldest first: version / op /

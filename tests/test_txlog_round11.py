@@ -661,3 +661,42 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     real = txlog.vacuum(root, keep_versions=1, min_age_seconds=0.0)
     assert real["deleted"] == len(rep["would_delete"])
     assert txlog.read_table(spark, root).count() == 1
+
+
+def test_describe_table_detail(spark, tmp_path):
+    """DESCRIBE DETAIL (r11): metadata-only summary — live totals, DV
+    debt, partition layouts, external (clone) references, properties."""
+    from pyspark.sql.types import StructType
+
+    src = os.path.join(str(tmp_path), "dsrc")
+    txlog.create_table(
+        src,
+        StructType.fromDDL("id BIGINT, part INT, v INT"),
+        identity={"id": 1},
+    )
+    txlog.append(
+        spark,
+        spark.createDataFrame(
+            [(i % 2, i) for i in range(10)], "part int, v int"
+        ).coalesce(1),
+        src,
+        partition_by=["part"],
+    )
+    txlog.add_constraint(spark, src, "v_nonneg", "v >= 0")
+    txlog.delete(spark, src, [("v", "==", 3)], deletion_vectors=True)
+    d = txlog.describe_table(src)
+    assert d["num_rows"] == 9 and d["num_columns"] == 3
+    assert d["partition_layouts"] == [["part"]]
+    assert d["num_masked_files"] == 1 and d["rows_masked"] == 1
+    assert d["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["identity"]["id"]["high"] is not None
+    assert d["num_external_files"] == 0
+
+    clone = os.path.join(str(tmp_path), "dclone")
+    txlog.clone_table(spark, src, clone)
+    dc = txlog.describe_table(clone)
+    assert dc["num_external_files"] == dc["num_files"] > 0
+    assert dc["external_bases"] == [os.path.abspath(src)]
+    assert dc["num_rows"] == 9
+    with pytest.raises(ValueError, match="not a txlog table"):
+        txlog.describe_table(os.path.join(str(tmp_path), "nope"))
