@@ -700,3 +700,52 @@ def test_describe_table_detail(spark, tmp_path):
     assert dc["num_rows"] == 9
     with pytest.raises(ValueError, match="not a txlog table"):
         txlog.describe_table(os.path.join(str(tmp_path), "nope"))
+
+
+def test_example_table_lifecycle_document(spark, tmp_path, monkeypatch):
+    """The shipped examples/table_lifecycle.json must RUN end-to-end
+    (ADVICE r10 #1 was exactly a shipped example drifting from the
+    verbs): createTable with generated+identity, timestamp-pinned
+    shallow clone + un-shallow optimize, vacuum dry-run preview."""
+    from metadata_driven_data_pipeline_spark import orchestrate
+    from metadata_driven_data_pipeline_spark.config import load_config
+
+    root = str(tmp_path)
+    monkeypatch.setenv("DATA_ROOT", root)
+    cur = f"{root}/tables/events_curated"
+
+    # stage 1: create the table, then land two commits of events
+    doc = None
+    monkeypatch.setenv("REHEARSAL_AS_OF", "2100-01-01 00:00:00+00:00")
+    doc = load_config("examples/table_lifecycle.json")
+    orchestrate.run_table_maintenance(spark, doc["maintenance"][:1])
+    for lo in (0, 3):
+        txlog.append(
+            spark,
+            spark.createDataFrame(
+                [(i, f"2026-01-0{i + 1} 08:00:00", f"p{i}") for i in range(lo, lo + 3)],
+                "user_id bigint, ts_s string, payload string",
+            ).selectExpr(
+                "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "payload"
+            ),
+            cur,
+        )
+    # pin the rehearsal instant at the FIRST append's commit (the two
+    # constraint commits precede it: create=v1, gen=v2, user_known=v3)
+    as_of = [h for h in txlog.history(cur) if h["version"] == 4][0]["ts"]
+    d = txlog.describe_table(cur)
+    assert d["generated"] and d["identity"] and d["num_rows"] == 6
+
+    # stage 2+3: clone as-of v2, optimize the fork, vacuum dry-run
+    monkeypatch.setenv("REHEARSAL_AS_OF", as_of)
+    doc = load_config("examples/table_lifecycle.json")
+    reports = orchestrate.run_table_maintenance(spark, doc["maintenance"][1:])
+    reh = f"{root}/tables/events_rehearsal"
+    assert reports[0]["clone"]["mode"] == "shallow"
+    got = txlog.read_table(spark, reh)
+    assert got.count() == 3  # the v2 snapshot, not the later append
+    # optimize un-shallowed the fork; identity + generated carried
+    dr = txlog.describe_table(reh)
+    assert dr["num_external_files"] == 0
+    assert dr["generated"] and dr["identity"]["event_id"]["high"] is not None
+    assert reports[1]["vacuum"]["dry_run"] is True
