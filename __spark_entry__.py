@@ -86,6 +86,28 @@ def _event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Certificate helper — multiset equality of two frames in ONE job.
+
+    ``a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0``
+    ⟺ for every distinct row, (occurrences in a) − (occurrences in b)
+    == 0 — a single signed count over the union. The two-sided
+    exceptAll pair planned and executed both (often expensive) legs
+    TWICE each; this evaluates each leg once and shuffles once
+    (r11 optimization round, guide §1.2/§2.4). ``limit(1)`` stops at
+    the first unbalanced row."""
+    cols = a.columns
+    diff = (
+        a.select(*cols)
+        .withColumn("__w", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__w", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__w").alias("__s"))
+        .filter(F.col("__s") != 0)
+    )
+    return diff.limit(1).count() == 0
+
+
 def _revenue() -> F.Column:
     return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
 
@@ -4564,10 +4586,7 @@ def q_txlog_stream_row_changes(
     batch_feed = txlog.read_row_changes(spark, root, 0)
     rows = [r for rs in drained.values() for r in rs]
     streamed = spark.createDataFrame(rows, batch_feed.schema)
-    equals_batch = (
-        streamed.exceptAll(batch_feed).count() == 0
-        and batch_feed.exceptAll(streamed).count() == 0
-    )
+    equals_batch = _multiset_equal(streamed, batch_feed)
     return (
         streamed.groupBy(
             F.col("_commit_version").alias("commit_version"),
@@ -4635,10 +4654,7 @@ def q_txlog_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = txlog.replicate(spark, src, tgt, ["o_orderkey"], max_versions=2)
     src_df = txlog.read_table(spark, src)
     tgt_df = txlog.read_table(spark, tgt)
-    converged = (
-        tgt_df.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(tgt_df).count() == 0
-    )
+    converged = _multiset_equal(tgt_df, src_df)
     v_tgt = txlog.load_snapshot(tgt).version
     rep2 = txlog.replicate(spark, src, tgt, ["o_orderkey"], max_versions=2)
     idempotent = (
@@ -4779,10 +4795,7 @@ def q_txlog_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.replicate_stream(spark, src, tgt, ["o_orderkey"], ckpt, max_versions=2)
     src_df = txlog.read_table(spark, src)
     tgt_df = txlog.read_table(spark, tgt)
-    converged = (
-        tgt_df.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(tgt_df).count() == 0
-    )
+    converged = _multiset_equal(tgt_df, src_df)
     app = f"txlog-replicate-stream:{os.path.abspath(src)}"
     multi_epoch = txlog.load_snapshot(tgt).txns.get(app, -1) >= 1
     v_tgt = txlog.load_snapshot(tgt).version
@@ -4843,10 +4856,7 @@ def q_txlog_replicate_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.replicate(spark, src, tgt, ["p_partkey"], max_versions=1)
     src_df = txlog.read_table(spark, src)
     tgt_df = txlog.read_table(spark, tgt)
-    converged = (
-        tgt_df.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(tgt_df).count() == 0
-    )
+    converged = _multiset_equal(tgt_df, src_df)
     return tgt_df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
@@ -4905,16 +4915,32 @@ def q_txlog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # v4
     rep = txlog.apply_changes_scd2(spark, src, tgt, ["o_orderkey"], max_versions=2)
     hist = txlog.read_table(spark, tgt)
-    asof_ok = all(
-        txlog.scd2_snapshot_as_of(hist, v)
-        .exceptAll(txlog.read_table(spark, src, version=v))
+    # asof certificate in ONE job (r11 optimization): the old loop ran
+    # 8 exceptAll().count() actions (2 per version); multiset equality
+    # per version ⟺ every (version, row)'s signed count sums to zero
+    # across the union of all reconstruction/time-travel legs
+    import functools
+
+    asof_legs = []
+    for v in range(1, 5):
+        asof_legs.append(
+            txlog.scd2_snapshot_as_of(hist, v)
+            .withColumn("__v", F.lit(v))
+            .withColumn("__w", F.lit(1))
+        )
+        asof_legs.append(
+            txlog.read_table(spark, src, version=v)
+            .withColumn("__v", F.lit(v))
+            .withColumn("__w", F.lit(-1))
+        )
+    asof_ok = (
+        functools.reduce(lambda x, y: x.unionByName(y), asof_legs)
+        .groupBy("__v", "o_orderkey", "o_totalprice")
+        .agg(F.sum("__w").alias("__s"))
+        .filter(F.col("__s") != 0)
+        .limit(1)
         .count()
         == 0
-        and txlog.read_table(spark, src, version=v)
-        .exceptAll(txlog.scd2_snapshot_as_of(hist, v))
-        .count()
-        == 0
-        for v in range(1, 5)
     )
     v_tgt = txlog.load_snapshot(tgt).version
     rep2 = txlog.apply_changes_scd2(spark, src, tgt, ["o_orderkey"], max_versions=2)
@@ -5097,10 +5123,7 @@ def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
-    converged = (
-        view.exceptAll(direct).count() == 0
-        and direct.exceptAll(view).count() == 0
-    )
+    converged = _multiset_equal(view, direct)
     v_tgt = txlog.load_snapshot(tgt).version
     rep2 = txlog.maintain_aggregate(
         spark,
@@ -5169,10 +5192,7 @@ def q_txlog_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
-    converged = (
-        view.exceptAll(direct).count() == 0
-        and direct.exceptAll(view).count() == 0
-    )
+    converged = _multiset_equal(view, direct)
     rescanned = rep.get("groups_rescanned", 0) >= 1
     rep2 = txlog.maintain_aggregate(spark, src, tgt, ["o_orderpriority"], aggs)
     idempotent = rep2["chunks_applied"] == 0 and rep2["chunks_empty"] == 0
@@ -5242,10 +5262,7 @@ def q_txlog_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.expr(case)).alias("hi_cnt"),
         )
     )
-    converged = (
-        view.exceptAll(direct).count() == 0
-        and direct.exceptAll(view).count() == 0
-    )
+    converged = _multiset_equal(view, direct)
     return view.select(
         F.col("o_orderpriority").alias("priority"),
         "n",
@@ -5303,11 +5320,7 @@ def q_txlog_replicate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.replicate_from_snapshot(spark, s1, tgt, ["o_orderkey"], 1)
     r2 = txlog.replicate_from_snapshot(spark, s2, tgt, ["o_orderkey"], 2)
     replica = txlog.read_table(spark, tgt)
-    converged = (
-        r2["applied"]
-        and replica.exceptAll(s2).count() == 0
-        and s2.exceptAll(replica).count() == 0
-    )
+    converged = r2["applied"] and _multiset_equal(replica, s2)
     idempotent = txlog.replicate_from_snapshot(
         spark, s2, tgt, ["o_orderkey"], 2
     )["skipped"]
@@ -5395,9 +5408,7 @@ def q_txlog_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_versions=1)
     a = txlog.read_table(spark, cdc_hist)
     b = txlog.read_table(spark, snap_hist)
-    equal_cdc = (
-        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    )
+    equal_cdc = _multiset_equal(a, b)
     idempotent = txlog.apply_changes_scd2_from_snapshot(
         spark, s3, snap_hist, ["o_orderkey"], 3
     )["skipped"]
@@ -5685,10 +5696,7 @@ def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_sel = maintained.select("vec_id", "__cell")
     r_sel = rebuilt.select("vec_id", "__cell")
-    equal_rebuild = (
-        m_sel.exceptAll(r_sel).count() == 0
-        and r_sel.exceptAll(m_sel).count() == 0
-    )
+    equal_rebuild = _multiset_equal(m_sel, r_sel)
     queries_df = txlog.read_table(spark, src).filter(
         (F.col("vec_id") >= cut) & (F.col("vec_id") < cut + 25)
     )
