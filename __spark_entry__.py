@@ -644,9 +644,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature (first 4 of 16 hashes) — sketch reproducibility."""
     docs = _t(spark, sf_dir, "documents")
     sig = (
-        docs.select("doc_id", dd.word_shingles(F.col("text")).alias("sh"))
-        .select("doc_id", dd.shingle_hashes(F.col("sh")).alias("hs"))
-        .select("doc_id", dd.minhash_from_hashes(F.col("hs"), 16).alias("sig"))
+        docs.select("doc_id", dd.word_shingles("text").alias("sh"))
+        .select("doc_id", dd.shingle_hashes("sh").alias("hs"))
+        .select("doc_id", dd.minhash_from_hashes("hs", 16).alias("sig"))
     )
     return sig.select(
         "doc_id",
@@ -676,8 +676,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketch values (60-bit sign-sum of token hashes)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", dd.token_hashes(F.col("text")).alias("th")
-    ).select("doc_id", dd.simhash_from_hashes(F.col("th")).alias("simhash"))
+        "doc_id", dd.token_hashes("text").alias("th")
+    ).select("doc_id", dd.simhash_from_hashes("th").alias("simhash"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

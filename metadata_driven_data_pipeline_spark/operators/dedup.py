@@ -108,9 +108,36 @@ def exact_dedup(
 
 # --- shingles + minhash ------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def _norm_sql(col: str) -> str:
+    """SQL text of :func:`normalize_text` over a named column."""
+    return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+
+
+def _tokens_sql(col: str) -> str:
+    """SQL text of :func:`tokens` over an arbitrary string expression."""
+    return (
+        f"CASE WHEN trim({col}) = '' THEN CAST(array() AS array<string>) "
+        f"ELSE split(trim({col}), '\\\\s+') END"
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (shorter docs yield the
-    whole doc as one shingle so they still participate)."""
+    whole doc as one shingle so they still participate).
+
+    Pass the column NAME (str) in hot paths: the tree then parses as ONE
+    SQL expression instead of dozens of py4j round trips (r11 — plan
+    CONSTRUCTION was a measured driver cost across the minhash family;
+    the parsed tree duplicates the token subtree exactly like the
+    Column form does, so plans and results are identical)."""
+    if isinstance(text, str):
+        t = _tokens_sql(_norm_sql(text))
+        return F.expr(
+            f"array_distinct(CASE WHEN size({t}) >= {n} THEN "
+            f"transform(sequence(0, size({t}) - {n}), "
+            f"i -> concat_ws(' ', slice({t}, i + 1, {n}))) "
+            f"ELSE array(concat_ws(' ', {t})) END)"
+        )
     toks = tokens(normalize_text(text))
     cnt = F.size(toks)
     raw = F.when(
@@ -161,7 +188,19 @@ def _perm_consts(i: int) -> tuple[int, int]:
     return a, b
 
 
-def shingle_hashes(shingles: Column, hash_fn: str = "md5") -> Column:
+def _base_hash_sql(var: str, hash_fn: str) -> str:
+    """SQL text of :func:`_base_hash` over a lambda variable/column."""
+    if hash_fn == "md5":
+        return (
+            f"CAST(conv(substring(md5({var}), 1, 15), 16, 10) AS BIGINT) "
+            f"% {MERSENNE31}"
+        )
+    if hash_fn == "xxhash64":
+        return f"pmod(xxhash64({var}), {MERSENNE31})"
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+
+
+def shingle_hashes(shingles: Column | str, hash_fn: str = "md5") -> Column:
     """One 31-bit base hash per shingle (a SINGLE hash pass over the doc).
     All k min-hashes are derived from this array by cheap linear
     permutations — the classic universal-hashing MinHash construction —
@@ -170,11 +209,17 @@ def shingle_hashes(shingles: Column, hash_fn: str = "md5") -> Column:
     ``hash_fn``: ``"md5"`` (oracle-reproducible default) or ``"xxhash64"``
     (codegen'd production lane) — see :func:`_base_hash`.
 
-    31-bit range keeps a*x+b < 2^62, overflow-free in 64-bit SQL ints."""
+    31-bit range keeps a*x+b < 2^62, overflow-free in 64-bit SQL ints.
+    Accepts a column NAME (str) for the one-parse construction lane
+    (same tree, see :func:`word_shingles`)."""
+    if isinstance(shingles, str):
+        return F.expr(
+            f"transform({shingles}, s -> {_base_hash_sql('s', hash_fn)})"
+        )
     return F.transform(shingles, lambda s: _base_hash(s, hash_fn))
 
 
-def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+def minhash_from_hashes(hashes: Column | str, num_hashes: int = 16) -> Column:
     """k min-hashes over a *materialized* base-hash array column
     (:func:`shingle_hashes`): min_s (a_i * h(s) + b_i) mod 2^31-1.
 
@@ -182,7 +227,17 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
     ``array_min`` terms each embed their input, and Catalyst does not
     common-subexpression-eliminate inside higher-order functions, so an
     inlined hash expression would tokenize+md5 the document k times.
+    A column NAME (str) uses the one-parse construction lane (same tree,
+    see :func:`word_shingles`).
     """
+    if isinstance(hashes, str):
+        mins_sql = ", ".join(
+            f"array_min(transform({hashes}, "
+            f"x -> ({a} * x + {b}) % {MERSENNE31}))"
+            for a, b in (_perm_consts(i) for i in range(num_hashes))
+        )
+        return F.expr(f"array({mins_sql})")
+
     # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
     # lambda as (element, index)
     def perm(i: int):
@@ -240,34 +295,30 @@ def minhash_lsh_candidates(
     # each materialize once per row (multi-use non-cheap alias → Catalyst
     # keeps the projection boundary)
     sig = (
-        base.select("__id", word_shingles(F.col("__text")).alias("__shingles"))
+        base.select("__id", word_shingles("__text").alias("__shingles"))
         .select(
-            "__id", shingle_hashes(F.col("__shingles"), hash_fn).alias("__hashes")
+            "__id", shingle_hashes("__shingles", hash_fn).alias("__hashes")
         )
         .select(
             "__id",
-            minhash_from_hashes(F.col("__hashes"), num_hashes).alias("__sig"),
+            minhash_from_hashes("__hashes", num_hashes).alias("__sig"),
         )
+    )
+    # banded explode as one parsed expression (same construction lane as
+    # the signature chain — identical tree to the F.struct/F.lit form)
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {parts}) AS bucket)".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(__sig[{b * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
     banded = sig.select(
         "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("__sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # hint("merge"): a broadcast self-join would build the (expensive)
@@ -304,7 +355,7 @@ def ngram_jaccard_pairs(
     """
     ex = (
         widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-        .select("__id", word_shingles(F.col("__text"), n).alias("__sh"))
+        .select("__id", word_shingles("__text", n).alias("__sh"))
         .select(
             "__id",
             F.size("__sh").alias("__n_shingles"),
@@ -375,7 +426,7 @@ def jaccard_verify_pairs(
         raise ValueError(
             f"unknown shingle_hash {shingle_hash!r}; use None or 'xxhash64'"
         )
-    sh_expr = word_shingles(F.col(text_col), n)
+    sh_expr = word_shingles(text_col, n)
     if shingle_hash == "xxhash64":
         # distinct text shingles -> distinct hashes w.h.p.; Jaccard over
         # the hashed sets equals Jaccard over the text sets up to 2^-64
@@ -519,19 +570,51 @@ def minhash_dedup(
 
 # --- simhash -----------------------------------------------------------------
 
-def token_hashes(text: Column) -> Column:
-    """60-bit hash per distinct normalized token (SimHash input)."""
+def token_hashes(text: Column | str) -> Column:
+    """60-bit hash per distinct normalized token (SimHash input).
+    A column NAME (str) uses the one-parse construction lane (same
+    tree, see :func:`word_shingles`)."""
+    if isinstance(text, str):
+        t = _tokens_sql(_norm_sql(text))
+        return F.expr(
+            f"transform(array_distinct({t}), s -> "
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+        )
     return F.transform(F.array_distinct(tokens(normalize_text(text))), _hash60)
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
+def simhash_from_hashes(hashes: Column | str) -> Column:
     """64-bit SimHash from a *materialized* token-hash array column: bit j
     of the sketch is 1 iff more token-hashes have bit j set than not.
 
     The 60 per-bit counts each reference the hash array, so (as with
     :func:`minhash_from_shingles`) pass a column reference — inlining the
     hashing expression would tokenize+md5 the document 60 times.
+
+    Pass the column NAME (str) in hot paths: the 60 per-bit aggregate
+    lambdas then parse as ONE SQL expression instead of ~10k py4j round
+    trips of Column construction — measured 2.5 s of pure driver time
+    per plan at r11, the dominant cost of ``simhash_pairs`` (guide
+    §1.2 step 2: per-task work was already right; the *driver* was the
+    hot spot). The parsed tree is the same expression (same aggregate/
+    shiftright/CASE shape), so sketches are bit-identical.
     """
+    if isinstance(hashes, str):
+        col = hashes
+        ones = [
+            f"aggregate({col}, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + (shiftright(h, {j}) & CAST(1 AS BIGINT)))"
+            for j in range(60)
+        ]
+        bits = " + ".join(
+            f"(CASE WHEN {o} * 2 >= size({col}) "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j, o in enumerate(ones)
+        )
+        return F.expr(
+            f"CASE WHEN size({col}) > 0 THEN ({bits}) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
     n = F.size(hashes)
 
     # Per-bit integer F.aggregate instead of F.size(F.filter(...)): same
@@ -582,8 +665,8 @@ def simhash_candidates(
     sketches for full recall.)"""
     sh = (
         widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-        .select("__id", token_hashes(F.col("__text")).alias("__hashes"))
-        .select("__id", simhash_from_hashes(F.col("__hashes")).alias("__sh"))
+        .select("__id", token_hashes("__text").alias("__hashes"))
+        .select("__id", simhash_from_hashes("__hashes").alias("__sh"))
     )
     bucketed = sh.withColumn(
         "__bucket", F.shiftright("__sh", 60 - prefix_bits)
@@ -808,7 +891,7 @@ def split_contamination(
     with_split = df.select(
         F.col(id_col),
         (hash_draw(F.col(id_col), salt) < F.lit(threshold)).alias("__is_test"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
+        word_shingles(text_col, n).alias("__sh"),
     )
     # NOTE: deliberately NOT persisting `exploded` — the __is_test filter
     # does not depend on the shingle projection, so Catalyst pushes it
@@ -875,7 +958,7 @@ def containment_verify_pairs(
     )
     sh = _track_persist(
         df.join(in_pairs, id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+        .select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
@@ -963,13 +1046,13 @@ def minhash_index(
         df.select(F.col(id_col), F.col(text_col).alias("__text"))
     )
     return (
-        base.select(id_col, word_shingles(F.col("__text")).alias("__shingles"))
+        base.select(id_col, word_shingles("__text").alias("__shingles"))
         .select(
-            id_col, shingle_hashes(F.col("__shingles"), hash_fn).alias("__hashes")
+            id_col, shingle_hashes("__shingles", hash_fn).alias("__hashes")
         )
         .select(
             id_col,
-            minhash_from_hashes(F.col("__hashes"), num_hashes).alias("sig"),
+            minhash_from_hashes("__hashes", num_hashes).alias("sig"),
         )
     )
 
