@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metadata_driven_data_pipeline_spark.operators.dedup import _hash60
+from metadata_driven_data_pipeline_spark.operators.partitioning import widen
 from metadata_driven_data_pipeline_spark.operators.sampling import hash_draw
 from metadata_driven_data_pipeline_spark.operators.text import (
     normalize_text,
@@ -83,7 +84,13 @@ def hashed_ngram_counts(
     most ``buckets`` rows whatever the corpus size. Map-side partial
     aggregation bounds the shuffle at B rows per upstream partition —
     the same fixed-state property as the CMS/Bloom sketches."""
-    grams = df.select(
+    # widen BEFORE the explode (r11, guide §2.5 input parallelism): a
+    # model corpus read from one parquet split would run the dominant
+    # per-gram md5 hashing in a single task (measured: the whole model
+    # build was a 1-task 1.3-1.5 s broadcast job at sf0.1); round-robin
+    # repartition moves only (text) and is a no-op at scale. Counts are
+    # commutative aggregates — the model is identical.
+    grams = widen(df.select(F.col(text_col))).select(
         F.explode(_ngrams(F.col(text_col))).alias("__g")
     )
     return (
@@ -229,7 +236,11 @@ def dsir_weights(
             - F.log(F.lit(1.0) / (F.col("__nr") + b))
         ).alias("__default")
     )
-    doc_grams = raw_df.select(
+    # widen for the same single-split reason as hashed_ngram_counts —
+    # the scoring explode re-hashes every gram of the raw corpus
+    doc_grams = widen(
+        raw_df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), F.explode_outer(_ngrams(F.col(text_col))).alias("__g")
     ).select(
         id_col,
