@@ -483,9 +483,10 @@ def maintain_ivf_index(
     ):
         batch = txlog._net_changes(feed, [id_col]).cache()
         try:
-            if txlog._validate_net_batch(
+            is_empty, lo, hi = txlog._validate_net_batch(
                 batch, [id_col], f"ivf source commit range ({cursor}, {end}]"
-            ):
+            )
+            if is_empty:
                 empty += 1
                 txlog._bootstrap_for_watermark(
                     index_root,
@@ -532,6 +533,10 @@ def maintain_ivf_index(
                 order_col=None,
                 when_matched_delete="__tomb",
                 txn=(app_id, end),
+                # assigned ∪ tombs partitions the validated net batch by
+                # __tomb, so its keys stay exactly the batch's (unique,
+                # non-NULL, bounds from the validate aggregate)
+                _validated_bounds=(lo, hi),
             )
             applied += 1
         finally:

@@ -336,6 +336,9 @@ class Snapshot:
 
 _DV_REL = "__txlog_dv_rel"
 _DV_POS = "__txlog_dv_pos"
+# every deletion-vector sidecar is written as exactly (rel, pos) —
+# declaring it on read skips per-read footer schema inference
+_DV_SCHEMA = "rel STRING, pos BIGINT"
 
 
 def _file_legs(
@@ -486,7 +489,9 @@ def _dv_positions(
     )
     if not dirs:
         return None
-    return spark.read.parquet(
+    # sidecar schema is fixed at write time — declaring it skips the
+    # per-read footer schema-inference job (r11, guide §6)
+    return spark.read.schema(_DV_SCHEMA).parquet(
         *(os.path.join(root, d) for d in dirs)
     ).select("rel", "pos")
 
@@ -2639,6 +2644,7 @@ def merge(
     when_matched: list | None = None,
     merge_schema: bool = False,
     persist_batch: bool = False,
+    _validated_bounds: tuple | None = None,
 ) -> dict:
     """MERGE INTO, pruned at FILE granularity: only files whose
     ``key_cols[0]`` footer range overlaps the batch's key range are
@@ -2801,6 +2807,7 @@ def merge(
             when_matched,
             merge_schema,
             conditional,
+            _validated_bounds,
         )
     finally:
         if _own_persist:
@@ -2821,16 +2828,30 @@ def _merge_apply(
     when_matched: list | None,
     merge_schema: bool,
     conditional: bool,
+    _validated_bounds: tuple | None = None,
 ) -> dict:
     """Body of :func:`merge` after clause validation, generated-column
     application and batch persistence (split out so the persist scope
-    is a plain try/finally)."""
+    is a plain try/finally).
+
+    ``_validated_bounds=(lo, hi)`` (r11, internal): the caller
+    certifies the batch is KEY-UNIQUE with non-NULL keys (it already
+    ran :func:`_validate_net_batch`, or the batch is the output of a
+    ``groupBy(*key_cols)``) and hands over the leading key's min/max —
+    merge then skips its own contract-check aggregate, saving one full
+    evaluation of the batch plan per call. Bounds may be WIDER than the
+    batch's true range (both the file pruning and the concurrent-commit
+    overlap check only get more conservative)."""
     from metadata_driven_data_pipeline_spark.operators.consolidate import (
         dedup_keep_latest,
     )
 
     key = key_cols[0]
-    if order_col is None:
+    if _validated_bounds is not None:
+        lo, hi = _json_stat(_validated_bounds[0]), _json_stat(
+            _validated_bounds[1]
+        )
+    elif order_col is None:
         # ONE aggregate serves both the key-unique contract check and
         # the key-range bounds (r11: was two separate jobs — the
         # group keys' min/max equal the row-level min/max)
@@ -3266,7 +3287,8 @@ def delete(
             all_pos.write.parquet(dv_abs)
             counts = {
                 r["rel"]: r["cnt"]
-                for r in spark.read.parquet(dv_abs)
+                for r in spark.read.schema(_DV_SCHEMA)
+                .parquet(dv_abs)
                 .groupBy("rel")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()  # bounded: one row per affected FILE
@@ -3500,7 +3522,8 @@ def update(
             all_pos.write.parquet(os.path.join(root, dv_rel))
             counts = {
                 r["rel"]: r["cnt"]
-                for r in spark.read.parquet(os.path.join(root, dv_rel))
+                for r in spark.read.schema(_DV_SCHEMA)
+                .parquet(os.path.join(root, dv_rel))
                 .groupBy("rel")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
@@ -4031,7 +4054,9 @@ def _translate_dv(
     """Copy one deletion-vector sidecar into ``dst_root``'s ``_dv/``
     with its ``rel`` keys rewritten into the clone's key space. The
     broadcast pair join keeps this O(masked rows) — never O(table)."""
-    src_df = spark.read.parquet(os.path.join(src_root, dv_rel_src))
+    src_df = spark.read.schema(_DV_SCHEMA).parquet(
+        os.path.join(src_root, dv_rel_src)
+    )
     pairs = spark.createDataFrame(
         [(k, v) for k, v in sorted(rel_map.items())],
         "rel string, __new_rel string",
@@ -4860,7 +4885,7 @@ def _net_changes(feed: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def _validate_net_batch(
     batch: DataFrame, key_cols: list[str], ctx: str
-) -> bool:
+) -> tuple[bool, object, object]:
     """Fail loudly on the two keyed-table contract violations a CDC
     source can commit: NULL keys, and duplicate keys (>1 row surviving
     at the winning rank — e.g. one commit inserting the same key twice).
@@ -4868,10 +4893,14 @@ def _validate_net_batch(
     carry positional identity, so an arbitrary pick would diverge the
     replica (ADVICE r9, medium).
 
-    Returns True when the batch is EMPTY — all three per-chunk checks
-    (empty, NULL key, duplicate key) ride ONE aggregate job (one
-    shuffle on the keys, one action), not three, since the chunk loops
-    pay this on every chunk."""
+    Returns ``(empty, lo, hi)`` — empty=True for a zero-row batch, and
+    the min/max of the LEADING key over the batch otherwise. All four
+    per-chunk facts (empty, NULL key, duplicate key, leading-key
+    bounds) ride ONE aggregate job (one shuffle on the keys, one
+    action): the bounds let the consumer hand :func:`merge` its
+    ``_validated_bounds`` so the downstream MERGE skips re-running the
+    same aggregate (r11, guide §1.2 — the chunk loops paid two
+    identical jobs per chunk)."""
     nullc = functools.reduce(
         lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
     )
@@ -4881,11 +4910,16 @@ def _validate_net_batch(
             F.count(F.lit(1)).alias("n"),
             F.max(nullc.cast("int")).alias("nl"),
         )
-        .agg(F.max("n").alias("mx"), F.max("nl").alias("anynull"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.max("nl").alias("anynull"),
+            F.min(key_cols[0]).alias("lo"),
+            F.max(key_cols[0]).alias("hi"),
+        )
         .first()
     )
     if row["mx"] is None:
-        return True  # empty chunk
+        return True, None, None  # empty chunk
     if row["anynull"]:
         raise ValueError(
             f"replicate: NULL key in {key_cols} at {ctx} — keyed "
@@ -4898,7 +4932,7 @@ def _validate_net_batch(
             "winning (_commit_version, precedence) rank); keyed "
             "replication cannot represent a duplicate-keyed multiset"
         )
-    return False
+    return False, row["lo"], row["hi"]
 
 
 def create_table(
@@ -5097,9 +5131,10 @@ def replicate(
     ):
         batch = _net_changes(feed, key_cols).cache()
         try:
-            if _validate_net_batch(
+            is_empty, lo, hi = _validate_net_batch(
                 batch, key_cols, f"source commit range ({cursor}, {end}]"
-            ):
+            )
+            if is_empty:
                 empty += 1
                 # zero-net chunk: bootstrap the target with a schema-only
                 # commit if needed so the watermark ALWAYS advances — an
@@ -5127,6 +5162,7 @@ def replicate(
                 when_matched_delete="__tomb",
                 txn=(app_id, end),
                 merge_schema=True,
+                _validated_bounds=(lo, hi),
             )
         finally:
             batch.unpersist()
@@ -5208,9 +5244,10 @@ def replicate_stream(
             return  # empty epoch: nothing to apply or record
         batch = _net_changes(batch_df, key_cols).cache()
         try:
-            if _validate_net_batch(
+            is_empty, lo, hi = _validate_net_batch(
                 batch, key_cols, f"stream epoch {epoch_id}"
-            ):
+            )
+            if is_empty:
                 _bootstrap_for_watermark(
                     target_root,
                     StructType(
@@ -5232,6 +5269,7 @@ def replicate_stream(
                 when_matched_delete="__tomb",
                 txn=(app_id, int(wm)),
                 merge_schema=True,
+                _validated_bounds=(lo, hi),
             )
         finally:
             batch.unpersist()
@@ -5375,7 +5413,15 @@ def _apply_scd2_feed(
         .cache()
     )
     try:
-        if _validate_net_batch(changes, key_cols + ["__v"], ctx):
+        # the validate aggregate's leading-key bounds double as (a) the
+        # target current-row scan range and (b) the MERGE's
+        # _validated_bounds — the chunk's changed-key range covers every
+        # closure and insert key, so one job replaces the three
+        # identical min/max aggregates this loop used to run (r11)
+        is_empty, lo, hi = _validate_net_batch(
+            changes, key_cols + ["__v"], ctx
+        )
+        if is_empty:
             vt = changes.schema["__v"].dataType
             _bootstrap_for_watermark(
                 target_root,
@@ -5402,13 +5448,10 @@ def _apply_scd2_feed(
         first_v = changes.groupBy(*key_cols).agg(F.min("__v").alias("__v0"))
         batch = inserts
         if load_snapshot(target_root).schema_json is not None:
-            b = first_v.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
-            ).collect()[0]
             cur, _ = scan(
                 spark,
                 target_root,
-                where=[(key, ">=", b["lo"]), (key, "<=", b["hi"])],
+                where=[(key, ">=", lo), (key, "<=", hi)],
             )
             closures = (
                 cur.filter(F.col(SCD2_END).isNull())
@@ -5444,6 +5487,15 @@ def _apply_scd2_feed(
             # closure-scan ∪ LEAD-window feed: expensive enough that
             # evaluating it once beats re-running it per merge action
             persist_batch=True,
+            # (key, _scd2_start) uniqueness is structural, so merge's
+            # contract aggregate is redundant here: inserts are unique
+            # per (key, __v) (validated above), closures carry one
+            # current row per key (the SCD2 invariant this MERGE itself
+            # maintains), and a closure's start (≤ the app watermark)
+            # can never equal an insert's start (> the watermark) —
+            # versions only enter the history through watermark-ordered
+            # chunks of this app
+            _validated_bounds=(lo, hi),
         )
         return True
     finally:
@@ -5762,22 +5814,28 @@ def _apply_mv_feed(
         functools.reduce(lambda a, b: a | b, keep)
     ).cache()
     try:
-        null_grouped = (
-            deltas.filter(
-                functools.reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in group_cols],
-                )
-            )
-            .limit(1)
-            .count()
+        # ONE aggregate job answers all three per-chunk questions —
+        # NULL group values, emptiness, and the leading group key's
+        # bounds (which feed the MERGE's _validated_bounds below):
+        # r11, was two limit(1).count() jobs plus merge's own
+        # bounds/contract aggregate over the same cached deltas
+        g0 = group_cols[0]
+        nullg = functools.reduce(
+            lambda a, b: a | b,
+            [F.col(k).isNull() for k in group_cols],
         )
-        if null_grouped:
+        probe = deltas.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(nullg.cast("int")).alias("anynull"),
+            F.min(g0).alias("lo"),
+            F.max(g0).alias("hi"),
+        ).first()
+        if probe["anynull"]:
             raise ValueError(
                 f"maintain_aggregate: NULL group value in {group_cols} "
                 f"at {ctx} — group columns must be non-NULL"
             )
-        if deltas.limit(1).count() == 0:
+        if probe["n"] == 0:
             _bootstrap_for_watermark(
                 target_root,
                 StructType(
@@ -5850,6 +5908,10 @@ def _apply_mv_feed(
             # min/max rescan joins make the delta batch plan expensive;
             # plain-delta chunks ride the cached `deltas` unchanged
             persist_batch=bool(mm),
+            # deltas is the output of groupBy(*group_cols) (and the
+            # rescan path only left-joins per-group frames onto it), so
+            # key-uniqueness is structural; bounds from the probe above
+            _validated_bounds=(probe["lo"], probe["hi"]),
         )
         return True
     finally:
@@ -6206,7 +6268,10 @@ def replicate_from_snapshot(
     feed = snapshot_changes(prev, snapshot, key_cols, version)
     batch = _net_changes(feed, key_cols).cache()
     try:
-        if _validate_net_batch(batch, key_cols, f"snapshot v{version}"):
+        is_empty, lo, hi = _validate_net_batch(
+            batch, key_cols, f"snapshot v{version}"
+        )
+        if is_empty:
             _bootstrap_for_watermark(
                 target_root,
                 StructType(
@@ -6229,6 +6294,7 @@ def replicate_from_snapshot(
             when_matched_delete="__tomb",
             txn=(app_id, version),
             merge_schema=True,
+            _validated_bounds=(lo, hi),
         )
         return {
             "app_id": app_id,
