@@ -481,66 +481,67 @@ def maintain_ivf_index(
     for feed, end in txlog.iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
-        batch = txlog._net_changes(feed, [id_col]).cache()
-        try:
-            is_empty, lo, hi = txlog._validate_net_batch(
-                batch, [id_col], f"ivf source commit range ({cursor}, {end}]"
-            )
-            if is_empty:
-                empty += 1
-                txlog._bootstrap_for_watermark(
-                    index_root,
-                    StructType(
-                        [
-                            StructField(
-                                id_col, batch.schema[id_col].dataType, True
-                            ),
-                            StructField("_cv", ArrayType(DoubleType()), True),
-                            StructField("_cn", DoubleType(), True),
-                            StructField("_cell", IntegerType(), True),
-                        ]
-                    ),
+        with txlog._aqe_cached_batches(spark):
+            batch = txlog._net_changes(feed, [id_col]).cache()
+            try:
+                is_empty, lo, hi = txlog._validate_net_batch(
+                    batch, [id_col], f"ivf source commit range ({cursor}, {end}]"
                 )
-                txlog._advance_txn(index_root, app_id, end)
-                cursor = end
-                continue
-            ups = batch.filter(~F.col("__tomb")).select(id_col, emb_col)
-            assigned = ivf_build_index(
-                ups,
-                dim,
-                id_col=id_col,
-                emb_col=emb_col,
-                centroids=centroids,
-            ).select(
-                id_col,
-                F.col("__cv").alias("_cv"),
-                F.col("__cn").alias("_cn"),
-                F.col("__cell").alias("_cell"),
-                F.lit(False).alias("__tomb"),
-            )
-            tombs = batch.filter(F.col("__tomb")).select(
-                id_col,
-                F.lit(None).cast("array<double>").alias("_cv"),
-                F.lit(None).cast("double").alias("_cn"),
-                F.lit(None).cast("int").alias("_cell"),
-                F.lit(True).alias("__tomb"),
-            )
-            txlog.merge(
-                spark,
-                assigned.unionByName(tombs),
-                index_root,
-                [id_col],
-                order_col=None,
-                when_matched_delete="__tomb",
-                txn=(app_id, end),
-                # assigned ∪ tombs partitions the validated net batch by
-                # __tomb, so its keys stay exactly the batch's (unique,
-                # non-NULL, bounds from the validate aggregate)
-                _validated_bounds=(lo, hi),
-            )
-            applied += 1
-        finally:
-            batch.unpersist()
+                if is_empty:
+                    empty += 1
+                    txlog._bootstrap_for_watermark(
+                        index_root,
+                        StructType(
+                            [
+                                StructField(
+                                    id_col, batch.schema[id_col].dataType, True
+                                ),
+                                StructField("_cv", ArrayType(DoubleType()), True),
+                                StructField("_cn", DoubleType(), True),
+                                StructField("_cell", IntegerType(), True),
+                            ]
+                        ),
+                    )
+                    txlog._advance_txn(index_root, app_id, end)
+                    cursor = end
+                    continue
+                ups = batch.filter(~F.col("__tomb")).select(id_col, emb_col)
+                assigned = ivf_build_index(
+                    ups,
+                    dim,
+                    id_col=id_col,
+                    emb_col=emb_col,
+                    centroids=centroids,
+                ).select(
+                    id_col,
+                    F.col("__cv").alias("_cv"),
+                    F.col("__cn").alias("_cn"),
+                    F.col("__cell").alias("_cell"),
+                    F.lit(False).alias("__tomb"),
+                )
+                tombs = batch.filter(F.col("__tomb")).select(
+                    id_col,
+                    F.lit(None).cast("array<double>").alias("_cv"),
+                    F.lit(None).cast("double").alias("_cn"),
+                    F.lit(None).cast("int").alias("_cell"),
+                    F.lit(True).alias("__tomb"),
+                )
+                txlog.merge(
+                    spark,
+                    assigned.unionByName(tombs),
+                    index_root,
+                    [id_col],
+                    order_col=None,
+                    when_matched_delete="__tomb",
+                    txn=(app_id, end),
+                    # assigned ∪ tombs partitions the validated net batch by
+                    # __tomb, so its keys stay exactly the batch's (unique,
+                    # non-NULL, bounds from the validate aggregate)
+                    _validated_bounds=(lo, hi),
+                )
+                applied += 1
+            finally:
+                batch.unpersist()
         cursor = end
     return {
         "app_id": app_id,

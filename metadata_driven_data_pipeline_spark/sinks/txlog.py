@@ -88,6 +88,7 @@ import json
 import os
 import re
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -339,6 +340,39 @@ _DV_POS = "__txlog_dv_pos"
 # every deletion-vector sidecar is written as exactly (rel, pos) —
 # declaring it on read skips per-read footer schema inference
 _DV_SCHEMA = "rel STRING, pos BIGINT"
+
+_CACHED_PLAN_AQE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+@contextmanager
+def _aqe_cached_batches(spark: SparkSession):
+    """Let AQE size the partitioning of plans cached INSIDE this scope
+    (r11, guide §2.2): the CDC consumers cache each chunk's net-change
+    batch, and with Spark's default
+    ``canChangeCachedPlanOutputPartitioning=false`` the batch is pinned
+    at the full shuffle-partition count however small it is — every
+    downstream job over the cached chunk then schedules dozens of
+    near-empty tasks (measured: 33-37-task jobs over KB-sized chunks,
+    ~2s of pure scheduling per consumer entry). With the flag on, AQE's
+    byte-based coalescing applies to the cache materialization too:
+    tiny chunks collapse to one partition locally, and at 100 TB a
+    multi-GB chunk still gets advisory-sized partitions — the setting
+    is scale-adaptive by construction. Scoped (set + restored) rather
+    than session-wide because operators that persist big self-join
+    intermediates sized for per-core parallelism (e.g. MinHash verify)
+    measurably LOSE from cache-time coalescing."""
+    try:
+        old = spark.conf.get(_CACHED_PLAN_AQE)
+    except Exception:
+        old = None
+    spark.conf.set(_CACHED_PLAN_AQE, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_CACHED_PLAN_AQE)
+        else:
+            spark.conf.set(_CACHED_PLAN_AQE, old)
 
 
 def _file_legs(
@@ -5129,45 +5163,46 @@ def replicate(
     for feed, end in iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
-        batch = _net_changes(feed, key_cols).cache()
-        try:
-            is_empty, lo, hi = _validate_net_batch(
-                batch, key_cols, f"source commit range ({cursor}, {end}]"
-            )
-            if is_empty:
-                empty += 1
-                # zero-net chunk: bootstrap the target with a schema-only
-                # commit if needed so the watermark ALWAYS advances — an
-                # OPTIMIZE-only source history is diffed at most once
-                # even into a fresh target (VERDICT r10 #4)
-                _bootstrap_for_watermark(
-                    target_root,
-                    StructType(
-                        [
-                            f
-                            for f in batch.schema.fields
-                            if f.name != "__tomb"
-                        ]
-                    ),
+        with _aqe_cached_batches(spark):
+            batch = _net_changes(feed, key_cols).cache()
+            try:
+                is_empty, lo, hi = _validate_net_batch(
+                    batch, key_cols, f"source commit range ({cursor}, {end}]"
                 )
-                _advance_txn(target_root, app_id, end)
-                cursor = end
-                continue  # nothing to apply; watermark advanced above
-            merge(
-                spark,
-                batch,
-                target_root,
-                key_cols,
-                order_col=None,
-                when_matched_delete="__tomb",
-                txn=(app_id, end),
-                merge_schema=True,
-                _validated_bounds=(lo, hi),
-            )
-        finally:
-            batch.unpersist()
-        applied += 1
-        cursor = end
+                if is_empty:
+                    empty += 1
+                    # zero-net chunk: bootstrap the target with a schema-only
+                    # commit if needed so the watermark ALWAYS advances — an
+                    # OPTIMIZE-only source history is diffed at most once
+                    # even into a fresh target (VERDICT r10 #4)
+                    _bootstrap_for_watermark(
+                        target_root,
+                        StructType(
+                            [
+                                f
+                                for f in batch.schema.fields
+                                if f.name != "__tomb"
+                            ]
+                        ),
+                    )
+                    _advance_txn(target_root, app_id, end)
+                    cursor = end
+                    continue  # nothing to apply; watermark advanced above
+                merge(
+                    spark,
+                    batch,
+                    target_root,
+                    key_cols,
+                    order_col=None,
+                    when_matched_delete="__tomb",
+                    txn=(app_id, end),
+                    merge_schema=True,
+                    _validated_bounds=(lo, hi),
+                )
+            finally:
+                batch.unpersist()
+            applied += 1
+            cursor = end
     return {
         "app_id": app_id,
         "from_version": start,
@@ -5242,37 +5277,38 @@ def replicate_stream(
         ).collect()[0]["v"]
         if wm is None:
             return  # empty epoch: nothing to apply or record
-        batch = _net_changes(batch_df, key_cols).cache()
-        try:
-            is_empty, lo, hi = _validate_net_batch(
-                batch, key_cols, f"stream epoch {epoch_id}"
-            )
-            if is_empty:
-                _bootstrap_for_watermark(
-                    target_root,
-                    StructType(
-                        [
-                            f
-                            for f in batch.schema.fields
-                            if f.name != "__tomb"
-                        ]
-                    ),
+        with _aqe_cached_batches(spark):
+            batch = _net_changes(batch_df, key_cols).cache()
+            try:
+                is_empty, lo, hi = _validate_net_batch(
+                    batch, key_cols, f"stream epoch {epoch_id}"
                 )
-                _advance_txn(target_root, app_id, int(wm))
-                return
-            merge(
-                spark,
-                batch,
-                target_root,
-                key_cols,
-                order_col=None,
-                when_matched_delete="__tomb",
-                txn=(app_id, int(wm)),
-                merge_schema=True,
-                _validated_bounds=(lo, hi),
-            )
-        finally:
-            batch.unpersist()
+                if is_empty:
+                    _bootstrap_for_watermark(
+                        target_root,
+                        StructType(
+                            [
+                                f
+                                for f in batch.schema.fields
+                                if f.name != "__tomb"
+                            ]
+                        ),
+                    )
+                    _advance_txn(target_root, app_id, int(wm))
+                    return
+                merge(
+                    spark,
+                    batch,
+                    target_root,
+                    key_cols,
+                    order_col=None,
+                    when_matched_delete="__tomb",
+                    txn=(app_id, int(wm)),
+                    merge_schema=True,
+                    _validated_bounds=(lo, hi),
+                )
+            finally:
+                batch.unpersist()
 
     feed = (
         spark.readStream.format("txlog")
@@ -5401,105 +5437,106 @@ def _apply_scd2_feed(
     w = Window.partitionBy(*key_cols, "_commit_version").orderBy(
         F.col("__prec").desc()
     )
-    changes = (
-        feed.withColumn("__prec", prec)
-        .withColumn("__rk", F.rank().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            *data_cols,
-            F.col("_commit_version").cast("long").alias("__v"),
-            (F.col("__prec") == 0).alias("__is_del"),
-        )
-        .cache()
-    )
-    try:
-        # the validate aggregate's leading-key bounds double as (a) the
-        # target current-row scan range and (b) the MERGE's
-        # _validated_bounds — the chunk's changed-key range covers every
-        # closure and insert key, so one job replaces the three
-        # identical min/max aggregates this loop used to run (r11)
-        is_empty, lo, hi = _validate_net_batch(
-            changes, key_cols + ["__v"], ctx
-        )
-        if is_empty:
-            vt = changes.schema["__v"].dataType
-            _bootstrap_for_watermark(
-                target_root,
-                StructType(
-                    [f for f in changes.schema.fields if f.name in data_cols]
-                    + [
-                        StructField(SCD2_START, vt, True),
-                        StructField(SCD2_END, vt, True),
-                    ]
-                ),
-            )
-            _advance_txn(target_root, app_id, batch_id)
-            return False
-        nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
-        inserts = (
-            changes.withColumn("__next", F.lead("__v").over(nxt))
-            .filter(~F.col("__is_del"))
+    with _aqe_cached_batches(spark):
+        changes = (
+            feed.withColumn("__prec", prec)
+            .withColumn("__rk", F.rank().over(w))
+            .filter(F.col("__rk") == 1)
             .select(
                 *data_cols,
-                F.col("__v").alias(SCD2_START),
-                F.col("__next").alias(SCD2_END),
+                F.col("_commit_version").cast("long").alias("__v"),
+                (F.col("__prec") == 0).alias("__is_del"),
             )
+            .cache()
         )
-        first_v = changes.groupBy(*key_cols).agg(F.min("__v").alias("__v0"))
-        batch = inserts
-        if load_snapshot(target_root).schema_json is not None:
-            cur, _ = scan(
-                spark,
-                target_root,
-                where=[(key, ">=", lo), (key, "<=", hi)],
+        try:
+            # the validate aggregate's leading-key bounds double as (a) the
+            # target current-row scan range and (b) the MERGE's
+            # _validated_bounds — the chunk's changed-key range covers every
+            # closure and insert key, so one job replaces the three
+            # identical min/max aggregates this loop used to run (r11)
+            is_empty, lo, hi = _validate_net_batch(
+                changes, key_cols + ["__v"], ctx
             )
-            closures = (
-                cur.filter(F.col(SCD2_END).isNull())
-                .join(first_v, key_cols)
-                .withColumn(SCD2_END, F.col("__v0"))
-                .drop("__v0")
-                # closure rows carry ALL of the target row's own columns
-                # (not data_cols ∩ target: a column the source DROPPED
-                # mid-history must keep its preserved historical value —
-                # history outlives the source, ADVICE r10 #4); a column
-                # the source added after this row was written isn't in
-                # the target yet and is NULL-filled by the union/merge
-                # evolution path
+            if is_empty:
+                vt = changes.schema["__v"].dataType
+                _bootstrap_for_watermark(
+                    target_root,
+                    StructType(
+                        [f for f in changes.schema.fields if f.name in data_cols]
+                        + [
+                            StructField(SCD2_START, vt, True),
+                            StructField(SCD2_END, vt, True),
+                        ]
+                    ),
+                )
+                _advance_txn(target_root, app_id, batch_id)
+                return False
+            nxt = Window.partitionBy(*key_cols).orderBy(F.col("__v"))
+            inserts = (
+                changes.withColumn("__next", F.lead("__v").over(nxt))
+                .filter(~F.col("__is_del"))
                 .select(
-                    *[
-                        c
-                        for c in cur.columns
-                        if c not in (SCD2_START, SCD2_END)
-                    ],
-                    SCD2_START,
-                    SCD2_END,
+                    *data_cols,
+                    F.col("__v").alias(SCD2_START),
+                    F.col("__next").alias(SCD2_END),
                 )
             )
-            batch = closures.unionByName(inserts, allowMissingColumns=True)
-        merge(
-            spark,
-            batch,
-            target_root,
-            key_cols + [SCD2_START],
-            order_col=None,
-            txn=(app_id, batch_id),
-            merge_schema=True,
-            # closure-scan ∪ LEAD-window feed: expensive enough that
-            # evaluating it once beats re-running it per merge action
-            persist_batch=True,
-            # (key, _scd2_start) uniqueness is structural, so merge's
-            # contract aggregate is redundant here: inserts are unique
-            # per (key, __v) (validated above), closures carry one
-            # current row per key (the SCD2 invariant this MERGE itself
-            # maintains), and a closure's start (≤ the app watermark)
-            # can never equal an insert's start (> the watermark) —
-            # versions only enter the history through watermark-ordered
-            # chunks of this app
-            _validated_bounds=(lo, hi),
-        )
-        return True
-    finally:
-        changes.unpersist()
+            first_v = changes.groupBy(*key_cols).agg(F.min("__v").alias("__v0"))
+            batch = inserts
+            if load_snapshot(target_root).schema_json is not None:
+                cur, _ = scan(
+                    spark,
+                    target_root,
+                    where=[(key, ">=", lo), (key, "<=", hi)],
+                )
+                closures = (
+                    cur.filter(F.col(SCD2_END).isNull())
+                    .join(first_v, key_cols)
+                    .withColumn(SCD2_END, F.col("__v0"))
+                    .drop("__v0")
+                    # closure rows carry ALL of the target row's own columns
+                    # (not data_cols ∩ target: a column the source DROPPED
+                    # mid-history must keep its preserved historical value —
+                    # history outlives the source, ADVICE r10 #4); a column
+                    # the source added after this row was written isn't in
+                    # the target yet and is NULL-filled by the union/merge
+                    # evolution path
+                    .select(
+                        *[
+                            c
+                            for c in cur.columns
+                            if c not in (SCD2_START, SCD2_END)
+                        ],
+                        SCD2_START,
+                        SCD2_END,
+                    )
+                )
+                batch = closures.unionByName(inserts, allowMissingColumns=True)
+            merge(
+                spark,
+                batch,
+                target_root,
+                key_cols + [SCD2_START],
+                order_col=None,
+                txn=(app_id, batch_id),
+                merge_schema=True,
+                # closure-scan ∪ LEAD-window feed: expensive enough that
+                # evaluating it once beats re-running it per merge action
+                persist_batch=True,
+                # (key, _scd2_start) uniqueness is structural, so merge's
+                # contract aggregate is redundant here: inserts are unique
+                # per (key, __v) (validated above), closures carry one
+                # current row per key (the SCD2 invariant this MERGE itself
+                # maintains), and a closure's start (≤ the app watermark)
+                # can never equal an insert's start (> the watermark) —
+                # versions only enter the history through watermark-ordered
+                # chunks of this app
+                _validated_bounds=(lo, hi),
+            )
+            return True
+        finally:
+            changes.unpersist()
 
 
 def apply_changes_scd2_stream(
@@ -5810,112 +5847,113 @@ def _apply_mv_feed(
     for out in mm:
         keep.append(F.col(out).isNotNull())
         keep.append(F.col(f"__del_{out}").isNotNull())
-    deltas = deltas0.filter(
-        functools.reduce(lambda a, b: a | b, keep)
-    ).cache()
-    try:
-        # ONE aggregate job answers all three per-chunk questions —
-        # NULL group values, emptiness, and the leading group key's
-        # bounds (which feed the MERGE's _validated_bounds below):
-        # r11, was two limit(1).count() jobs plus merge's own
-        # bounds/contract aggregate over the same cached deltas
-        g0 = group_cols[0]
-        nullg = functools.reduce(
-            lambda a, b: a | b,
-            [F.col(k).isNull() for k in group_cols],
-        )
-        probe = deltas.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(nullg.cast("int")).alias("anynull"),
-            F.min(g0).alias("lo"),
-            F.max(g0).alias("hi"),
-        ).first()
-        if probe["anynull"]:
-            raise ValueError(
-                f"maintain_aggregate: NULL group value in {group_cols} "
-                f"at {ctx} — group columns must be non-NULL"
+    with _aqe_cached_batches(spark):
+        deltas = deltas0.filter(
+            functools.reduce(lambda a, b: a | b, keep)
+        ).cache()
+        try:
+            # ONE aggregate job answers all three per-chunk questions —
+            # NULL group values, emptiness, and the leading group key's
+            # bounds (which feed the MERGE's _validated_bounds below):
+            # r11, was two limit(1).count() jobs plus merge's own
+            # bounds/contract aggregate over the same cached deltas
+            g0 = group_cols[0]
+            nullg = functools.reduce(
+                lambda a, b: a | b,
+                [F.col(k).isNull() for k in group_cols],
             )
-        if probe["n"] == 0:
-            _bootstrap_for_watermark(
+            probe = deltas.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(nullg.cast("int")).alias("anynull"),
+                F.min(g0).alias("lo"),
+                F.max(g0).alias("hi"),
+            ).first()
+            if probe["anynull"]:
+                raise ValueError(
+                    f"maintain_aggregate: NULL group value in {group_cols} "
+                    f"at {ctx} — group columns must be non-NULL"
+                )
+            if probe["n"] == 0:
+                _bootstrap_for_watermark(
+                    target_root,
+                    StructType(
+                        [
+                            f
+                            for f in deltas.schema.fields
+                            if not f.name.startswith("__")
+                        ]
+                    ),
+                )
+                _advance_txn(target_root, app_id, batch_id)
+                return False
+            batch = deltas
+            if mm:
+                batch = _mv_minmax_rescan(
+                    spark, deltas, target_root, group_cols, aggs, mm,
+                    rescan_src, stats,
+                )
+            # fold: counts add; sums add zero-based raw values and the
+            # exposed value reverts to NULL exactly when the folded
+            # non-null-contribution count is zero (SQL SUM semantics) —
+            # a NULL stored sum implies raw 0, so coalesce reconstructs
+            fold = {}
+            for out, (kind, _) in aggs.items():
+                if kind == "count":
+                    fold[out] = f"t.{out} + s.{out}"
+                elif kind == "avg":
+                    s_, c_ = avg_cols[out]
+                    fold[s_] = f"COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)"
+                    fold[c_] = f"t.{c_} + s.{c_}"
+                    fold[out] = (
+                        f"CASE WHEN t.{c_} + s.{c_} = 0 THEN NULL "
+                        f"ELSE (COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)) "
+                        f"/ (t.{c_} + s.{c_}) END"
+                    )
+                elif kind in ("min", "max"):
+                    # rescanned groups SET the recomputed extremum (it is
+                    # final — the rescan ran AS OF chunk end); everyone else
+                    # folds monotonically (LEAST/GREATEST skip NULLs, so a
+                    # delete-only group leaves the stored extremum alone)
+                    lg = "LEAST" if kind == "min" else "GREATEST"
+                    fold[out] = (
+                        f"CASE WHEN s.__mv_rescan THEN s.{out} "
+                        f"ELSE {lg}(t.{out}, s.{out}) END"
+                    )
+                else:
+                    c = nn[out]
+                    fold[out] = (
+                        f"CASE WHEN t.{c} + s.{c} = 0 THEN NULL "
+                        f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.{out}, 0) "
+                        "END"
+                    )
+                    fold[c] = f"t.{c} + s.{c}"
+            fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
+            merge(
+                spark,
+                batch,
                 target_root,
-                StructType(
-                    [
-                        f
-                        for f in deltas.schema.fields
-                        if not f.name.startswith("__")
-                    ]
-                ),
+                group_cols,
+                order_col=None,
+                when_matched=[
+                    {
+                        "action": "delete",
+                        "condition": f"t.{MV_COUNT} + s.{MV_COUNT} = 0",
+                    },
+                    {"action": "update", "set": fold},
+                ],
+                when_not_matched_insert=True,
+                txn=(app_id, batch_id),
+                # min/max rescan joins make the delta batch plan expensive;
+                # plain-delta chunks ride the cached `deltas` unchanged
+                persist_batch=bool(mm),
+                # deltas is the output of groupBy(*group_cols) (and the
+                # rescan path only left-joins per-group frames onto it), so
+                # key-uniqueness is structural; bounds from the probe above
+                _validated_bounds=(probe["lo"], probe["hi"]),
             )
-            _advance_txn(target_root, app_id, batch_id)
-            return False
-        batch = deltas
-        if mm:
-            batch = _mv_minmax_rescan(
-                spark, deltas, target_root, group_cols, aggs, mm,
-                rescan_src, stats,
-            )
-        # fold: counts add; sums add zero-based raw values and the
-        # exposed value reverts to NULL exactly when the folded
-        # non-null-contribution count is zero (SQL SUM semantics) —
-        # a NULL stored sum implies raw 0, so coalesce reconstructs
-        fold = {}
-        for out, (kind, _) in aggs.items():
-            if kind == "count":
-                fold[out] = f"t.{out} + s.{out}"
-            elif kind == "avg":
-                s_, c_ = avg_cols[out]
-                fold[s_] = f"COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)"
-                fold[c_] = f"t.{c_} + s.{c_}"
-                fold[out] = (
-                    f"CASE WHEN t.{c_} + s.{c_} = 0 THEN NULL "
-                    f"ELSE (COALESCE(t.{s_}, 0) + COALESCE(s.{s_}, 0)) "
-                    f"/ (t.{c_} + s.{c_}) END"
-                )
-            elif kind in ("min", "max"):
-                # rescanned groups SET the recomputed extremum (it is
-                # final — the rescan ran AS OF chunk end); everyone else
-                # folds monotonically (LEAST/GREATEST skip NULLs, so a
-                # delete-only group leaves the stored extremum alone)
-                lg = "LEAST" if kind == "min" else "GREATEST"
-                fold[out] = (
-                    f"CASE WHEN s.__mv_rescan THEN s.{out} "
-                    f"ELSE {lg}(t.{out}, s.{out}) END"
-                )
-            else:
-                c = nn[out]
-                fold[out] = (
-                    f"CASE WHEN t.{c} + s.{c} = 0 THEN NULL "
-                    f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.{out}, 0) "
-                    "END"
-                )
-                fold[c] = f"t.{c} + s.{c}"
-        fold[MV_COUNT] = f"t.{MV_COUNT} + s.{MV_COUNT}"
-        merge(
-            spark,
-            batch,
-            target_root,
-            group_cols,
-            order_col=None,
-            when_matched=[
-                {
-                    "action": "delete",
-                    "condition": f"t.{MV_COUNT} + s.{MV_COUNT} = 0",
-                },
-                {"action": "update", "set": fold},
-            ],
-            when_not_matched_insert=True,
-            txn=(app_id, batch_id),
-            # min/max rescan joins make the delta batch plan expensive;
-            # plain-delta chunks ride the cached `deltas` unchanged
-            persist_batch=bool(mm),
-            # deltas is the output of groupBy(*group_cols) (and the
-            # rescan path only left-joins per-group frames onto it), so
-            # key-uniqueness is structural; bounds from the probe above
-            _validated_bounds=(probe["lo"], probe["hi"]),
-        )
-        return True
-    finally:
-        deltas.unpersist()
+            return True
+        finally:
+            deltas.unpersist()
 
 
 def _mv_minmax_rescan(
@@ -6266,44 +6304,45 @@ def replicate_from_snapshot(
         return {"app_id": app_id, "version": version, "skipped": True}
     prev = snap.read(spark) if snap.schema_json is not None else None
     feed = snapshot_changes(prev, snapshot, key_cols, version)
-    batch = _net_changes(feed, key_cols).cache()
-    try:
-        is_empty, lo, hi = _validate_net_batch(
-            batch, key_cols, f"snapshot v{version}"
-        )
-        if is_empty:
-            _bootstrap_for_watermark(
-                target_root,
-                StructType(
-                    [f for f in batch.schema.fields if f.name != "__tomb"]
-                ),
+    with _aqe_cached_batches(spark):
+        batch = _net_changes(feed, key_cols).cache()
+        try:
+            is_empty, lo, hi = _validate_net_batch(
+                batch, key_cols, f"snapshot v{version}"
             )
-            _advance_txn(target_root, app_id, version)
+            if is_empty:
+                _bootstrap_for_watermark(
+                    target_root,
+                    StructType(
+                        [f for f in batch.schema.fields if f.name != "__tomb"]
+                    ),
+                )
+                _advance_txn(target_root, app_id, version)
+                return {
+                    "app_id": app_id,
+                    "version": version,
+                    "skipped": False,
+                    "applied": False,
+                }
+            merge(
+                spark,
+                batch,
+                target_root,
+                key_cols,
+                order_col=None,
+                when_matched_delete="__tomb",
+                txn=(app_id, version),
+                merge_schema=True,
+                _validated_bounds=(lo, hi),
+            )
             return {
                 "app_id": app_id,
                 "version": version,
                 "skipped": False,
-                "applied": False,
+                "applied": True,
             }
-        merge(
-            spark,
-            batch,
-            target_root,
-            key_cols,
-            order_col=None,
-            when_matched_delete="__tomb",
-            txn=(app_id, version),
-            merge_schema=True,
-            _validated_bounds=(lo, hi),
-        )
-        return {
-            "app_id": app_id,
-            "version": version,
-            "skipped": False,
-            "applied": True,
-        }
-    finally:
-        batch.unpersist()
+        finally:
+            batch.unpersist()
 
 
 def apply_changes_scd2_from_snapshot(
