@@ -4574,7 +4574,7 @@ def q_txlog_stream_row_changes(
         .load(root)
         .writeStream.foreachBatch(record)
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="200 milliseconds")
+        # default 0-interval trigger: drain as fast as commits admit
         .start()
     )
     try:

@@ -5322,7 +5322,11 @@ def replicate_stream(
     )
     if not available_now:
         return writer.start()
-    q = writer.trigger(processingTime="100 milliseconds").start()
+    # drain mode: the default 0-interval ProcessingTime trigger fires the
+    # next micro-batch as soon as the previous one commits — a nonzero
+    # interval only added idle wait between admitted chunks (r11; batch
+    # count/content is pinned by admission control, not by cadence)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
@@ -5596,7 +5600,11 @@ def apply_changes_scd2_stream(
     )
     if not available_now:
         return writer.start()
-    q = writer.trigger(processingTime="100 milliseconds").start()
+    # drain mode: the default 0-interval ProcessingTime trigger fires the
+    # next micro-batch as soon as the previous one commits — a nonzero
+    # interval only added idle wait between admitted chunks (r11; batch
+    # count/content is pinned by admission control, not by cadence)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
@@ -6152,7 +6160,11 @@ def maintain_aggregate_stream(
     )
     if not available_now:
         return writer.start()
-    q = writer.trigger(processingTime="100 milliseconds").start()
+    # drain mode: the default 0-interval ProcessingTime trigger fires the
+    # next micro-batch as soon as the previous one commits — a nonzero
+    # interval only added idle wait between admitted chunks (r11; batch
+    # count/content is pinned by admission control, not by cadence)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
