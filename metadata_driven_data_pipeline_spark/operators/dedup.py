@@ -479,7 +479,8 @@ def _exact_collapse(
         else F.xxhash64(normalize_text(F.col(text_col)))
     )
     fps = _track_persist(
-        df.select(F.col(id_col), fp.alias("__fp"))
+        widen(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), fp.alias("__fp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     reps = fps.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
@@ -1254,6 +1255,10 @@ def span_dedup(
 
     Returns: (id_col, n_spans, n_kept, dedup_text).
     """
+    # per-row tokenize/slice dominates — parallelize a single-split
+    # input (no-op at scale); both the span explode and the totals leg
+    # read the widened projection
+    df = widen(df.select(F.col(id_col), F.col(text_col)))
     toks = tokens(F.col(text_col))
     # NULL text → tokens() is NULL and size(NULL) is NULL, which would
     # bypass the <= 0 guard and leak NULL n_spans; coalesce pins every

@@ -323,15 +323,17 @@ def lm_cross_entropy(
     corpus-sized), one per-doc aggregate, plus a 1-row broadcast for
     ``C_total``. No Python, no window over the corpus.
     """
+    from .partitioning import widen
+
     ref = lm_df if lm_df is not None else df
-    ref_grams = ref.select(
+    ref_grams = widen(ref.select(text_col)).select(
         F.explode(bigrams(tokens(normalize_text(F.col(text_col))))).alias(
             "__gram"
         )
     )
     lm = ref_grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cref"))
     total = ref_grams.groupBy().agg(F.count(F.lit(1)).alias("__ctot"))
-    doc_grams = df.select(
+    doc_grams = widen(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(bigrams(tokens(normalize_text(F.col(text_col))))).alias(
             "__gram"
@@ -461,9 +463,17 @@ def pack_sequences(
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience projection adding the full text-analysis column family."""
+    """Convenience projection adding the full text-analysis column family.
+
+    Widened first (r11, guide §2.5 input parallelism): the per-row
+    tokenize/md5 work dominates, and a corpus read from one parquet
+    split would run it single-task; round-robin repartition is a no-op
+    once the input is already parallel, and a projection's row set is
+    order-free so results are unchanged."""
+    from .partitioning import widen
+
     t = F.col(text_col)
-    return df.withColumns(
+    return widen(df).withColumns(
         {
             "n_tokens": token_count(t),
             "n_bpe_tokens": bpe_ish_token_count(t),
@@ -522,6 +532,11 @@ def quality_classifier(
         raise ValueError("weights must be non-empty")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    from .partitioning import widen
+
+    # per-token hashing dominates — parallelize a single-split input
+    # (no-op at scale, see text_profile)
+    df = widen(df)
     d = len(weights)
     micro = [int(round(w * 1_000_000)) for w in weights]
     w_arr = F.array(*[F.lit(m).cast("bigint") for m in micro])
@@ -604,6 +619,11 @@ def gopher_rules(
     shuffle, no UDFs; linear and embarrassingly parallel at any corpus
     size.
     """
+    from .partitioning import widen
+
+    # per-word rule evaluation dominates — parallelize a single-split
+    # input (no-op at scale, see text_profile)
+    df = widen(df)
     t = F.col(text_col)
     toks = tokens(t)
     n_words = F.size(toks)
@@ -823,7 +843,9 @@ def encode_with_vocab(
     the corpus side map-side when the vocab broadcasts; the groupBy on
     doc id is the only corpus shuffle).
     """
-    toks = df.select(
+    from .partitioning import widen
+
+    toks = widen(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(tokens(normalize_text(F.col(text_col)))).alias(
             "__pos", "token"
@@ -894,7 +916,13 @@ def keyword_search(
     toks = tokens(normalize_text(F.col(text_col)))
     dl = F.size(toks)
 
-    base = df.select(F.col(id_col), toks.alias("__toks"), dl.alias("__dl"))
+    from .partitioning import widen
+
+    # tokenization feeds BOTH the stats aggregate and the scoring
+    # projection — parallelize a single-split input (no-op at scale)
+    base = widen(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("__toks"), dl.alias("__dl")
+    )
     def term_eq(term: str):
         # closure factory, NOT a default-arg lambda: F.filter treats a
         # 2-arg lambda as (element, index) — same pitfall as _stopword_hits
