@@ -22,7 +22,15 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to ``min_partitions`` (default: the
     session's ``defaultParallelism``) iff the plan currently has fewer
     partitions. The extra shuffle moves only the projected columns and is
-    dwarfed by the downstream per-row compute it parallelizes."""
+    dwarfed by the downstream per-row compute it parallelizes.
+
+    Streaming frames pass through untouched: ``df.rdd`` is illegal on a
+    streaming plan, and the micro-batch engine already parallelizes each
+    batch by its own source partitioning — operators shared between the
+    batch and streaming lanes (gopher_rules, text_profile, ...) stay
+    usable in both."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
