@@ -481,11 +481,19 @@ def maintain_ivf_index(
     for feed, end in txlog.iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
+        ctx = f"ivf source commit range ({cursor}, {end}]"
+        # emptiness + id bounds from commit metadata where decidable
+        # (r11, guide §1.2 — same job fusion as txlog.replicate): the
+        # NULL/dup contract rides IN-PLAN on __tomb, which both batch
+        # filters below always evaluate
+        facts = txlog._chunk_facts(feed, [id_col])
         with txlog._aqe_cached_batches(spark):
-            batch = txlog._net_changes(feed, [id_col]).cache()
+            batch = txlog._net_changes(
+                feed, [id_col], guard_ctx=ctx if facts is not None else None
+            ).cache()
             try:
-                is_empty, lo, hi = txlog._validate_net_batch(
-                    batch, [id_col], f"ivf source commit range ({cursor}, {end}]"
+                is_empty, lo, hi = facts or txlog._validate_net_batch(
+                    batch, [id_col], ctx
                 )
                 if is_empty:
                     empty += 1
@@ -526,19 +534,21 @@ def maintain_ivf_index(
                     F.lit(None).cast("int").alias("_cell"),
                     F.lit(True).alias("__tomb"),
                 )
-                txlog.merge(
-                    spark,
-                    assigned.unionByName(tombs),
-                    index_root,
-                    [id_col],
-                    order_col=None,
-                    when_matched_delete="__tomb",
-                    txn=(app_id, end),
-                    # assigned ∪ tombs partitions the validated net batch by
-                    # __tomb, so its keys stay exactly the batch's (unique,
-                    # non-NULL, bounds from the validate aggregate)
-                    _validated_bounds=(lo, hi),
-                )
+                with txlog._cdc_contract_errors():
+                    txlog.merge(
+                        spark,
+                        assigned.unionByName(tombs),
+                        index_root,
+                        [id_col],
+                        order_col=None,
+                        when_matched_delete="__tomb",
+                        txn=(app_id, end),
+                        # assigned ∪ tombs partitions the validated net batch
+                        # by __tomb, so its keys stay exactly the batch's
+                        # (unique, non-NULL, bounds from the validate
+                        # aggregate or commit metadata)
+                        _validated_bounds=(lo, hi),
+                    )
                 applied += 1
             finally:
                 batch.unpersist()

@@ -91,7 +91,7 @@ import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 from pyspark.storagelevel import StorageLevel
@@ -4732,6 +4732,58 @@ def read_row_changes(
 
     parts: list[DataFrame] = []
     diff_legs: list[DataFrame] = []  # signed before/after legs, all commits
+    # Driver-side chunk facts from commit metadata alone (r11, guide
+    # §1.2 — remove whole passes): while assembling the legs, fold the
+    # touched entries' footer stats into per-column bounds and decide
+    # emptiness where it is decidable WITHOUT a job, so consumers can
+    # skip their per-chunk validation aggregate (see _chunk_facts).
+    #  - pure-append commits contribute exactly their live rows;
+    #  - a diff commit whose before/after LIVE row counts differ has a
+    #    non-empty net change by multiset arithmetic; equal counts are
+    #    AMBIGUOUS (an UPDATE nets rows, an OPTIMIZE nets none) and
+    #    leave emptiness unknown;
+    #  - bounds are the min/max over every touched entry's stats —
+    #    conservative-WIDE for the net change (exactly what merge's
+    #    _validated_bounds contract allows). A column is dropped the
+    #    moment any touched entry cannot prove its bounds.
+    phys_of = _logical_to_physical(schema)
+    col_acc: dict = {
+        lc: {"lo": None, "hi": None, "nulls": 0, "nulls_unknown": False}
+        for lc in schema.fieldNames()
+    }
+    meta_pure_rows = 0
+    meta_known_nonzero = False
+
+    def _fold_entry(e: dict) -> None:
+        rows = e.get("rows", 0)
+        st = e.get("stats") or {}
+        for lc in list(col_acc):
+            acc = col_acc[lc]
+            if acc is None:
+                continue
+            s = st.get(phys_of.get(lc, lc))
+            if s is None:
+                # column absent from this file (added after it was
+                # written): every row reads NULL — no bounds
+                acc["nulls"] += rows
+                continue
+            n = s.get("nulls")
+            if n is None:
+                acc["nulls_unknown"] = True
+            else:
+                acc["nulls"] += n
+            if "min" in s:
+                try:
+                    if acc["lo"] is None or s["min"] < acc["lo"]:
+                        acc["lo"] = s["min"]
+                    if acc["hi"] is None or s["max"] > acc["hi"]:
+                        acc["hi"] = s["max"]
+                except TypeError:
+                    col_acc[lc] = None
+            elif n != rows:
+                # non-null values exist but bounds are unprovable
+                col_acc[lc] = None
+
     for v in versions:
         c = _read_json(os.path.join(log_dir, _commit_name(v)))
         op = c.get("op")
@@ -4745,6 +4797,9 @@ def read_row_changes(
         )
         if not before_paths:
             if adds:  # pure append/convert: every added row is an insert
+                meta_pure_rows += sum(_live_rows(a) for a in adds.values())
+                for a in adds.values():
+                    _fold_entry(a)
                 parts.append(
                     _tag(
                         _read_files(spark, root, schema, adds, sorted(adds)),
@@ -4772,6 +4827,16 @@ def read_row_changes(
             after = _read_files(
                 spark, root, schema, after_entries, sorted(after_entries)
             )
+            before_live = sum(
+                _live_rows(prev_files[p]) for p in before_paths
+            )
+            after_live = sum(_live_rows(e) for e in after_entries.values())
+            if before_live != after_live:
+                meta_known_nonzero = True
+            for p in before_paths:
+                _fold_entry(prev_files[p])
+            for e in after_entries.values():
+                _fold_entry(e)
             for df, wgt in ((after, 1), (before, -1)):
                 diff_legs.append(
                     df.select(
@@ -4837,6 +4902,20 @@ def read_row_changes(
                 *cols, "_change_type", "_commit_version", "_commit_op"
             )
         )
+    if meta_pure_rows > 0 or meta_known_nonzero:
+        meta_empty: bool | None = False
+    elif not diff_legs:
+        meta_empty = True  # no legs, or only zero-row append legs
+    else:
+        meta_empty = None  # diffs whose net could cancel (e.g. OPTIMIZE)
+    chunk_meta = {
+        "empty": meta_empty,
+        "cols": {
+            lc: (acc["lo"], acc["hi"], acc["nulls_unknown"] or acc["nulls"] > 0)
+            for lc, acc in col_acc.items()
+            if acc is not None
+        },
+    }
     if not parts:
         from pyspark.sql.types import IntegerType, StringType
 
@@ -4845,10 +4924,13 @@ def read_row_changes(
             .add("_commit_version", IntegerType())
             .add("_commit_op", StringType())
         )
-        return spark.createDataFrame([], out_schema)
+        out = spark.createDataFrame([], out_schema)
+        out._txlog_chunk_meta = chunk_meta
+        return out
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    out._txlog_chunk_meta = chunk_meta
     return out
 
 
@@ -4888,7 +4970,9 @@ def iter_row_changes(
         cursor = end
 
 
-def _net_changes(feed: DataFrame, key_cols: list[str]) -> DataFrame:
+def _net_changes(
+    feed: DataFrame, key_cols: list[str], guard_ctx: str | None = None
+) -> DataFrame:
     """Per-key NET change of one CDC chunk: the row at the highest
     ``(_commit_version, change precedence)`` — postimage/insert outrank
     preimage/delete within one commit, so an UPDATE nets to its new row
@@ -4897,7 +4981,13 @@ def _net_changes(feed: DataFrame, key_cols: list[str]) -> DataFrame:
     a tie at the winning position for :func:`_validate_net_batch` to
     detect, instead of silently collapsing to an arbitrary row
     (ADVICE r9). Returns the data columns plus ``__tomb`` (the key's
-    final change is a delete)."""
+    final change is a delete).
+
+    ``guard_ctx`` (r11): embed the NULL-key / duplicate-key contract
+    checks IN-PLAN on ``__tomb`` (see :func:`_contract_guard`) so the
+    caller can skip the separate validation aggregate when emptiness
+    and bounds are already known from commit metadata
+    (:func:`_chunk_facts`)."""
     from pyspark.sql.window import Window
 
     change_cols = ("_change_type", "_commit_version", "_commit_op")
@@ -4909,12 +4999,125 @@ def _net_changes(feed: DataFrame, key_cols: list[str]) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_commit_version").desc(), F.col("__prec").desc()
     )
+    tomb = F.col("__prec") == 0
+    if guard_ctx is not None:
+        tomb = _contract_guard(tomb, key_cols, list(key_cols), guard_ctx)
     return (
         feed.withColumn("__prec", prec)
         .withColumn("__rk", F.rank().over(w))
         .filter(F.col("__rk") == 1)
-        .select(*data_cols, (F.col("__prec") == 0).alias("__tomb"))
+        .select(*data_cols, tomb.alias("__tomb"))
     )
+
+
+def _contract_guard(
+    value: Column,
+    part_cols: list[str],
+    msg_cols: list[str],
+    ctx: str,
+) -> Column:
+    """Wrap ``value`` so that evaluating it on a row with a NULL key, or
+    on a key with more than one row surviving the winning rank, RAISES
+    with the exact :func:`_validate_net_batch` message — in-plan, during
+    the first job that evaluates the batch (the MERGE's staging write),
+    i.e. still strictly before any commit touches the target (a failed
+    staging write only leaks unreferenced files that vacuum sweeps).
+
+    This is the r11 job-fusion lever (guide §1.2): with bounds and
+    emptiness derived from commit metadata (:func:`_chunk_facts`), the
+    contract check no longer needs its own aggregate job per chunk —
+    it rides the write. The wrapped column must be one the merge plan
+    ALWAYS evaluates for every batch row: ``__tomb`` / ``__is_del``,
+    which feed merge's ``__del`` filter. The count window shares the
+    rank window's partitioning, so no extra exchange enters the plan.
+    Raised errors surface as Spark runtime exceptions; consumers
+    translate them back to the contractual ValueError with
+    :func:`_cdc_contract_errors`."""
+    from pyspark.sql.window import Window
+
+    nullc = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in part_cols]
+    )
+    n_at_rank1 = F.count(F.lit(1)).over(Window.partitionBy(*part_cols))
+    null_msg = (
+        f"replicate: NULL key in {msg_cols} at {ctx} — keyed "
+        "replication requires non-NULL keys"
+    )
+    dup_msg = (
+        f"replicate: duplicate key in {msg_cols} at {ctx} — the "
+        "source is not key-unique (multiple rows tie at the "
+        "winning (_commit_version, precedence) rank); keyed "
+        "replication cannot represent a duplicate-keyed multiset"
+    )
+    # assert_true returns NULL (or raises): coalesce evaluates both
+    # guards, then yields the real value
+    return F.coalesce(
+        F.assert_true(~nullc, F.lit(null_msg)).cast("boolean"),
+        F.assert_true(n_at_rank1 <= 1, F.lit(dup_msg)).cast("boolean"),
+        value,
+    )
+
+
+@contextmanager
+def _cdc_contract_errors():
+    """Translate an in-plan :func:`_contract_guard` failure (a Spark
+    runtime exception raised by ``assert_true`` during the merge's
+    staging write) back into the ValueError the keyed-replication
+    contract promises, preserving the message text the tests and
+    callers match on. Everything else propagates untouched."""
+    try:
+        yield
+    except ValueError:
+        raise
+    except Exception as e:
+        m = re.search(r"replicate: (?:duplicate|NULL) key[^\n]*", str(e))
+        if m is not None:
+            raise ValueError(m.group(0)) from e
+        raise
+
+
+_CHUNK_FACT_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "string",
+}
+
+
+def _chunk_facts(feed: DataFrame, key_cols: list[str]):
+    """Per-chunk (empty, lo, hi) derived from COMMIT METADATA alone —
+    the driver-side replacement for :func:`_validate_net_batch`'s
+    aggregate job (r11): :func:`read_row_changes` folds the touched
+    entries' footer stats into per-column bounds and decides emptiness
+    where multiset arithmetic makes it decidable (any pure-append rows,
+    or any diff commit whose live row count changed ⇒ non-empty; no
+    legs ⇒ empty). Returns ``None`` when the facts are not derivable —
+    no metadata on the feed (stream epochs, snapshot diffs), ambiguous
+    emptiness (equal-count diffs can cancel, e.g. OPTIMIZE), unknown
+    key bounds, or a key type whose JSON stat form is not directly
+    comparable to the typed value (dates/decimals) — and the caller
+    falls back to the validation aggregate. Bounds are conservative-
+    WIDE over the chunk's touched rows, exactly what merge's
+    ``_validated_bounds`` and the SCD2 closure scan allow. NULL keys
+    are NOT pre-checked here: the in-plan guard raises exactly when a
+    NULL key actually exists, before anything commits."""
+    meta = getattr(feed, "_txlog_chunk_meta", None)
+    if meta is None:
+        return None
+    if meta["empty"] is True:
+        return (True, None, None)
+    if meta["empty"] is None:
+        return None
+    key = key_cols[0]
+    info = meta["cols"].get(key)
+    if info is None:
+        return None
+    lo, hi, _nulls_possible = info
+    if lo is None or hi is None:
+        return None
+    try:
+        if feed.schema[key].dataType.typeName() not in _CHUNK_FACT_TYPES:
+            return None
+    except Exception:
+        return None
+    return (False, lo, hi)
 
 
 def _validate_net_batch(
@@ -5163,11 +5366,22 @@ def replicate(
     for feed, end in iter_row_changes(
         spark, source_root, cursor, max_versions=max_versions
     ):
+        ctx = f"source commit range ({cursor}, {end}]"
+        # emptiness + key bounds from commit metadata where decidable
+        # (r11, guide §1.2): the contract checks then ride IN-PLAN on
+        # the merge's own write job instead of a separate per-chunk
+        # validation aggregate — and with merge the batch's only
+        # consumer, the cache is unnecessary too
+        facts = _chunk_facts(feed, key_cols)
         with _aqe_cached_batches(spark):
-            batch = _net_changes(feed, key_cols).cache()
+            batch = _net_changes(
+                feed, key_cols, guard_ctx=ctx if facts is not None else None
+            )
+            if facts is None:
+                batch = batch.cache()
             try:
-                is_empty, lo, hi = _validate_net_batch(
-                    batch, key_cols, f"source commit range ({cursor}, {end}]"
+                is_empty, lo, hi = facts or _validate_net_batch(
+                    batch, key_cols, ctx
                 )
                 if is_empty:
                     empty += 1
@@ -5188,19 +5402,21 @@ def replicate(
                     _advance_txn(target_root, app_id, end)
                     cursor = end
                     continue  # nothing to apply; watermark advanced above
-                merge(
-                    spark,
-                    batch,
-                    target_root,
-                    key_cols,
-                    order_col=None,
-                    when_matched_delete="__tomb",
-                    txn=(app_id, end),
-                    merge_schema=True,
-                    _validated_bounds=(lo, hi),
-                )
+                with _cdc_contract_errors():
+                    merge(
+                        spark,
+                        batch,
+                        target_root,
+                        key_cols,
+                        order_col=None,
+                        when_matched_delete="__tomb",
+                        txn=(app_id, end),
+                        merge_schema=True,
+                        _validated_bounds=(lo, hi),
+                    )
             finally:
-                batch.unpersist()
+                if facts is None:
+                    batch.unpersist()
             applied += 1
             cursor = end
     return {
@@ -5441,6 +5657,20 @@ def _apply_scd2_feed(
     w = Window.partitionBy(*key_cols, "_commit_version").orderBy(
         F.col("__prec").desc()
     )
+    # emptiness + key bounds from commit metadata where decidable (r11,
+    # guide §1.2): like replicate, the NULL/dup contract checks then
+    # ride IN-PLAN (on __is_del, which merge's filters always evaluate)
+    # and the separate per-chunk validation aggregate is skipped; feeds
+    # without metadata (stream epochs, snapshot diffs) keep it
+    facts = _chunk_facts(feed, key_cols)
+    is_del = F.col("__prec") == 0
+    if facts is not None:
+        is_del = _contract_guard(
+            is_del,
+            key_cols + ["_commit_version"],
+            key_cols + ["__v"],
+            ctx,
+        )
     with _aqe_cached_batches(spark):
         changes = (
             feed.withColumn("__prec", prec)
@@ -5449,7 +5679,7 @@ def _apply_scd2_feed(
             .select(
                 *data_cols,
                 F.col("_commit_version").cast("long").alias("__v"),
-                (F.col("__prec") == 0).alias("__is_del"),
+                is_del.alias("__is_del"),
             )
             .cache()
         )
@@ -5459,7 +5689,7 @@ def _apply_scd2_feed(
             # _validated_bounds — the chunk's changed-key range covers every
             # closure and insert key, so one job replaces the three
             # identical min/max aggregates this loop used to run (r11)
-            is_empty, lo, hi = _validate_net_batch(
+            is_empty, lo, hi = facts or _validate_net_batch(
                 changes, key_cols + ["__v"], ctx
             )
             if is_empty:
@@ -5517,27 +5747,28 @@ def _apply_scd2_feed(
                     )
                 )
                 batch = closures.unionByName(inserts, allowMissingColumns=True)
-            merge(
-                spark,
-                batch,
-                target_root,
-                key_cols + [SCD2_START],
-                order_col=None,
-                txn=(app_id, batch_id),
-                merge_schema=True,
-                # closure-scan ∪ LEAD-window feed: expensive enough that
-                # evaluating it once beats re-running it per merge action
-                persist_batch=True,
-                # (key, _scd2_start) uniqueness is structural, so merge's
-                # contract aggregate is redundant here: inserts are unique
-                # per (key, __v) (validated above), closures carry one
-                # current row per key (the SCD2 invariant this MERGE itself
-                # maintains), and a closure's start (≤ the app watermark)
-                # can never equal an insert's start (> the watermark) —
-                # versions only enter the history through watermark-ordered
-                # chunks of this app
-                _validated_bounds=(lo, hi),
-            )
+            with _cdc_contract_errors():
+                merge(
+                    spark,
+                    batch,
+                    target_root,
+                    key_cols + [SCD2_START],
+                    order_col=None,
+                    txn=(app_id, batch_id),
+                    merge_schema=True,
+                    # closure-scan ∪ LEAD-window feed: expensive enough that
+                    # evaluating it once beats re-running it per merge action
+                    persist_batch=True,
+                    # (key, _scd2_start) uniqueness is structural, so merge's
+                    # contract aggregate is redundant here: inserts are unique
+                    # per (key, __v) (validated above or guarded in-plan),
+                    # closures carry one current row per key (the SCD2
+                    # invariant this MERGE itself maintains), and a closure's
+                    # start (≤ the app watermark) can never equal an insert's
+                    # start (> the watermark) — versions only enter the
+                    # history through watermark-ordered chunks of this app
+                    _validated_bounds=(lo, hi),
+                )
             return True
         finally:
             changes.unpersist()
