@@ -5696,7 +5696,6 @@ def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_sel = maintained.select("vec_id", "__cell")
     r_sel = rebuilt.select("vec_id", "__cell")
-    equal_rebuild = _multiset_equal(m_sel, r_sel)
     queries_df = txlog.read_table(spark, src).filter(
         (F.col("vec_id") >= cut) & (F.col("vec_id") < cut + 25)
     )
@@ -5709,10 +5708,19 @@ def q_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded collect (<= 25 queries x k) — an exceptAll between the two
     # probe plans trips a Catalyst attribute-binding internal error on
-    # the shared window/generate subtree, and the row count is tiny
-    probe_equal = sorted(map(tuple, got.collect())) == sorted(
-        map(tuple, want.collect())
-    )
+    # the shared window/generate subtree, and the row count is tiny.
+    # The three certificate actions are INDEPENDENT reads of immutable
+    # snapshots (plans built above, on this thread), so they run
+    # concurrently (guide §2.6 — overlap independent jobs): each pays
+    # its own fixed job latency, overlapped instead of summed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rebuild = pool.submit(_multiset_equal, m_sel, r_sel)
+        f_got = pool.submit(lambda: sorted(map(tuple, got.collect())))
+        f_want = pool.submit(lambda: sorted(map(tuple, want.collect())))
+        equal_rebuild = f_rebuild.result()
+        probe_equal = f_got.result() == f_want.result()
     return (
         maintained.groupBy("__cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -431,39 +431,44 @@ def _file_legs(
         # silently unmask deleted rows at scan time / no-op a DV delete
         # (ADVICE r8 high: a root containing a space made
         # delete(deletion_vectors=True) report rows_deleted=0).
-        decoded = F.url_decode(
-            F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
-        )
-        at = F.instr(decoded, F.lit(prefix))
-        # external entries keep the FULL path (their files-dict / DV key
-        # IS the absolute path); internal entries strip the root prefix
-        rel_expr = (
-            F.substr(decoded, at)
-            if base is not None
-            else F.substr(decoded, at + F.lit(len(prefix)))
-        )
-        pos_cols = [
-            F.when(at > 0, rel_expr)
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "txlog: scanned file resolves outside the table "
-                            f"root {prefix!r}: "
-                        ),
-                        decoded,
+        def _pos_cols(prefix=prefix, base=base) -> list:
+            decoded = F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+            )
+            at = F.instr(decoded, F.lit(prefix))
+            # external entries keep the FULL path (their files-dict / DV
+            # key IS the absolute path); internal entries strip the root
+            # prefix
+            rel_expr = (
+                F.substr(decoded, at)
+                if base is not None
+                else F.substr(decoded, at + F.lit(len(prefix)))
+            )
+            return [
+                F.when(at > 0, rel_expr)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "txlog: scanned file resolves outside the "
+                                f"table root {prefix!r}: "
+                            ),
+                            decoded,
+                        )
                     )
                 )
-            )
-            .alias(_DV_REL),
-            F.col("_metadata.row_index").alias(_DV_POS),
-        ]
+                .alias(_DV_REL),
+                F.col("_metadata.row_index").alias(_DV_POS),
+            ]
 
-        def _with_pos(df: DataFrame, pos_cols=pos_cols) -> DataFrame:
+        def _with_pos(df: DataFrame, _pos_cols=_pos_cols) -> DataFrame:
+            # the positional expressions cost a dozen py4j round trips to
+            # BUILD — construct them only for the DV-masking reads that
+            # consume them (r11, driver-latency)
             if not with_pos:
                 return df
             return df.select(
-                *[F.col(f.name) for f in phys.fields], *pos_cols
+                *[F.col(f.name) for f in phys.fields], *_pos_cols()
             )
 
         if flat:
