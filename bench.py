@@ -247,12 +247,18 @@ def _control_shuffle(spark: SparkSession, sf_dir: str):
 
 CONTROL = {"control_scan": _control_scan, "control_shuffle": _control_shuffle}
 
-# Pinned quiet-host control baseline (sum of per-query medians at sf0.1,
-# local[32], measured on an idle host 2026-08-16, 5 quiet reps,
-# loadavg <= 0.65: control_scan 0.300 + control_shuffle 0.419). The
-# anchor for control_inflation; re-pin ONLY together with a BASELINE.md
-# re-anchor, never silently.
-CONTROL_BASELINE_TOTAL = 0.719
+# Pinned quiet-host control baselines (sum of per-query medians at
+# sf0.1, measured on an idle host, 5 quiet reps, loadavg <= 0.65),
+# PER CORE COUNT (r12, VERDICT r11 #7: the 32-core anchor applied at
+# local[8] conflated core-count slowdown with host noise and
+# over-corrected the c8 normalization). local[32] pinned 2026-08-16
+# (control_scan 0.300 + control_shuffle 0.419); local[8] pinned
+# 2026-08-18 on the same idle host. control_inflation /
+# value_normalized are emitted ONLY when the active $SPARK_GRAFT_CPUS
+# has its own anchor — never scaled across core counts. Re-pin ONLY
+# together with a BASELINE.md re-anchor, never silently.
+CONTROL_BASELINE_TOTALS = {"32": 0.719, "8": 0.983}
+CONTROL_BASELINE_TOTAL = CONTROL_BASELINE_TOTALS["32"]  # back-compat
 
 # Non-headline series, benched + reported per round under their own keys.
 SERIES = {
@@ -459,7 +465,12 @@ def main() -> None:
     # control first: a clean host-condition reading before the heavy
     # series heat the machine up is the most conservative anchor
     ctrl = run_series(spark, list(CONTROL), sf_dir, reps, qs=CONTROL)
-    control_inflation = round(ctrl["total"] / CONTROL_BASELINE_TOTAL, 4)
+    # per-core anchor (r12, VERDICT r11 #7): inflation is only meaningful
+    # against a baseline pinned at the SAME core count
+    anchor = CONTROL_BASELINE_TOTALS.get(str(int(cpus)))
+    control_inflation = (
+        round(ctrl["total"] / anchor, 4) if anchor else None
+    )
     head = run_series(spark, HEADLINE, sf_dir, reps)
     extra = {}
     for name, queries in SERIES.items():
@@ -483,9 +494,14 @@ def main() -> None:
         "control": ctrl["queries"],
         "control_total": ctrl["total"],
         "control_min_sum": ctrl["min_sum"],
-        "control_baseline_total": CONTROL_BASELINE_TOTAL,
+        "control_baseline_total": anchor,
+        "control_cpus_anchored": anchor is not None,
         "control_inflation": control_inflation,
-        "value_normalized": round(head["total"] / control_inflation, 3),
+        "value_normalized": (
+            round(head["total"] / control_inflation, 3)
+            if control_inflation
+            else None
+        ),
         "sf": sf,
         "reps": reps,
         "spread": head["spread"],
@@ -515,22 +531,49 @@ def main() -> None:
     spark.stop()
 
 
-def _sum_or_none(xs: list) -> int | None:
-    vals = [x for x in xs if x is not None]
-    return sum(vals) if vals else None
+# The driver keeps the LAST ~2000 stdout characters and parses the last
+# JSON line in them (BENCH_r11.json tail length = exactly 2000), so the
+# slim line must stay under this cap WITH the per-query map on board.
+_SLIM_LINE_CAP = 1985
+
+
+def _enc_queries(qmap: dict, level: int) -> dict:
+    """Compact per-query seconds for the slim line. Level 0 = 2 decimals
+    everywhere; level 1 = 1 decimal for values >= 1 s (quantization
+    <= 5% of the value); level 2 = 1 decimal everywhere (last resort).
+    Full-precision medians always live in BENCH_RESULT.json and the
+    BENCH_FULL line — this encoding only feeds the driver's per-query
+    regression/scaling view (VERDICT r11 #1)."""
+    out = {}
+    for k, v in qmap.items():
+        if level >= 2 or (level >= 1 and v >= 1):
+            r = round(v, 1)
+        else:
+            r = round(v, 2)
+        # 3.0 → 3 (JSON int, 2 bytes shorter; same number)
+        out[k] = int(r) if r == int(r) else r
+    return out
 
 
 def _emit(full: dict, series: list[str] = ()) -> None:
     """Full payload → BENCH_RESULT.json AND a first "BENCH_FULL: " line;
-    the LAST line printed is the SLIM line (< ~1500 chars, no per-query
-    maps) so the driver's 2000-char stdout tail always parses
-    (r7 verdict item 1)."""
+    the LAST line printed is the SLIM line, which since r12 carries the
+    complete per-query map (headline + every series — VERDICT r11 #1:
+    per-query timings must reach the driver's 2000-char stdout tail, or
+    PERF per_query/scaling come back empty). Byte budget is met by
+    compact separators + bounded value quantization + dropping audit
+    fields (which all remain in BENCH_RESULT.json), NEVER by dropping a
+    query from the map."""
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
     )
     with open(out, "w") as f:
         json.dump(full, f)
         f.write("\n")
+    # one flat map: headline + every series (names are globally unique)
+    qmap = dict(full.get("queries", {}))
+    for name in series:
+        qmap.update(full.get(name, {}))
     slim = {
         k: full.get(k)
         for k in (
@@ -539,47 +582,45 @@ def _emit(full: dict, series: list[str] = ()) -> None:
             "unit",
             "sf",
             "reps",
-            "rep_totals",
-            "warmup_total",
             "value_min_sum",
-            "control_total",
             "control_inflation",
             "value_normalized",
-            "loadavg",
             "quiet",
         )
-        if k in full
+        if k in full and full.get(k) is not None
     }
-    if "spill_bytes" in full:
-        slim["spill_bytes"] = _sum_or_none(full["spill_bytes"])
-        slim["shuffle_write_bytes"] = _sum_or_none(
-            full["shuffle_write_bytes"]
-        )
     for name in series:
         slim[f"{name}_total"] = full[f"{name}_total"]
-        slim[f"{name}_min_sum"] = full[f"{name}_min_sum"]
         slim[f"{name}_quiet"] = full[f"{name}_quiet"]
-        slim[f"{name}_spill"] = _sum_or_none(full[f"{name}_spill_bytes"])
     sys.stdout.flush()
     print("BENCH_FULL: " + json.dumps(full), flush=True)
-    line = json.dumps(slim)
-    # keep the driver-parsed line under its cap by DEGRADING, never by
-    # crashing a bench run whose measurements are already complete
-    # (ADVICE r8): drop optional fields in increasing order of value
-    # until it fits; the full record is always in BENCH_RESULT.json.
-    droppable = (
-        ["loadavg"]
-        + [f"{n}_quiet" for n in series]
-        + [f"{n}_spill" for n in series]
-        + [f"{n}_min_sum" for n in series]
-        + ["rep_totals", "warmup_total"]
-    )
-    for k in droppable:
-        if len(line) <= 1500:
+
+    def _line(level: int) -> str:
+        slim["queries"] = _enc_queries(qmap, level)
+        return json.dumps(slim, separators=(",", ":"))
+
+    # degrade, never crash and never drop a query (ADVICE r8 lineage):
+    # quantize >= 1 s values to 1 decimal (<= 5% of the value) first,
+    # then shed audit fields (all still in BENCH_RESULT.json), and only
+    # at the very end quantize sub-second values too
+    state = {"level": 0}
+
+    def _bump():
+        state["level"] = min(2, state["level"] + 1)
+
+    ladder = [
+        (lambda k=k: slim.pop(k, None))
+        for k in [f"{n}_quiet" for n in series]
+        + [f"{n}_total" for n in series]
+        + ["reps", "value_min_sum", "value_normalized"]
+    ] + [_bump, _bump]
+    line = _line(state["level"])
+    for action in ladder:
+        if len(line) <= _SLIM_LINE_CAP:
             break
-        if slim.pop(k, None) is not None:
-            line = json.dumps(slim)
-    if len(line) > 1500:
+        action()
+        line = _line(state["level"])
+    if len(line) > _SLIM_LINE_CAP:
         print(
             f"WARN: slim bench line still {len(line)} bytes after "
             "dropping optional fields",

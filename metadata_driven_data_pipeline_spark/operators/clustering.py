@@ -274,19 +274,25 @@ def kmeans_assign(
     100 TB the only shuffle is the final per-vector argmin agg, sized
     |vectors|, not |vectors| × k.
     """
-    from .similarity import dvec
+    from .similarity import _dvec_sql
 
-    c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"),
-        dvec(F.col(centroid_vec_col)).alias("__cvec"),
+    # SQL parse lane (r12, VERDICT r11 #4): the per-centroid squared-L2
+    # fold is the same expression the Column form built, parsed in one
+    # call instead of per-HOF py4j construction trips
+    c = centroids.selectExpr(
+        f"`{centroid_id_col}` AS __cid",
+        f"{_dvec_sql(f'`{centroid_vec_col}`')} AS __cvec",
     )
     scored = (
-        emb.select(F.col(id_col), dvec(F.col(vec_col)).alias("__v"))
+        emb.selectExpr(
+            f"`{id_col}`", f"{_dvec_sql(f'`{vec_col}`')} AS __v"
+        )
         .join(F.broadcast(c))
-        .select(
-            id_col,
-            F.col("__cid"),
-            _sq_l2(F.col("__v"), F.col("__cvec")).alias("__d2"),
+        .selectExpr(
+            f"`{id_col}`",
+            "__cid",
+            "aggregate(zip_with(__v, __cvec, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x) AS __d2",
         )
     )
     best = scored.groupBy(id_col).agg(

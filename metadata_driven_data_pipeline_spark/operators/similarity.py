@@ -78,6 +78,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# --- SQL-text twins of the vector math (r12, VERDICT r11 #4) -----------------
+#
+# Column-built higher-order functions cost several py4j round trips EACH
+# to construct (measured ~1.4-2.9 s of pure driver latency per plan on
+# the pair/probe entries); the SQL-text twins compose the identical
+# expressions as strings and parse them with ONE F.expr per output
+# column. The parsed trees evaluate the same arithmetic in the same
+# order (CAST-to-double per element, left-fold multiply-add, 0.0D init),
+# so results are bit-identical — pinned by the oracle hashes of every
+# entry on these lanes and the A/B tests in tests/test_similarity.py.
+
+def _dvec_sql(a: str) -> str:
+    """SQL twin of :func:`dvec`."""
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot`."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    """SQL twin of :func:`l2_norm`."""
+    return (
+        f"SQRT(aggregate({a}, 0.0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine`."""
+    return f"({_dot_sql(a, b)} / ({_l2_sql(a)} * {_l2_sql(b)}))"
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,6 +279,28 @@ def rh_signature(emb: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
     return acc
 
 
+def _rh_signature_sql(
+    emb_sql: str, dim: int, bits: int, seed: int = 7
+) -> str:
+    """:func:`rh_signature` as ONE SQL expression string instead of
+    ~8·bits py4j round trips of higher-order-function construction (r12,
+    VERDICT r11 #4 — the same recipe as ``lit_doubles``/the dedup parse
+    lane). ``emb_sql`` is the column NAME (or any SQL expression) of the
+    pre-cast array<double> vector. The parsed tree evaluates the exact
+    arithmetic of the Column form — per-plane left-fold multiply-add,
+    ``>= 0`` sign test, power-of-two bit weights — so signatures are
+    bit-identical (A/B-verified in tests/test_similarity.py)."""
+    terms = []
+    for i in range(bits):
+        plane = _sql_double_array(_hyperplane(dim, i, seed))
+        d = (
+            f"aggregate(zip_with({emb_sql}, {plane}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(0 AS INT) + " + " + ".join(terms)
+
+
 def np_band_signatures(
     emb_col: str, dim: int, bits: int, bands: int, seed: int = 7
 ) -> Column:
@@ -343,6 +403,15 @@ def _centroid_dots(emb: Column, centroids: list[list[float]]) -> Column:
     return F.transform(lit_doubles(centroids), lambda c: dot(emb, c))
 
 
+def _centroid_dots_sql(emb_sql: str, centroids: list[list[float]]) -> str:
+    """SQL twin of :func:`_centroid_dots` (r12 parse lane): the whole
+    transform-over-centroids dot fold as one string."""
+    return (
+        f"transform({_sql_double_array(centroids)}, "
+        f"c -> {_dot_sql(emb_sql, 'c')})"
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,
@@ -401,6 +470,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    widen_input: bool = True,
 ) -> DataFrame:
     """Build the IVF index once: (id, vector, norm, ``__cell``) with each
     row assigned to its best coarse cell (argmax dot, first-index tiebreak).
@@ -410,24 +480,34 @@ def ivf_build_index(
     pass it to :func:`ivf_topk`, which skips re-assignment when ``__cell``
     is present — query cost stops depending on index-construction cost,
     and a partition-pruned read touches only the probed cells.
+
+    ``widen_input=False`` (r12) skips the round-robin widen: right for
+    inputs that are ALREADY wide — :func:`maintain_ivf_index`'s per-chunk
+    batches come out of the net-change window shuffle (shuffle-partition
+    parallelism, then AQE-coalesced to byte-sized partitions), so widen
+    there only paid a plan-conversion probe per chunk and could pin a
+    defaultParallelism-sized exchange under a KB-sized chunk.
     """
     cents = centroids or ivf_centroids(dim, n_cells)
+    # SQL parse lane (r12): identical expressions, 3 parsed projections
+    # instead of per-HOF py4j construction per chunk/build
     return (
-        widen(corpus)
-        .select(F.col(id_col), dvec(F.col(emb_col)).alias("__cv"))
-        .select(
-            id_col,
-            "__cv",
-            l2_norm(F.col("__cv")).alias("__cn"),
-            _centroid_dots(F.col("__cv"), cents).alias("__d"),
+        (widen(corpus) if widen_input else corpus)
+        .selectExpr(
+            f"`{id_col}`", f"{_dvec_sql(f'`{emb_col}`')} AS __cv"
         )
-        .select(
-            id_col,
+        .selectExpr(
+            f"`{id_col}`",
+            "__cv",
+            f"{_l2_sql('__cv')} AS __cn",
+            f"{_centroid_dots_sql('__cv', cents)} AS __d",
+        )
+        .selectExpr(
+            f"`{id_col}`",
             "__cv",
             "__cn",
-            (F.array_position("__d", F.array_max("__d")) - 1)
-            .cast("int")
-            .alias("__cell"),
+            "CAST((array_position(__d, array_max(__d)) - 1) AS INT) "
+            "AS __cell",
         )
     )
 
@@ -487,7 +567,10 @@ def maintain_ivf_index(
         # NULL/dup contract rides IN-PLAN on __tomb, which both batch
         # filters below always evaluate
         facts = txlog._chunk_facts(feed, [id_col])
-        with txlog._aqe_cached_batches(spark):
+        # contract-error translation covers the whole chunk-apply block
+        # (r12, ADVICE r11): the in-plan guard can fire on the cache fill
+        # or any probe, not only inside merge
+        with txlog._aqe_cached_batches(spark), txlog._cdc_contract_errors():
             batch = txlog._net_changes(
                 feed, [id_col], guard_ctx=ctx if facts is not None else None
             ).cache()
@@ -520,6 +603,11 @@ def maintain_ivf_index(
                     id_col=id_col,
                     emb_col=emb_col,
                     centroids=centroids,
+                    # the chunk batch is already wide (net-change window
+                    # shuffle + scoped AQE cache sizing) — widen here
+                    # costs a plan probe per chunk and re-exchanges a
+                    # chunk-sized frame for nothing (r12)
+                    widen_input=False,
                 ).select(
                     id_col,
                     F.col("__cv").alias("_cv"),
@@ -534,21 +622,20 @@ def maintain_ivf_index(
                     F.lit(None).cast("int").alias("_cell"),
                     F.lit(True).alias("__tomb"),
                 )
-                with txlog._cdc_contract_errors():
-                    txlog.merge(
-                        spark,
-                        assigned.unionByName(tombs),
-                        index_root,
-                        [id_col],
-                        order_col=None,
-                        when_matched_delete="__tomb",
-                        txn=(app_id, end),
-                        # assigned ∪ tombs partitions the validated net batch
-                        # by __tomb, so its keys stay exactly the batch's
-                        # (unique, non-NULL, bounds from the validate
-                        # aggregate or commit metadata)
-                        _validated_bounds=(lo, hi),
-                    )
+                txlog.merge(
+                    spark,
+                    assigned.unionByName(tombs),
+                    index_root,
+                    [id_col],
+                    order_col=None,
+                    when_matched_delete="__tomb",
+                    txn=(app_id, end),
+                    # assigned ∪ tombs partitions the validated net batch
+                    # by __tomb, so its keys stay exactly the batch's
+                    # (unique, non-NULL, bounds from the validate
+                    # aggregate or commit metadata)
+                    _validated_bounds=(lo, hi),
+                )
                 applied += 1
             finally:
                 batch.unpersist()
@@ -613,24 +700,29 @@ def ivf_topk(
             centroids=cents,
         )
     # probe cells: indices of the n_probe largest dots (ties → lower index),
-    # via sort of (-dot, index) structs
-    entries = F.transform(
-        F.sequence(F.lit(0), F.lit(ncells - 1)),
-        lambda i: F.struct(
-            (-F.get(F.col("__d"), i)).alias("nd"), i.alias("i")
-        ),
+    # via sort of (-dot, index) structs — SQL parse lane (r12), identical
+    # expressions to the Column form
+    entries_sql = (
+        f"transform(sequence(0, {ncells - 1}), "
+        "i -> struct(-get(__d, i) AS nd, i AS i))"
     )
     q = (
-        queries.select(F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv"))
-        .select(
+        queries.selectExpr(
+            f"`{qid}` AS query_id", f"{_dvec_sql(f'`{emb_col}`')} AS __qv"
+        )
+        .selectExpr(
             "query_id",
             "__qv",
-            l2_norm(F.col("__qv")).alias("__qn"),
-            _centroid_dots(F.col("__qv"), cents).alias("__d"),
+            f"{_l2_sql('__qv')} AS __qn",
+            f"{_centroid_dots_sql('__qv', cents)} AS __d",
         )
-        .withColumn("__probe_s", F.explode(F.slice(F.array_sort(entries), 1, n_probe)))
-        .select(
-            "query_id", "__qv", "__qn", F.col("__probe_s.i").alias("__probe")
+        .selectExpr(
+            "*",
+            f"explode(slice(array_sort({entries_sql}), 1, {n_probe})) "
+            "AS __probe_s",
+        )
+        .selectExpr(
+            "query_id", "__qv", "__qn", "__probe_s.i AS __probe"
         )
     )
     scored = (
@@ -639,13 +731,11 @@ def ivf_topk(
             (F.col("__cell") == F.col("__probe"))
             & (F.col("query_id") != F.col(id_col)),
         )
-        .select(
+        .selectExpr(
             "query_id",
-            id_col,
-            F.round(
-                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-                6,
-            ).alias("cosine"),
+            f"`{id_col}`",
+            f"ROUND({_dot_sql('__qv', '__cv')} / (__qn * __cn), 6) "
+            "AS cosine",
         )
         .dropDuplicates(["query_id", id_col])
     )
@@ -705,39 +795,51 @@ def lsh_bucket_topk(
             ).alias("__table", "__qsig"),
         )
     else:
-        c = widen(corpus).select(
-            F.col(id_col), dvec(F.col(emb_col)).alias("__cv")
-        ).withColumn("__sig", rh_signature(F.col("__cv"), dim, bits)
-        ).withColumn("__table", F.lit(0))
-        q_base = queries.select(
-            F.col(qid).alias("query_id"), dvec(F.col(emb_col)).alias("__qv")
-        ).withColumn("__qsig", rh_signature(F.col("__qv"), dim, bits)
-        ).withColumn("__table", F.lit(0))
+        # single-table lane built through the SQL parse lane (r12,
+        # VERDICT r11 #4): 2 selectExpr calls per side instead of ~50
+        # py4j round trips of Column/HOF construction; identical
+        # expressions after parsing (signatures pinned bit-identical in
+        # tests/test_similarity.py, results by the oracle hashes)
+        c = widen(corpus).selectExpr(
+            f"`{id_col}`", f"{_dvec_sql(f'`{emb_col}`')} AS __cv"
+        ).selectExpr(
+            "*",
+            f"{_rh_signature_sql('__cv', dim, bits)} AS __sig",
+            "0 AS __table",
+        )
+        q_base = queries.selectExpr(
+            f"`{qid}` AS query_id", f"{_dvec_sql(f'`{emb_col}`')} AS __qv"
+        ).selectExpr(
+            "*",
+            f"{_rh_signature_sql('__qv', dim, bits)} AS __qsig",
+            "0 AS __table",
+        )
     # multiprobe: also probe buckets at Hamming distance <= multiprobe
     # (level 1 = flip each bit; level 2 adds every bit pair — the standard
-    # probe-sequence ordering for sign LSH)
-    probes = [F.col("__qsig")]
+    # probe-sequence ordering for sign LSH); `^` is SQL bitwise XOR,
+    # exactly Column.bitwiseXOR
+    probe_exprs = ["__qsig"]
     if multiprobe >= 1:
-        probes += [
-            F.col("__qsig").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
-        ]
+        probe_exprs += [f"__qsig ^ {1 << i}" for i in range(bits)]
     if multiprobe >= 2:
-        probes += [
-            F.col("__qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+        probe_exprs += [
+            f"__qsig ^ {(1 << i) | (1 << j)}"
             for i in range(bits)
             for j in range(i + 1, bits)
         ]
-    q = q_base.withColumn("__probe", F.explode(F.array(*probes)))
+    q = q_base.selectExpr(
+        "*", f"explode(array({', '.join(probe_exprs)})) AS __probe"
+    )
 
     scored = c.alias("c").join(
         F.broadcast(q.alias("q")),
         (F.col("c.__table") == F.col("q.__table"))
         & (F.col("c.__sig") == F.col("q.__probe"))
         & (F.col("q.query_id") != F.col(f"c.{id_col}")),
-    ).select(
+    ).selectExpr(
         "q.query_id",
-        f"c.{id_col}",
-        F.round(cosine(F.col("q.__qv"), F.col("c.__cv")), 6).alias("cosine"),
+        f"c.`{id_col}`",
+        f"ROUND({_cosine_sql('q.__qv', 'c.__cv')}, 6) AS cosine",
     ).dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -784,11 +886,12 @@ def semdedup_pairs(
         emb, centroids, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster_id")
     withn = (
-        emb.select(
-            F.col(id_col).alias("__id"),
-            dvec(F.col(vec_col)).alias("__v"),
+        # SQL parse lane (r12, VERDICT r11 #4): identical expressions,
+        # one parsed call per projection instead of per-HOF py4j trips
+        emb.selectExpr(
+            f"`{id_col}` AS __id", f"{_dvec_sql(f'`{vec_col}`')} AS __v"
         )
-        .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .selectExpr("*", f"SQRT({_dot_sql('__v', '__v')}) AS __norm")
         # cosine is undefined for zero vectors; drop them rather than
         # divide by zero (ANSI mode throws)
         .filter(F.col("__norm") > 0)
@@ -819,10 +922,12 @@ def semdedup_pairs(
         "__j", F.explode(F.sequence(F.col("__blk"), F.col("__nb") - 1))
     ).alias("a")
     b = blocked.alias("b")
-    pair_dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # pair dot via the SQL parse lane — the lambda-free zip_with fold is
+    # the exact expression the Column form built (vectors are pre-cast
+    # double, so no per-element casts on this lane)
+    pair_cos = (
+        "ROUND(aggregate(zip_with(a.__v, b.__v, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x) / (a.__norm * b.__norm), 6)"
     )
     same_block = F.col("a.__blk") == F.col("b.__blk")
     return (
@@ -834,13 +939,11 @@ def semdedup_pairs(
             # (i, j) with i < j already names each unordered pair once
             & (~same_block | (F.col("a.__id") < F.col("b.__id"))),
         )
-        .select(
-            F.col("a.cluster_id").alias("cluster_id"),
-            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
-            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
-            F.round(
-                pair_dot / (F.col("a.__norm") * F.col("b.__norm")), 6
-            ).alias("cosine"),
+        .selectExpr(
+            "a.cluster_id AS cluster_id",
+            "LEAST(a.__id, b.__id) AS id_a",
+            "GREATEST(a.__id, b.__id) AS id_b",
+            f"{pair_cos} AS cosine",
         )
         .filter(F.col("cosine") >= threshold)
     )

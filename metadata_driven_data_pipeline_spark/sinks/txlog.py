@@ -5378,7 +5378,13 @@ def replicate(
         # validation aggregate — and with merge the batch's only
         # consumer, the cache is unnecessary too
         facts = _chunk_facts(feed, key_cols)
-        with _aqe_cached_batches(spark):
+        # _cdc_contract_errors wraps the WHOLE chunk-apply block, not just
+        # the merge (r12, ADVICE r11): any action that first materializes
+        # the guarded batch (cache fill, a future probe between
+        # _net_changes and merge) must surface a guard failure as the
+        # contractual ValueError, not a raw Py4J exception. Behavior-
+        # preserving — it only translates messages matching the guard text.
+        with _aqe_cached_batches(spark), _cdc_contract_errors():
             batch = _net_changes(
                 feed, key_cols, guard_ctx=ctx if facts is not None else None
             )
@@ -5407,18 +5413,17 @@ def replicate(
                     _advance_txn(target_root, app_id, end)
                     cursor = end
                     continue  # nothing to apply; watermark advanced above
-                with _cdc_contract_errors():
-                    merge(
-                        spark,
-                        batch,
-                        target_root,
-                        key_cols,
-                        order_col=None,
-                        when_matched_delete="__tomb",
-                        txn=(app_id, end),
-                        merge_schema=True,
-                        _validated_bounds=(lo, hi),
-                    )
+                merge(
+                    spark,
+                    batch,
+                    target_root,
+                    key_cols,
+                    order_col=None,
+                    when_matched_delete="__tomb",
+                    txn=(app_id, end),
+                    merge_schema=True,
+                    _validated_bounds=(lo, hi),
+                )
             finally:
                 if facts is None:
                     batch.unpersist()
@@ -5676,7 +5681,11 @@ def _apply_scd2_feed(
             key_cols + ["__v"],
             ctx,
         )
-    with _aqe_cached_batches(spark):
+    # contract-error translation covers the whole chunk-apply block (r12,
+    # ADVICE r11): the guard can fire on ANY action that materializes
+    # `changes` (cache fill, validate, merge), and each must surface the
+    # contractual ValueError
+    with _aqe_cached_batches(spark), _cdc_contract_errors():
         changes = (
             feed.withColumn("__prec", prec)
             .withColumn("__rk", F.rank().over(w))
@@ -5752,28 +5761,27 @@ def _apply_scd2_feed(
                     )
                 )
                 batch = closures.unionByName(inserts, allowMissingColumns=True)
-            with _cdc_contract_errors():
-                merge(
-                    spark,
-                    batch,
-                    target_root,
-                    key_cols + [SCD2_START],
-                    order_col=None,
-                    txn=(app_id, batch_id),
-                    merge_schema=True,
-                    # closure-scan ∪ LEAD-window feed: expensive enough that
-                    # evaluating it once beats re-running it per merge action
-                    persist_batch=True,
-                    # (key, _scd2_start) uniqueness is structural, so merge's
-                    # contract aggregate is redundant here: inserts are unique
-                    # per (key, __v) (validated above or guarded in-plan),
-                    # closures carry one current row per key (the SCD2
-                    # invariant this MERGE itself maintains), and a closure's
-                    # start (≤ the app watermark) can never equal an insert's
-                    # start (> the watermark) — versions only enter the
-                    # history through watermark-ordered chunks of this app
-                    _validated_bounds=(lo, hi),
-                )
+            merge(
+                spark,
+                batch,
+                target_root,
+                key_cols + [SCD2_START],
+                order_col=None,
+                txn=(app_id, batch_id),
+                merge_schema=True,
+                # closure-scan ∪ LEAD-window feed: expensive enough that
+                # evaluating it once beats re-running it per merge action
+                persist_batch=True,
+                # (key, _scd2_start) uniqueness is structural, so merge's
+                # contract aggregate is redundant here: inserts are unique
+                # per (key, __v) (validated above or guarded in-plan),
+                # closures carry one current row per key (the SCD2
+                # invariant this MERGE itself maintains), and a closure's
+                # start (≤ the app watermark) can never equal an insert's
+                # start (> the watermark) — versions only enter the
+                # history through watermark-ordered chunks of this app
+                _validated_bounds=(lo, hi),
+            )
             return True
         finally:
             changes.unpersist()
@@ -6091,27 +6099,60 @@ def _apply_mv_feed(
     for out in mm:
         keep.append(F.col(out).isNotNull())
         keep.append(F.col(f"__del_{out}").isNotNull())
+    # zero-net feed decided from COMMIT METADATA alone (r12, VERDICT r11
+    # #3: extend _chunk_facts coverage to the MV lanes): an empty feed
+    # has empty deltas, so the bootstrap + watermark advance needs NO
+    # probe job at all. Only the metadata-certain empty case short-
+    # circuits — a non-empty feed can still net to zero deltas (e.g. an
+    # update touching no maintained quantity), which only the probe
+    # aggregate below can decide.
+    facts = _chunk_facts(feed, group_cols)
+    if facts is not None and facts[0]:
+        deltas_schema = deltas0.filter(
+            functools.reduce(lambda a, b: a | b, keep)
+        ).schema
+        _bootstrap_for_watermark(
+            target_root,
+            StructType(
+                [f for f in deltas_schema.fields if not f.name.startswith("__")]
+            ),
+        )
+        _advance_txn(target_root, app_id, batch_id)
+        return False
     with _aqe_cached_batches(spark):
         deltas = deltas0.filter(
             functools.reduce(lambda a, b: a | b, keep)
         ).cache()
         try:
-            # ONE aggregate job answers all three per-chunk questions —
-            # NULL group values, emptiness, and the leading group key's
-            # bounds (which feed the MERGE's _validated_bounds below):
-            # r11, was two limit(1).count() jobs plus merge's own
-            # bounds/contract aggregate over the same cached deltas
+            # ONE aggregate job answers every per-chunk question — NULL
+            # group values, emptiness, the leading group key's bounds
+            # (which feed the MERGE's _validated_bounds below), and for
+            # min/max views the DELETE-candidate key bounds too (r12,
+            # VERDICT r11 #3: the rescan lane ran its own bounds
+            # aggregate over the same cached deltas — one extra job per
+            # delete-carrying chunk). r11 fused the two limit(1).count()
+            # probes and merge's bounds/contract aggregate the same way.
             g0 = group_cols[0]
             nullg = functools.reduce(
                 lambda a, b: a | b,
                 [F.col(k).isNull() for k in group_cols],
             )
-            probe = deltas.agg(
+            probe_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.max(nullg.cast("int")).alias("anynull"),
                 F.min(g0).alias("lo"),
                 F.max(g0).alias("hi"),
-            ).first()
+            ]
+            if mm:
+                dels_any = functools.reduce(
+                    lambda a, b: a | b,
+                    [F.col(f"__del_{o}").isNotNull() for o in mm],
+                )
+                probe_aggs += [
+                    F.min(F.when(dels_any, F.col(g0))).alias("dlo"),
+                    F.max(F.when(dels_any, F.col(g0))).alias("dhi"),
+                ]
+            probe = deltas.agg(*probe_aggs).first()
             if probe["anynull"]:
                 raise ValueError(
                     f"maintain_aggregate: NULL group value in {group_cols} "
@@ -6135,6 +6176,7 @@ def _apply_mv_feed(
                 batch = _mv_minmax_rescan(
                     spark, deltas, target_root, group_cols, aggs, mm,
                     rescan_src, stats,
+                    cand_bounds=(probe["dlo"], probe["dhi"]),
                 )
             # fold: counts add; sums add zero-based raw values and the
             # exposed value reverts to NULL exactly when the folded
@@ -6209,6 +6251,7 @@ def _mv_minmax_rescan(
     mm: dict,
     rescan_src,
     stats: dict | None,
+    cand_bounds: tuple = (None, None),
 ) -> DataFrame:
     """MIN/MAX delete handling for :func:`_apply_mv_feed` (r11, VERDICT
     r10 #2): tag each delta group with ``__mv_rescan`` and, for the
@@ -6235,34 +6278,36 @@ def _mv_minmax_rescan(
     cand = deltas.filter(dels_any).select(
         *group_cols, *[f"__del_{o}" for o in mm]
     )
-    if load_snapshot(target_root).schema_json is not None:
-        b = cand.agg(F.min(g0).alias("lo"), F.max(g0).alias("hi")).collect()[0]
-        if b["lo"] is None:
-            invalid = None  # no deletes at all this chunk
-        else:
-            view, _ = scan(
-                spark,
-                target_root,
-                where=[(g0, ">=", b["lo"]), (g0, "<=", b["hi"])],
+    # delete-candidate bounds arrive from the caller's fused probe
+    # aggregate (r12, VERDICT r11 #3) — this lane used to run its own
+    # min/max job over the same cached deltas; no deletes at all means
+    # nothing can invalidate, view or no view
+    if cand_bounds[0] is None:
+        invalid = None
+    elif load_snapshot(target_root).schema_json is not None:
+        view, _ = scan(
+            spark,
+            target_root,
+            where=[(g0, ">=", cand_bounds[0]), (g0, "<=", cand_bounds[1])],
+        )
+        vm = view.select(
+            *group_cols,
+            *[F.col(o).alias(f"__cur_{o}") for o in mm],
+            F.lit(True).alias("__has"),
+        )
+        conds = [F.col("__has").isNull()]
+        for o, kind in mm.items():
+            touch = (
+                F.col(f"__del_{o}") <= F.col(f"__cur_{o}")
+                if kind == "min"
+                else F.col(f"__del_{o}") >= F.col(f"__cur_{o}")
             )
-            vm = view.select(
-                *group_cols,
-                *[F.col(o).alias(f"__cur_{o}") for o in mm],
-                F.lit(True).alias("__has"),
-            )
-            conds = [F.col("__has").isNull()]
-            for o, kind in mm.items():
-                touch = (
-                    F.col(f"__del_{o}") <= F.col(f"__cur_{o}")
-                    if kind == "min"
-                    else F.col(f"__del_{o}") >= F.col(f"__cur_{o}")
-                )
-                conds.append(F.coalesce(touch, F.lit(False)))
-            invalid = (
-                cand.join(vm, group_cols, "left")
-                .filter(functools.reduce(lambda a, b: a | b, conds))
-                .select(*group_cols)
-            )
+            conds.append(F.coalesce(touch, F.lit(False)))
+        invalid = (
+            cand.join(vm, group_cols, "left")
+            .filter(functools.reduce(lambda a, b: a | b, conds))
+            .select(*group_cols)
+        )
     else:
         # no view yet: every delete-carrying group must rescan (its
         # insert-side extremum may include values deleted in-chunk)

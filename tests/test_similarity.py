@@ -124,6 +124,32 @@ def test_np_band_signatures_match_jvm_form(spark, embeddings):
     assert jvm == arrow
 
 
+def test_rh_signature_sql_lane_matches_column_form(spark, embeddings):
+    """r12 parse-lane regression (VERDICT r11 #4): the single-F.expr
+    signature used by lsh_bucket_topk must be BIT-IDENTICAL to the
+    Column-built rh_signature it replaced — same plane family, same
+    left-fold multiply-add order, same sign test and bit weights."""
+    sub = embeddings.filter("vec_id < 300").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "__cv"
+        ),
+    )
+    col_form = {
+        r["vec_id"]: r["s"]
+        for r in sub.select(
+            "vec_id", S.rh_signature(F.col("__cv"), 64, 8).alias("s")
+        ).collect()
+    }
+    sql_form = {
+        r["vec_id"]: r["s"]
+        for r in sub.select(
+            "vec_id", F.expr(S._rh_signature_sql("__cv", 64, 8)).alias("s")
+        ).collect()
+    }
+    assert col_form == sql_form
+
+
 def _recall(approx_rows, exact_rows):
     ex, ap = {}, {}
     for r in exact_rows:
